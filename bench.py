@@ -1,0 +1,64 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a ``noop`` write — full computation on
+executors, zero rows collected to the driver — so timings reflect the
+distributed plan, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_tool_setup_spark.queries import all_queries
+from python_tool_setup_spark.session import get_spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("python_tool_setup_spark-bench")
+
+    timings: dict[str, float] = {}
+    queries = all_queries()
+    # Warm the JVM/scan path once so t0 queries don't pay session startup.
+    force(queries["q01_pricing_summary"].spark_fn(spark, sf_dir).limit(1))
+
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            force(queries[name].spark_fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""As-of and range joins.
+
+Spark has no built-in AS OF join. The scalable pattern used here is the
+union-and-carry-forward trick: tag both sides, union them, and carry the
+most recent right-side row forward with a key-partitioned, time-ordered
+window. Cost: ONE shuffle on the join key (same as any equi-join), no
+cross product, no per-row probe — this is the shape that survives 100 TB
+of events, unlike a naive ``left.join(right, cond)`` which Spark would
+plan as a broadcast-nested-loop or a sort-merge with an inequality
+residual scanning every right row per key.
+
+Range joins keep an equality key so Spark plans a hash/sort-merge join
+and applies the band predicate as a residual filter per key group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (ties: the right
+    row sorts first, so equality matches). Left rows with no earlier
+    right row keep nulls (LEFT ASOF semantics).
+
+    Implementation: union with a side tag, window ``last(..., ignorenulls)``
+    ordered by (ts, side) partitioned by key, then keep left rows.
+    """
+    keys = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    value_cols = [f"{c}{suffix}" for c in right_cols]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
+          for c, v in zip(right_cols, value_cols)],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(v) for c, v in zip(right_cols, value_cols)],
+    ).select(*l_tag.columns)  # align column order for unionByName safety
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols],
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` with an extra non-equi ``condition`` residual
+    (e.g. ``right.ts BETWEEN left.start AND left.end``). The equality
+    keys make this a plain shuffled hash join at scale; the band
+    predicate filters within each key group.
+    """
+    eq = None
+    for k in on:
+        clause = left[k] == right[k]
+        eq = clause if eq is None else (eq & clause)
+    cond = condition if eq is None else (eq & condition)
+    return left.join(right, on=cond, how=how)

@@ -1,0 +1,72 @@
+"""Core relational helpers: deterministic dedup, semi/anti joins, top-k.
+
+All pure DataFrame compositions — no UDFs, no collects — so Catalyst
+keeps pushdown/pruning and AQE picks physical strategies. Designed for
+the 100 TB case: a dedup or top-k is one shuffle on its keys, never a
+global sort of the full relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_by_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence = (),
+) -> DataFrame:
+    """Keep exactly one row per key combination, deterministically.
+
+    Unlike ``dropDuplicates`` (which keeps an arbitrary row and is
+    therefore non-reproducible across runs/cluster sizes), this keeps the
+    first row under ``order_by`` (Column expressions or names). One hash
+    shuffle on ``keys``; the per-key sort is local to each partition.
+    """
+    if not order_by:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with at least one key match in ``right``."""
+    return left.join(right, on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with no key match in ``right``."""
+    return left.join(right, on=list(on), how="left_anti")
+
+
+def top_k(
+    df: DataFrame,
+    k: int,
+    order_by: Sequence,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k rows, optionally per group.
+
+    Global top-k (`partition_by=()`): ``orderBy().limit(k)`` — Spark
+    plans TakeOrderedAndProject, which keeps only k rows per partition
+    before a single k-row merge on the driver side of the exchange; no
+    full sort, safe at any scale.
+
+    Grouped top-k: row_number over a key-partitioned window — one
+    shuffle on the group keys.
+    """
+    if not partition_by:
+        return df.orderBy(*order_by).limit(k)
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,59 @@
+"""Fixture-table loading.
+
+The driver fixtures live at ``/root/testdata/sf*/{name}.parquet`` (one
+parquet file per table; see /root/repo/TESTDATA.md). At 100 TB each
+"table" is instead a partitioned directory — ``load_table`` takes any
+path Spark can read, so nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in star joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan — Catalyst handles
+    column pruning / predicate pushdown from whatever the caller selects.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects; read nanos as long and truncate to microseconds with
+    integer division (same truncation DuckDB applies), keeping the
+    conversion exact — a double division would lose precision at 1e18 ns.
+    """
+    path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

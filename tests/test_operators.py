@@ -1,0 +1,131 @@
+"""Unit tests for operator building blocks on tiny handcrafted frames:
+merge-upsert edge cases (the reference's Delta-merge semantics,
+framework.py:211-231), as-of join, deterministic dedup, top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark import operators as ops
+from python_tool_setup_spark.operators.merge import MergeKeyError
+
+
+def rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+# ---------------------------------------------------------------- merge ----
+def test_merge_update_and_insert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    out = ops.merge_upsert(target, source, keys=["k"])
+    assert rows(out) == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_merge_empty_target(spark):
+    target = spark.createDataFrame([], "k int, v string")
+    source = spark.createDataFrame([(1, "A")], "k int, v string")
+    assert rows(ops.merge_upsert(target, source, keys=["k"])) == [(1, "A")]
+
+
+def test_merge_empty_source(spark):
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([], "k int, v string")
+    assert rows(ops.merge_upsert(target, source, keys=["k"])) == [(1, "a")]
+
+
+def test_merge_null_keys_never_match(spark):
+    # Null-key source rows insert; null-key target rows are kept (SQL
+    # equality semantics, same as Delta MERGE ON t.k = s.k).
+    target = spark.createDataFrame([(None, "t-null"), (1, "a")], "k int, v string")
+    source = spark.createDataFrame([(None, "s-null"), (1, "A")], "k int, v string")
+    out = ops.merge_upsert(target, source, keys=["k"])
+    got = sorted(rows(out), key=str)
+    assert (1, "A") in got and (None, "t-null") in got and (None, "s-null") in got
+    assert len(got) == 3
+
+
+def test_merge_duplicate_source_keys_raises(spark):
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(1, "A"), (1, "B")], "k int, v string")
+    with pytest.raises(MergeKeyError):
+        ops.merge_upsert(
+            target, source, keys=["k"], check_duplicate_source_keys=True
+        )
+
+
+def test_merge_duplicate_source_dedup_order(spark):
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "k int, v string, seq int"
+    ).select("k", "v", "seq")
+    out = ops.merge_upsert(
+        target.withColumn("seq", F.lit(0)),
+        source,
+        keys=["k"],
+        source_dedup_order=[F.col("seq").desc()],
+    )
+    assert rows(out) == [(1, "new", 2)]
+
+
+def test_merge_idempotent(spark):
+    # merge(merge(T,S),S) == merge(T,S)  (property from SURVEY.md §5.4)
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    once = ops.merge_upsert(target, source, keys=["k"])
+    twice = ops.merge_upsert(once, source, keys=["k"])
+    assert rows(once) == rows(twice)
+
+
+# ----------------------------------------------------------------- asof ----
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)], "sym string, t int, trade_id int"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 20, 101.0), ("B", 7, 50.0)],
+        "sym string, t int, px double",
+    )
+    out = ops.asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t", right_cols=["px"]
+    )
+    got = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    trades = spark.createDataFrame([("A", 10, 1)], "sym string, t int, id int")
+    quotes = spark.createDataFrame([("A", 10, 9.0)], "sym string, t int, px double")
+    out = ops.asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t", right_cols=["px"]
+    )
+    assert out.collect()[0]["px_right"] == 9.0
+
+
+# --------------------------------------------------------- dedup / topk ----
+def test_dedup_by_keys_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 5, "z")], "k int, score int, v string"
+    )
+    out = ops.dedup_by_keys(df, ["k"], [F.col("score").desc()])
+    assert rows(out) == [(1, 20, "y"), (2, 5, "z")]
+
+
+def test_top_k_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(g, i, g * 100 + i) for g in (1, 2) for i in range(5)],
+        "g int, i int, score int",
+    )
+    glob = ops.top_k(df, 2, [F.col("score").desc()])
+    assert [r["score"] for r in glob.collect()] == [204, 203]
+    grouped = ops.top_k(df, 2, [F.col("score").desc()], partition_by=["g"])
+    assert sorted(r["score"] for r in grouped.collect()) == [103, 104, 203, 204]
+
+
+def test_dedup_fixpoint(spark):
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="a"), Row(k=2, v="b")])
+    once = df.dropDuplicates(["k", "v"])
+    twice = once.dropDuplicates(["k", "v"])
+    assert rows(once) == rows(twice)
