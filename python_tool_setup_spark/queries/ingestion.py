@@ -1,1 +1,101 @@
-"""Filled in later milestones."""
+"""Ingestion-pipeline queries for the driver gate (S1/S3/S5/M1).
+
+These run the REAL config-driven pipeline (read → write → register →
+read back) against temp targets, then return a relation the DuckDB
+oracle can verify — proving the pipeline surface end-to-end inside the
+correctness gate, not just in unit tests.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.config import IngestionConfig
+from python_tool_setup_spark.ingestion import make_ingestion
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table, table_path
+
+
+@register(
+    "q29_ingest_batch_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Batch ingestion pipeline roundtrip (S1+S3): parquet source -> "
+    "partitioned parquet target via IngestionPipeline, read back, aggregate.",
+)
+def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="ingest_rt_")
+    cfg = IngestionConfig(
+        source_path=table_path(sf_dir, "orders"),
+        source_format="parquet",
+        target_path=target,
+        write_mode="overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    make_ingestion(spark, cfg).run()
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q30_ingest_merge_pipeline",
+    """
+    WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderkey % 4 != 0),
+         s AS (SELECT o_orderkey, o_custkey,
+                      ROUND(o_totalprice + 1000, 2) AS o_totalprice
+               FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               ROUND(COALESCE(s.o_totalprice, t.o_totalprice), 2) AS o_totalprice
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    )
+    """,
+    doc="MERGE ingestion pipeline (S5): staged-rewrite upsert into a parquet "
+    "target through the full pipeline lifecycle; oracle is the full-outer-"
+    "join algebra of whenMatchedUpdateAll/whenNotMatchedInsertAll.",
+)
+def q30_ingest_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="ingest_merge_")
+    orders = load_table(spark, sf_dir, "orders")
+    src_dir = tempfile.mkdtemp(prefix="merge_src_")
+
+    orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).write.mode("overwrite").parquet(target)
+
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+    ).write.mode("overwrite").parquet(src_dir)
+
+    cfg = IngestionConfig(
+        source_path=src_dir,
+        source_format="parquet",
+        target_path=target,
+        write_mode="merge",
+        merge_keys=["o_orderkey"],
+    )
+    make_ingestion(spark, cfg).run()
+    back = spark.read.parquet(target)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
+    )

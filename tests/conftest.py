@@ -14,10 +14,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = get_spark(
         "python_tool_setup_spark-tests",
         master="local[4]",
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark
 
