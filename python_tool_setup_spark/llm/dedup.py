@@ -1,0 +1,301 @@
+"""Deduplication operators (L1/L2): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design:
+- exact dedup = hash-groupBy, one shuffle on the 256-bit content hash;
+- MinHash signatures are computed PER ROW with array expressions (no
+  shuffle, no Python); LSH banding turns the O(n²) pair space into a
+  bucket equi-join — the only shuffle is on (band, band_hash);
+- SimHash pairs use pigeonhole blocking: hamming(a,b) ≤ 3 over 64 bits
+  guarantees at least one of 4 16-bit chunks is identical, so a
+  4-way chunk equi-join finds every such pair exactly;
+- candidate buckets are capped (``max_bucket``) so a degenerate key
+  (e.g. the empty document) cannot create a quadratic hot spot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------- exact (L1) ----
+def content_hash(text: Column | str, num_bits: int = 256) -> Column:
+    """Collision-safe content hash for exact dedup at corpus scale."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.sha2(col, num_bits)
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    keep_order: Sequence | None = None,
+) -> DataFrame:
+    """One row per distinct content (hash-groupBy). ``keep_order``
+    makes the survivor deterministic (e.g. lowest id)."""
+    from python_tool_setup_spark.operators.relational import dedup_by_keys
+
+    h = F.sha2(F.concat_ws("\x1f", *content_cols), 256).alias("__h")
+    with_h = df.withColumn("__h", h)
+    out = dedup_by_keys(with_h, ["__h"], keep_order or [])
+    return out.drop("__h")
+
+
+# ------------------------------------------------------------- shingles ----
+def shingles(text: Column | str, size: int = 5) -> Column:
+    """Word n-gram shingles of lowercased text → array<string>.
+    Documents shorter than ``size`` tokens yield one whole-text shingle."""
+    from python_tool_setup_spark.llm.text import tokenize
+
+    toks = tokenize(text)
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+    )
+    return F.array_distinct(joined)
+
+
+# -------------------------------------------------------- MinHash (L2) ----
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, shingle_size: int = 5
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-over-shingles of
+    seeded xxhash64. Per-row expression — zero shuffle at any scale."""
+    sh = shingles(text, shingle_size)
+
+    def _seeded(i: int):
+        # closure factory: a 2-arg lambda would receive (elem, index)
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash signature → band buckets →
+    candidate equi-join → exact Jaccard verification over shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. Recall is the standard LSH S-curve at
+    (bands, rows-per-band); precision is exact (verified)."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(text_col, shingle_size).alias("__sh"),
+        minhash_signature(text_col, num_hashes, shingle_size).alias("__sig"),
+    )
+
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+    # cap degenerate buckets so one hot key can't go quadratic
+    capped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        capped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(
+                                F.col("ids"),
+                                lambda b: F.struct(a.alias("a"), b.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# -------------------------------------------------------- SimHash (L2) ----
+def simhash(text: Column | str, num_bits: int = 64, shingle_size: int = 2) -> Column:
+    """64-bit SimHash over word shingles, pure built-ins: per bit i,
+    sign of Σ_tokens (±1 by hash bit i), packed into a bigint."""
+    sh = shingles(text, shingle_size)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _bit_vote(i: int):
+        # closure factory: extra lambda params would bind the elem index
+        return lambda acc, h: acc + (
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_terms = []
+    for i in range(num_bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(i))
+        bit_terms.append(
+            F.when(votes > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_size: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """All pairs with hamming(simhash) <= max_hamming, found EXACTLY via
+    pigeonhole chunk blocking (4 chunks of 16 bits: distance ≤ 3 forces
+    an identical chunk), then verified with bit_count(a XOR b)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col, 64, shingle_size).alias("__sim")
+    )
+    chunked = base.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("__sim", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("__id", "__sim", "cc.chunk_id", "cc.chunk")
+
+    buckets = (
+        chunked.groupBy("chunk_id", "chunk")
+        .agg(F.collect_list(F.struct("__id", "__sim")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda a: F.transform(
+                                F.col("members"),
+                                lambda b: F.struct(
+                                    a["__id"].alias("id_a"),
+                                    b["__id"].alias("id_b"),
+                                    a["__sim"].alias("sim_a"),
+                                    b["__sim"].alias("sim_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ------------------------------------------------- n-gram Jaccard (L2) ----
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: Sequence[str] = (),
+    shingle_size: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within blocking
+    groups (deterministic, oracle-checkable). Without ``block_cols``
+    this is all-pairs — only for small corpora; at scale use
+    ``minhash_lsh_pairs`` (same verification, LSH candidate generation)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in block_cols],
+        shingles(text_col, shingle_size).alias("__sh"),
+    )
+    a = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    joined = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", *block_cols, "jaccard")
+    )

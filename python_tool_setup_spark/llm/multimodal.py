@@ -1,0 +1,130 @@
+"""Multimodal columns (L5): image/audio/video as opaque ``binary``
+columns with typed metadata, plus decode / feature-extract / resize /
+frame-sample plumbing over Arrow-batched ``mapInPandas``.
+
+The container ships no image/audio codecs, so the decode kernels are
+STUBS behind ``use_fake_decoder``: the real-Spark parts — schema,
+binaryFile ingestion, batch iteration shape, partitioning — are real
+and tested; the pixel math is a clearly-marked deterministic fake (or
+``NotImplementedError`` when ``use_fake_decoder=False``).
+
+At 100 TB: media bytes stay in executor-local Arrow batches end to end
+(binaryFile scan → mapInPandas); nothing is collected; per-file rows
+keep batches bounded via ``spark.sql.files.maxPartitionBytes`` and
+``maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+MEDIA_META_SCHEMA = (
+    "path string, media_type string, length long, sha256 string, content binary"
+)
+IMAGE_FEATURES_SCHEMA = (
+    "path string, width int, height int, n_channels int, feature array<float>"
+)
+
+_EXT_TO_TYPE = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "avi": "video", "mkv": "video",
+}
+
+
+def read_media(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest media files as opaque binary rows (S11/L5 plumbing)."""
+    from python_tool_setup_spark.sources.files import read_binary_files
+
+    return read_binary_files(spark, path, glob)
+
+
+def with_media_metadata(df: DataFrame) -> DataFrame:
+    """Typed metadata columns derived JVM-side: media_type from the
+    extension, sha256 of the raw bytes (dedup key for exact media dedup)."""
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _EXT_TO_TYPE.items() for x in pair]
+    )
+    return df.select(
+        "path",
+        F.coalesce(mapping[ext], F.lit("unknown")).alias("media_type"),
+        "length",
+        F.sha2("content", 256).alias("sha256"),
+        "content",
+    )
+
+
+def decode_image_features(
+    df: DataFrame, feature_dim: int = 8, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Decode images and extract a feature vector via mapInPandas.
+
+    STUB: no codec libraries in this container. With
+    ``use_fake_decoder=True`` the decode is a deterministic fake
+    (dimensions and features derived from the byte content's digest) so
+    the full pipeline — Arrow batch shapes, schema, partition behavior —
+    is exercised; with False it raises NotImplementedError exactly where
+    a real PIL/opencv call would go.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv; not in container"
+                )
+            out = {
+                "path": [], "width": [], "height": [], "n_channels": [],
+                "feature": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                digest = hashlib.sha256(bytes(content)).digest()
+                out["path"].append(path)
+                out["width"].append(16 + digest[0] % 64)       # fake decode
+                out["height"].append(16 + digest[1] % 64)      # fake decode
+                out["n_channels"].append(3)
+                out["feature"].append(
+                    [b / 255.0 for b in digest[:feature_dim]]  # fake features
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame" (a
+    byte-offset slice in the fake decoder; a real decoder would emit
+    decoded frames at a time stride). Demonstrates the 1→N mapInPandas
+    shape video pipelines need."""
+
+    schema = "path string, frame_index int, frame_offset long, frame_digest string"
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; not in container"
+                )
+            rows = {"path": [], "frame_index": [], "frame_offset": [], "frame_digest": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
+                    chunk = data[off : off + every_n_bytes]
+                    rows["path"].append(path)
+                    rows["frame_index"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_digest"].append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(rows)
+
+    return df.select("path", "content").mapInPandas(_sample, schema)

@@ -1,0 +1,273 @@
+"""Vector similarity search over ``array<float>`` embedding columns
+(L3): exact cosine top-k, LSH-bucketed ANN, IVF (k-means) ANN, and
+embedding near-duplicate detection.
+
+Scale design:
+- the dot product is a JVM array expression (`zip_with` + `aggregate`)
+  — no Python, no UDF in the exact path;
+- exact top-k broadcasts the (small) query set against the corpus:
+  one scan, no shuffle except the final per-query top-k window;
+- LSH ANN buckets by random-hyperplane sign bits so each query only
+  scans its probe buckets; hyperplanes come from a seeded RNG inside a
+  vectorized Arrow-batched pandas UDF (numpy matmul per batch);
+- IVF ANN trains k-means centroids with pyspark.ml (distributed),
+  assigns partitions at write time, probes nprobe cells at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# --------------------------------------------------------- exact cosine ----
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in doubles, sequential order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+    Queries are broadcast; the corpus is scanned once. Ranking uses the
+    ROUNDED cosine (+ id tie-break) so results are reproducible across
+    engines/runs. Returns (query_id, neighbor_id, cosine, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), round_digits),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+# ----------------------------------------------------------- LSH bucket ----
+def lsh_bucket_signature(
+    vec_col: str, dim: int, num_planes: int = 16, seed: int = 42
+):
+    """Random-hyperplane sign signature as an int bucket id. Vectorized
+    Arrow/pandas UDF: one numpy matmul per batch. Deterministic (seeded).
+    """
+    planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        bits = (mat @ planes) > 0
+        return pd.Series(bits @ powers)
+
+    return _sig(F.col(vec_col))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: ``num_tables`` independent hyperplane tables;
+    a corpus vector is a candidate if it shares a bucket with the query
+    in ANY table (union of equi-joins — one shuffle per table, never a
+    cross product). Exact cosine + top-k window over candidates only."""
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    cand = None
+    for t in range(num_tables):
+        qt = q.withColumn(
+            "__bucket", lsh_bucket_signature("__qvec", dim, num_planes, seed=42 + t)
+        )
+        ct = c.withColumn(
+            "__bucket", lsh_bucket_signature("__cvec", dim, num_planes, seed=42 + t)
+        )
+        pairs = qt.join(ct, "__bucket").drop("__bucket")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.filter(F.col("__qid") != F.col("__cid")).dropDuplicates(
+        ["__qid", "__cid"]
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------------------------- IVF ANN ----
+def ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    seed: int = 42,
+):
+    """Train an IVF coarse quantizer (distributed k-means via
+    pyspark.ml) and return (assigned_corpus, model): the corpus with a
+    ``__cell`` column — at scale you'd write it partitioned by cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    return assigned, model
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    model,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search only the ``nprobe`` nearest cells per query: candidate set
+    shrinks by ~num_cells/nprobe vs brute force; one equi-join on cell."""
+    from pyspark.ml.functions import array_to_vector
+
+    centers = model.clusterCenters()
+    centers_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+            "__cell int, __center array<double>",
+        )
+    )
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
+    # nprobe nearest centroids per query (tiny crossJoin: |Q| × cells)
+    qc = (
+        q.crossJoin(centers_df)
+        .withColumn("__d", dot(F.col("__qvec"), F.col("__center")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy(F.col("__d").desc())
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("__qid", "__qvec", "__cell")
+    )
+    c = assigned_corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"), "__cell"
+    )
+    scored = (
+        qc.join(c, "__cell")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn("cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------------- embedding near-dup ----
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_cols=(),
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. With ``block_cols`` the join is
+    exact within blocks (oracle-checkable); otherwise LSH buckets prune
+    candidates (near-exact for high thresholds: similar vectors share
+    sign bits with high probability)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        *[F.col(c) for c in block_cols],
+    )
+    if block_cols:
+        a = base.select(
+            *block_cols, F.col("__id").alias("id_a"), F.col("__vec").alias("va")
+        )
+        b = base.select(
+            *block_cols, F.col("__id").alias("id_b"), F.col("__vec").alias("vb")
+        )
+        joined = a.join(b, list(block_cols))
+    else:
+        sig = base.withColumn(
+            "__bucket", lsh_bucket_signature("__vec", dim, num_planes)
+        )
+        a = sig.select(
+            "__bucket", F.col("__id").alias("id_a"), F.col("__vec").alias("va")
+        )
+        b = sig.select(
+            "__bucket", F.col("__id").alias("id_b"), F.col("__vec").alias("vb")
+        )
+        joined = a.join(b, "__bucket")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", *block_cols, "cosine")
+    )

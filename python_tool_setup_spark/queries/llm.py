@@ -1,1 +1,433 @@
-"""Filled in later milestones."""
+"""LLM-data-pipeline queries (SURVEY.md §2.5 L1-L6) for the driver gate.
+
+Oracle-checked where the computation is engine-independent (content
+hashes, token stats, exact Jaccard, double-precision cosine); rows-only
+where the result depends on Spark-specific hash functions (xxhash64
+MinHash/SimHash signatures) or on ML training (IVF) — those get planted
+-duplicate assertions in tests/test_llm.py instead.
+
+Near-dup queries PLANT duplicates (documents unioned with mutated
+copies, embeddings with scaled copies) so the checks are non-trivial:
+the fixture corpus itself has no exact duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.llm import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+    exact_dedup,
+    fingerprint_minhash,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    text_stats,
+    token_count_bpeish,
+)
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+# DuckDB equivalents of our tokenizer/shingler, reused across oracles.
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+
+def _docs_with_copies(spark, sf_dir, limit=None, mutate=" zz qq"):
+    """documents ∪ mutated copies (doc_id + 100000, text ⊕ suffix)."""
+    d = load_table(spark, sf_dir, "documents")
+    if limit is not None:
+        d = d.filter(F.col("doc_id") < limit)
+    copies = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(mutate))
+    )
+    return d.unionByName(copies)
+
+
+@register(
+    "q31_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents
+    )
+    GROUP BY text
+    """,
+    doc="Exact dedup by content hash (L1): planted duplicate corpus "
+    "collapses to one survivor (lowest id) per distinct text.",
+)
+def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    survivors = exact_dedup(dup, ["text"], keep_order=[F.col("doc_id")])
+    counts = dup.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        survivors.join(counts, "text")
+        .select(
+            "doc_id", F.sha2("text", 256).alias("content_sha"), "n_copies"
+        )
+    )
+
+
+@register(
+    "q32_text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_chars_calc,
+           CAST(LEN(toks) AS INT)    AS n_tokens,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
+                 / GREATEST(LEN(toks), 1), 4) AS avg_token_len,
+           ROUND(CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN
+                 ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                 / GREATEST(LEN(toks), 1), 4) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    doc="Text quality scoring (L4): per-doc char/token counts, mean token "
+    "length, punctuation ratio, stopword ratio — all JVM built-ins.",
+)
+def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_stats(d, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "q33_language_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS INT) AS score_en,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS INT) AS score_de,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','y','un','una','es'))) AS INT) AS score_es,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','et','un','une','est'))) AS INT) AS score_fr,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('的','是','在','了','我'))) AS INT) AS score_zh
+        FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >  score_en AND score_de >= score_es
+              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_es >  score_en AND score_es >  score_de
+              AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >  score_en AND score_fr >  score_de
+              AND score_fr >  score_es AND score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred,
+           (CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >  score_en AND score_de >= score_es
+              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_es >  score_en AND score_es >  score_de
+              AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >  score_en AND score_fr >  score_de
+              AND score_fr >  score_es AND score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END = lang) AS is_correct
+    FROM scored
+    """,
+    doc="Language ID (L4): deterministic stopword-vote heuristic, argmax "
+    "with fixed priority tie-break; oracle replicates the vote in SQL.",
+)
+def q33_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d, "text").select(
+        "doc_id",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
+        "score_zh",
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "q34_token_count",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Token counting (L4): whitespace + BPE-ish regex counts per source "
+    "— corpus sizing aggregates.",
+)
+def q34_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_bpeish("text")).alias("total_tokens"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+                "total_ws_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q35_fingerprint",
+    None,  # fingerprint values are Spark-xxhash64-specific
+    doc="Document fingerprinting (L4): winnowing-style min-hash over word "
+    "shingles; planted copies share fingerprints (asserted in tests).",
+)
+def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint_minhash("text", shingle_size=5).alias("fingerprint")
+    )
+
+
+@register(
+    "q36_minhash_lsh_neardup",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz qq' FROM documents WHERE doc_id < 100
+    ),
+    shingled AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(toks) - 4, 1)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM base)
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="MinHash+LSH near-dup (L2): shingle -> 64-hash signature -> 16-band "
+    "buckets -> candidate equi-join -> exact Jaccard verify. Oracle computes "
+    "ALL >=0.5 pairs exactly; LSH miss probability at the planted ~0.97 "
+    "similarity is ~1e-15, so the outputs coincide.",
+)
+def q36_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = _docs_with_copies(spark, sf_dir, limit=100)
+    return minhash_lsh_pairs(
+        dup, "doc_id", "text", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5,
+    )
+
+
+@register(
+    "q37_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT qid, cid,
+                      ROUND(list_dot_product(qv, cv)
+                            / (SQRT(list_dot_product(qv, qv))
+                               * SQRT(list_dot_product(cv, cv))), 6) AS cosine
+               FROM q CROSS JOIN c WHERE qid != cid)
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT qid AS vec_id, cid AS neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, cid) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+    doc="Exact top-k cosine similarity search (L3): broadcast queries x "
+    "corpus scan, JVM zip_with/aggregate dot product, per-query top-k window.",
+)
+def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k=5
+    )
+
+
+@register(
+    "q38_embedding_neardup",
+    """
+    WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, label,
+               LIST_TRANSFORM(embedding::DOUBLE[], x -> x * 1.5)
+        FROM embeddings
+    )
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (SQRT(list_dot_product(a.v, a.v))
+                        * SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM base a JOIN base b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.95
+    """,
+    doc="Embedding-cosine near-dup (L2/L3): planted scaled copies (cosine=1) "
+    "found by exact blocked pairing on label; LSH-bucketed variant is "
+    "q41/tests.",
+)
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    doubled = e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = doubled.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    return embedding_neardup_pairs(
+        doubled.unionByName(copies),
+        "vec_id",
+        "embedding",
+        threshold=0.95,
+        block_cols=["label"],
+    )
+
+
+@register(
+    "q39_ngram_jaccard",
+    f"""
+    WITH shingled AS (
+        SELECT doc_id, source,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
+               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+        FROM shingled a JOIN shingled b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.02
+    """,
+    doc="n-gram Jaccard similarity (L2): exact 3-gram shingle Jaccard for "
+    "all pairs within source blocks.",
+)
+def q39_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["source"], shingle_size=3, threshold=0.02
+    )
+
+
+@register(
+    "q40_simhash_neardup",
+    None,  # simhash values depend on Spark xxhash64
+    doc="SimHash near-dup (L2): 64-bit simhash, pigeonhole chunk blocking, "
+    "hamming<=3 verify; planted copies asserted in tests.",
+)
+def q40_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = _docs_with_copies(spark, sf_dir, limit=100, mutate=" zz")
+    return simhash_pairs(dup, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "q41_ann_lsh",
+    None,  # LSH candidate set is probabilistic (recall asserted in tests)
+    doc="Approximate nearest neighbors (L3 scale path): multi-table "
+    "random-hyperplane LSH buckets -> candidate equi-join -> exact rerank.",
+)
+def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
+        dim=64, k=5, num_planes=8, num_tables=6,
+    )
+
+
+@register(
+    "q42_ivf_ann",
+    None,  # depends on k-means training
+    doc="IVF ANN (L3): distributed k-means coarse quantizer (pyspark.ml), "
+    "nprobe-cell search.",
+)
+def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.similarity import ivf_index, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, model = ivf_index(e, "embedding", num_cells=8)
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 10), assigned, model, "vec_id", "vec_id",
+        "embedding", k=5, nprobe=3,
+    )
+
+
+@register(
+    "q43_multimodal_metadata",
+    """
+    SELECT sha256(text) AS sha256,
+           CAST(LENGTH(text) AS BIGINT) AS length,
+           'image' AS media_type
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="Multimodal binary columns (L5): documents materialized as .png "
+    "files, ingested via binaryFile, typed metadata (media_type from "
+    "extension, sha256 of raw bytes) derived JVM-side.",
+)
+def q43_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from python_tool_setup_spark.llm.multimodal import (
+        read_media,
+        with_media_metadata,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media_dir = tempfile.mkdtemp(prefix="media_")
+    for row in d.select("doc_id", "text").collect():  # 50 small local files
+        with open(os.path.join(media_dir, f"doc_{row['doc_id']}.png"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    media = with_media_metadata(read_media(spark, media_dir, glob="*.png"))
+    return media.select("sha256", "length", "media_type")
+
+
+@register(
+    "q44_multimodal_decode",
+    None,  # fake decoder output is digest-derived (no SQL equivalent)
+    doc="Multimodal decode plumbing (L5): mapInPandas feature extraction "
+    "over binary content (stub decoder — no codecs in container), plus "
+    "1->N frame sampling shape.",
+)
+def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from python_tool_setup_spark.llm.multimodal import (
+        decode_image_features,
+        read_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media_dir = tempfile.mkdtemp(prefix="media_dec_")
+    for row in d.select("doc_id", "text").collect():
+        with open(os.path.join(media_dir, f"doc_{row['doc_id']}.png"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    media = read_media(spark, media_dir, glob="*.png")
+    return decode_image_features(media, feature_dim=8)

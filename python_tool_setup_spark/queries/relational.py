@@ -322,7 +322,7 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_window_topk",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -359,7 +359,8 @@ def q12_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
                AS running_sum,
-           RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+           CAST(RANK() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id) AS INT) AS value_rank
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -461,7 +462,7 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            CONCAT(p_brand, ':', p_type)            AS brand_type,
            SUBSTRING(p_name, 1, 8)                 AS name_prefix,
-           LENGTH(p_name)                          AS name_len,
+           CAST(LENGTH(p_name) AS INT)             AS name_len,
            LOWER(TRIM(p_type))                     AS type_lower,
            REGEXP_EXTRACT(p_name, '([a-z]+)', 1)   AS first_word,
            CAST(CONTAINS(p_type, 'BRASS') AS BOOLEAN) AS has_brass

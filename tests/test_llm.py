@@ -1,0 +1,194 @@
+"""Unit tests for LLM-data-pipeline operators (L1-L6) with planted
+duplicates — covering the probabilistic paths the DuckDB oracle can't
+(MinHash/SimHash signatures, LSH/IVF ANN recall, multimodal stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.llm import (
+    ann_lsh_topk,
+    cosine_topk,
+    exact_dedup,
+    fingerprint_minhash,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    token_count_bpeish,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast", "a"),
+        (1, "a completely different document about spark query engines here", "a"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast", "a"),
+        (3, "the quick brown fox jumps over the lazy dog and runs away quick", "b"),
+        (4, "unrelated text with its own words entirely separate content", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_exact_dedup_planted(spark, docs):
+    out = exact_dedup(docs, ["text"], keep_order=[F.col("doc_id")])
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 1, 3, 4]  # doc 2 (copy of 0) collapsed, survivor = min id
+
+
+def test_fingerprint_copies_share(spark, docs):
+    fp = docs.select("doc_id", fingerprint_minhash("text").alias("f"))
+    got = {r["doc_id"]: r["f"] for r in fp.collect()}
+    assert got[0] == got[2]          # identical text -> identical fingerprint
+    assert got[0] != got[1]
+
+
+def test_minhash_identical_pair_found(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_size=3,
+        threshold=0.5,
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 2)] == 1.0        # exact copy
+    assert (0, 3) in got             # one-word variant is a near-dup
+    assert (0, 4) not in got and (1, 4) not in got
+
+
+def test_simhash_distance_properties(spark, docs):
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash("text").alias("s")).collect()
+    }
+    assert sims[0] == sims[2]        # identical text -> identical simhash
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[0], sims[3]) < ham(sims[0], sims[4])
+
+
+def test_simhash_pairs_blocking_finds_copies(spark, docs):
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 2)] == 0
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["src"], shingle_size=3, threshold=0.3
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 2)] == 1.0
+    assert (0, 3) not in got         # cross-block pair excluded by blocking
+
+
+def test_language_id_handcrafted(spark):
+    rows = [
+        (1, "le chat est sur la table et le chien est la"),
+        (2, "the cat is on the table and it is happy"),
+        (3, "der hund und die katze das ist ein haus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "fr", 2: "en", 3: "de"}
+
+
+def test_token_count_bpeish(spark):
+    df = spark.createDataFrame([("hello, world! x2 done",)], "text string")
+    # tokens: hello , world ! x 2 done -> 7
+    assert df.select(token_count_bpeish("text").alias("n")).first()["n"] == 7
+
+
+# ------------------------------------------------------------- vectors ----
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant: vec 100+i is a scaled copy of vec i (cosine == 1) for i < 10
+    rows += [(100 + i, [float(x * 2.0) for x in base[i]]) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_planted_copy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    out = cosine_topk(queries, vectors, "vec_id", "vec_id", "embedding", k=1)
+    got = {r["vec_id"]: (r["neighbor_id"], r["cosine"]) for r in out.collect()}
+    for i in range(10):
+        assert got[i] == (100 + i, 1.0)
+
+
+def test_ann_lsh_recall_on_planted(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    out = ann_lsh_topk(
+        queries, vectors, "vec_id", "vec_id", "embedding",
+        dim=16, k=1, num_planes=8, num_tables=4,
+    )
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    # identical direction -> identical buckets in every table: recall 100%
+    assert all(got[i] == 100 + i for i in range(10))
+
+
+def test_ivf_finds_planted(spark, vectors):
+    from python_tool_setup_spark.llm.similarity import ivf_index, ivf_topk
+
+    assigned, model = ivf_index(vectors, "embedding", num_cells=4)
+    queries = vectors.filter(F.col("vec_id") < 10)
+    out = ivf_topk(
+        queries, assigned, model, "vec_id", "vec_id", "embedding", k=1, nprobe=2
+    )
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    assert sum(got.get(i) == 100 + i for i in range(10)) >= 8
+
+
+# ---------------------------------------------------------- multimodal ----
+def test_multimodal_plumbing(spark, tmp_path):
+    import os
+
+    from python_tool_setup_spark.llm.multimodal import (
+        decode_image_features,
+        read_media,
+        sample_frames,
+        with_media_metadata,
+    )
+
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    payloads = {"a.png": b"x" * 3000, "b.jpg": b"y" * 500, "c.wav": b"z" * 100}
+    for name, data in payloads.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+
+    media = with_media_metadata(read_media(spark, d))
+    got = {r["path"].split("/")[-1]: r for r in media.collect()}
+    assert got["a.png"]["media_type"] == "image"
+    assert got["c.wav"]["media_type"] == "audio"
+    assert got["b.jpg"]["length"] == 500
+
+    feats = decode_image_features(read_media(spark, d, glob="*.png"), feature_dim=4)
+    row = feats.collect()[0]
+    assert len(row["feature"]) == 4 and 16 <= row["width"] < 80
+
+    frames = sample_frames(read_media(spark, d, glob="a.png"), every_n_bytes=1000)
+    assert frames.count() == 3       # 3000 bytes / 1000 -> 3 "frames"
+    assert [r["frame_index"] for r in frames.orderBy("frame_index").collect()] == [0, 1, 2]
+
+
+def test_multimodal_stub_raises_without_fake(spark, tmp_path):
+    import os
+
+    from python_tool_setup_spark.llm.multimodal import (
+        decode_image_features,
+        read_media,
+    )
+
+    d = str(tmp_path / "media2")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.png"), "wb") as f:
+        f.write(b"data")
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image_features(
+            read_media(spark, d), use_fake_decoder=False
+        ).collect()
