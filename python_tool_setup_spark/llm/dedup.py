@@ -65,13 +65,19 @@ def minhash_signature(
     """MinHash signature: array of ``num_hashes`` min-over-shingles of
     seeded xxhash64. Per-row expression — zero shuffle at any scale."""
     sh = shingles(text, shingle_size)
-
-    def _seeded(i: int):
-        # closure factory: a 2-arg lambda would receive (elem, index)
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+    # Single pass over the shingle array: fold with a num_hashes-wide
+    # accumulator (min per seed). The naive form — num_hashes separate
+    # array_min(transform(...)) projections — re-evaluates the shingle
+    # expression num_hashes times per row and was ~4x slower.
+    init = F.expr(f"array_repeat({2**63 - 1}L, {num_hashes})")
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda m, i: F.least(m, F.xxhash64(s, i)),
+        ),
     )
 
 
@@ -167,24 +173,36 @@ def simhash(text: Column | str, num_bits: int = 64, shingle_size: int = 2) -> Co
     sign of Σ_tokens (±1 by hash bit i), packed into a bigint."""
     sh = shingles(text, shingle_size)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def _bit_vote(i: int):
-        # closure factory: extra lambda params would bind the elem index
-        return lambda acc, h: acc + (
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+    # Single pass: fold the hash array into a num_bits-wide vote vector
+    # (±1 per bit), then pack sign bits into one long. shiftleft(1L, 63)
+    # wraps to Long.MIN_VALUE, which is exactly bit 63's two's-complement
+    # contribution.
+    def _mask(i):
+        # bit mask 2^i as long from an index COLUMN (shiftright/shiftleft
+        # only take int literals): pow is exact for powers of two <= 2^62,
+        # bit 63 is MIN_VALUE.
+        return F.when(i == 63, F.lit(-(2**63)).cast("long")).otherwise(
+            F.pow(F.lit(2.0), i).cast("long")
         )
 
-    bit_terms = []
-    for i in range(num_bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(i))
-        bit_terms.append(
-            F.when(votes > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.expr(f"array_repeat(0L, {num_bits})"),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_bits - 1)),
+            lambda c, i: c
+            + F.when(h.bitwiseAND(_mask(i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    packed_terms = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda v, i: F.when(v > 0, _mask(i)).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        packed_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def simhash_pairs(
@@ -266,36 +284,72 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs within blocking
-    groups (deterministic, oracle-checkable). Without ``block_cols``
-    this is all-pairs — only for small corpora; at scale use
-    ``minhash_lsh_pairs`` (same verification, LSH candidate generation)."""
+    """Exact n-gram Jaccard similarity for pairs within blocking groups
+    (deterministic, oracle-checkable).
+
+    Sparse formulation: explode shingles, equi-join on (block, shingle)
+    so only pairs SHARING a shingle are ever materialized, count shared
+    shingles per pair, then jaccard = |∩| / (|A| + |B| - |∩|). Cost is
+    Σ_shingle (docs-per-shingle)² instead of |block|² full set ops —
+    the standard inverted-index trick; ~10x faster on the fixture corpus
+    and the gap widens with block size. Pairs sharing nothing have
+    jaccard 0 and are (correctly) absent for any threshold > 0.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (pairs with no shared "
+                         "shingle are never materialized)")
+    blocks = list(block_cols)
     base = df.select(
         F.col(id_col).alias("__id"),
-        *[F.col(c) for c in block_cols],
+        *[F.col(c) for c in blocks],
         shingles(text_col, shingle_size).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    ex = base.select(
+        *blocks, "__id", "__n", F.explode("__sh").alias("__s")
     )
-    a = base.select(
-        *[F.col(c) for c in block_cols],
-        F.col("__id").alias("id_a"),
-        F.col("__sh").alias("sh_a"),
+    # bucket per (block, shingle) then emit pairs — a self-join would
+    # evaluate the (interpreted, HOF-heavy) shingle expression twice and
+    # shuffle both sides; this evaluates once and shuffles once.
+    members = F.collect_list(F.struct("__id", "__n")).alias("ms")
+    shared = (
+        ex.groupBy(*blocks, "__s")
+        .agg(members)
+        .filter(F.size("ms") > 1)
+        .select(
+            *blocks,
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ms"),
+                            lambda a: F.transform(
+                                F.col("ms"),
+                                lambda b: F.struct(
+                                    a["__id"].alias("id_a"),
+                                    b["__id"].alias("id_b"),
+                                    a["__n"].alias("__na"),
+                                    b["__n"].alias("__nb"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p"),
+        )
+        .select(*blocks, "p.*")
+        .groupBy("id_a", "id_b", *blocks, "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    b = base.select(
-        *[F.col(c) for c in block_cols],
-        F.col("__id").alias("id_b"),
-        F.col("__sh").alias("sh_b"),
-    )
-    joined = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", *block_cols, "jaccard")
+        .select("id_a", "id_b", *blocks, "jaccard")
     )

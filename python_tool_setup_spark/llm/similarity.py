@@ -60,16 +60,26 @@ def cosine_topk(
     engines/runs. Returns (query_id, neighbor_id, cosine, rank)."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("__qid") != F.col("__cid"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), round_digits),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
@@ -104,6 +114,32 @@ def lsh_bucket_signature(
     return _sig(F.col(vec_col))
 
 
+def lsh_multitable_signatures(
+    vec_col: str, dim: int, num_planes: int, num_tables: int, seed: int = 42
+):
+    """Bucket ids for ALL hash tables in one Arrow pass (array<long>,
+    one entry per table) — one matmul against the stacked plane tensor
+    instead of num_tables separate UDF invocations."""
+    rngs = [np.random.default_rng(seed + t) for t in range(num_tables)]
+    planes = np.concatenate(
+        [r.standard_normal((dim, num_planes)) for r in rngs], axis=1
+    )  # dim x (tables*planes)
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        bits = (mat @ planes) > 0  # n x (tables*planes)
+        out = [
+            (bits[:, t * num_planes : (t + 1) * num_planes] @ powers)
+            for t in range(num_tables)
+        ]
+        stacked = np.stack(out, axis=1)  # n x tables
+        return pd.Series(list(stacked))
+
+    return _sigs(F.col(vec_col))
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -117,25 +153,45 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent hyperplane tables;
     a corpus vector is a candidate if it shares a bucket with the query
-    in ANY table (union of equi-joins — one shuffle per table, never a
-    cross product). Exact cosine + top-k window over candidates only."""
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
-    cand = None
-    for t in range(num_tables):
-        qt = q.withColumn(
-            "__bucket", lsh_bucket_signature("__qvec", dim, num_planes, seed=42 + t)
+    in ANY table. All table signatures come from ONE Arrow matmul pass
+    per side; (table, bucket) is exploded so the candidate join is a
+    single equi-join on (table, bucket) — one shuffle total, never a
+    cross product. Exact cosine + top-k window over candidates only."""
+
+    def _tagged(df, id_name, vec_name, norm_name):
+        sigs = lsh_multitable_signatures(vec_name, dim, num_planes, num_tables)
+        return (
+            df.withColumn("__sigs", sigs)
+            .select(
+                id_name,
+                vec_name,
+                norm_name,
+                F.posexplode("__sigs").alias("__table", "__bucket"),
+            )
         )
-        ct = c.withColumn(
-            "__bucket", lsh_bucket_signature("__cvec", dim, num_planes, seed=42 + t)
-        )
-        pairs = qt.join(ct, "__bucket").drop("__bucket")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.filter(F.col("__qid") != F.col("__cid")).dropDuplicates(
-        ["__qid", "__cid"]
+
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    qt = _tagged(q, "__qid", "__qvec", "__qnorm")
+    ct = _tagged(c, "__cid", "__cvec", "__cnorm")
+    cand = (
+        qt.join(ct, ["__table", "__bucket"])
+        .drop("__table", "__bucket")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .dropDuplicates(["__qid", "__cid"])
     )
     scored = cand.withColumn(
-        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (
@@ -165,7 +221,11 @@ def ivf_index(
 
     feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     model = KMeans(
-        k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell"
+        k=num_cells,
+        seed=seed,
+        maxIter=10,  # coarse quantizer: rough cells are fine
+        featuresCol="__features",
+        predictionCol="__cell",
     ).fit(feat)
     assigned = model.transform(feat).drop("__features")
     return assigned, model
@@ -240,18 +300,28 @@ def embedding_neardup_pairs(
     """Pairs with cosine >= threshold. With ``block_cols`` the join is
     exact within blocks (oracle-checkable); otherwise LSH buckets prune
     candidates (near-exact for high thresholds: similar vectors share
-    sign bits with high probability)."""
+    sign bits with high probability).
+
+    Norms are computed ONCE per row before the pairwise join (computing
+    them per pair tripled the dominant cost)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
         *[F.col(c) for c in block_cols],
     )
     if block_cols:
         a = base.select(
-            *block_cols, F.col("__id").alias("id_a"), F.col("__vec").alias("va")
+            *block_cols,
+            F.col("__id").alias("id_a"),
+            F.col("__vec").alias("va"),
+            F.col("__norm").alias("na"),
         )
         b = base.select(
-            *block_cols, F.col("__id").alias("id_b"), F.col("__vec").alias("vb")
+            *block_cols,
+            F.col("__id").alias("id_b"),
+            F.col("__vec").alias("vb"),
+            F.col("__norm").alias("nb"),
         )
         joined = a.join(b, list(block_cols))
     else:
@@ -259,15 +329,26 @@ def embedding_neardup_pairs(
             "__bucket", lsh_bucket_signature("__vec", dim, num_planes)
         )
         a = sig.select(
-            "__bucket", F.col("__id").alias("id_a"), F.col("__vec").alias("va")
+            "__bucket",
+            F.col("__id").alias("id_a"),
+            F.col("__vec").alias("va"),
+            F.col("__norm").alias("na"),
         )
         b = sig.select(
-            "__bucket", F.col("__id").alias("id_b"), F.col("__vec").alias("vb")
+            "__bucket",
+            F.col("__id").alias("id_b"),
+            F.col("__vec").alias("vb"),
+            F.col("__norm").alias("nb"),
         )
         joined = a.join(b, "__bucket")
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", *block_cols, "cosine")
     )

@@ -1,0 +1,42 @@
+"""Print physical-plan evidence (pushdown / broadcast / shuffle counts)
+for the headline queries. Usage: python tools/explain_audit.py [sf_dir]."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from python_tool_setup_spark.queries import all_queries
+from python_tool_setup_spark.session import get_spark
+
+CHECKS = [
+    ("q01_pricing_summary", ["PushedFilters", "HashAggregate"]),
+    ("q03_filter_predicates", ["PushedFilters", "ReadSchema"]),
+    ("q04_join_star", ["BroadcastHashJoin", "Exchange"]),
+    ("q14_sort_topk", ["TakeOrderedAndProject"]),
+    ("q22_asof_join", ["Exchange", "Window"]),
+    ("q37_cosine_topk", ["BroadcastNestedLoopJoin"]),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("explain-audit", master="local[8]")
+    qs = all_queries()
+    for name, keys in CHECKS:
+        plan = qs[name].spark_fn(spark, sf_dir)._jdf.queryExecution()
+        text = plan.executedPlan().toString()
+        print(f"\n=== {name} ===")
+        for key in keys:
+            n = text.count(key)
+            line = next((ln.strip() for ln in text.splitlines() if key in ln), "")
+            print(f"  {key}: x{n}  {line[:120]}")
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", text)
+        if pushed:
+            print(f"  pushed: {pushed.group(1)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
