@@ -45,6 +45,8 @@ def all_queries() -> dict[str, Query]:
         llm,
         streaming,
         ingestion,
+        extras,
+        udfs,
     )
 
     return dict(_REGISTRY)

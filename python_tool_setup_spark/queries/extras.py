@@ -1,0 +1,273 @@
+"""Extended relational surface: pivot/unpivot, exact percentiles,
+correlated subqueries, sliding + session event-time windows (batch
+shapes of T4), completing the SURVEY.md §2.2/§2.3 inventory.
+
+All oracles follow the conventions in queries/relational.py (identical
+aliases + rounding on both sides, timestamps formatted to strings).
+
+Scale notes (100 TB design):
+- pivot with an explicit value list is a single hash aggregation — no
+  second pass to discover distinct values;
+- percentiles use Spark's exact ``percentile`` (sort-based partial
+  aggregation per group); for ungrouped telemetry at extreme scale the
+  approx variant (q-digest) is the right tool, but grouped exact
+  percentiles parallelize per key and oracle-check exactly;
+- correlated subqueries decorrelate in Catalyst to joins (EXISTS →
+  left-semi, NOT EXISTS → left-anti, scalar → aggregate + equi-join),
+  so they scale like the joins they become — verified via explain in
+  tools/explain_audit.py;
+- sliding windows expand each row to window/slide buckets (here 2) —
+  cost is a constant small multiple of the input, then one shuffle;
+- session windows are Spark-native ``session_window`` (merge-sort per
+  key inside one shuffle), not a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+STRF = "%Y-%m-%d %H:%M:%S"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q45_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+               AS avg_open,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+               AS avg_filled,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+               AS avg_pending,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot with explicit value list (one hash-agg pass, no distinct-"
+    "value discovery scan); oracle is the conditional-aggregation rewrite.",
+)
+def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("O_avg_price").alias("avg_open"),
+        F.col("F_avg_price").alias("avg_filled"),
+        F.col("P_avg_price").alias("avg_pending"),
+        (
+            F.coalesce("O_n", F.lit(0))
+            + F.coalesce("F_n", F.lit(0))
+            + F.coalesce("P_n", F.lit(0))
+        ).alias("n_orders"),
+    )
+
+
+@register(
+    "q46_unpivot",
+    """
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    doc="Unpivot (wide→long melt); narrow output schema keeps downstream "
+    "shuffles proportional to measures actually kept.",
+)
+def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q47_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact grouped percentiles (continuous interpolation — Spark "
+    "percentile == DuckDB quantile_cont); parallel per group key.",
+)
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # one percentile aggregate with an array of percentages — a single
+    # per-group value buffer instead of three
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("median_price"),
+            F.round(F.col("__p")[1], 4).alias("p25_price"),
+            F.round(F.col("__p")[2], 4).alias("p95_price"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+          )
+"""
+
+
+@register(
+    "q48_exists_subquery",
+    _EXISTS_SQL,
+    doc="Correlated EXISTS / NOT EXISTS — Catalyst decorrelates to "
+    "left-semi + left-anti joins (no per-row re-execution at scale).",
+)
+def q48_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.5 * (
+        SELECT AVG(p2.p_retailprice) FROM part p2
+        WHERE p2.p_brand = p.p_brand
+    )
+"""
+
+
+@register(
+    "q49_scalar_subquery",
+    _SCALAR_SUBQ_SQL,
+    doc="Correlated scalar subquery — decorrelates to per-brand aggregate "
+    "+ equi-join (one shuffle on the correlation key).",
+)
+def q49_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@register(
+    "q50_window_sliding",
+    f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '3 hours', ts) AS ws, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours',
+               event_type, value
+        FROM events
+    )
+    SELECT STRFTIME(ws, '{STRF}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 3) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="Sliding event-time window (6h window, 3h slide): each row lands "
+    "in window/slide = 2 buckets, then one shuffle; oracle is the "
+    "union-of-shifted-tumblings rewrite.",
+)
+def q50_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q51_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '{STRF}') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL '30 minutes', '{STRF}') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 3) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (30 min gap) per user via Spark-native "
+    "session_window — per-key session merge inside ONE shuffle; oracle "
+    "is the gaps-and-islands rewrite (new session when gap >= 30 min, "
+    "matching Spark's exclusive window end).",
+)
+def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            F.date_format("w.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -52,6 +52,124 @@ def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_csv_source",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="CSV source format (S13): stage orders as headered CSV, ingest "
+    "through the pipeline with schema inference, aggregate the readback. "
+    "Inference is a convenience for exploration — production configs pass "
+    "an explicit DDL schema (cfg.schema) to avoid the extra scan + drift.",
+)
+def q58_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="csv_src_")
+    target = tempfile.mkdtemp(prefix="csv_tgt_")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").option("header", "true").csv(src)
+    cfg = IngestionConfig(
+        source_path=src,
+        source_format="csv",
+        source_options={"header": "true"},
+        infer_schema=True,
+        target_path=target,
+        write_mode="overwrite",
+    )
+    make_ingestion(spark, cfg).run()
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q59_json_source",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="JSON source format (S13): stage documents as JSON lines, ingest "
+    "with an explicit DDL schema (no inference scan), aggregate readback.",
+)
+def q59_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="json_src_")
+    target = tempfile.mkdtemp(prefix="json_tgt_")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").json(src)
+    cfg = IngestionConfig(
+        source_path=src,
+        source_format="json",
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        target_path=target,
+        write_mode="overwrite",
+    )
+    make_ingestion(spark, cfg).run()
+    return (
+        spark.read.parquet(target)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q60_schema_evolution",
+    """
+    WITH unioned AS (
+        SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(c_acctbal) AS n_with_balance,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM unioned
+    """,
+    doc="Batch schema evolution (T2 batch shape): append a batch with an "
+    "extra column to an existing parquet target, read back with "
+    "mergeSchema — old rows surface NULL for the new column. At scale "
+    "this is metadata-only: no rewrite of existing files.",
+)
+def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="evolve_tgt_")
+    cust = load_table(spark, sf_dir, "customer")
+    for pred, cols in [
+        (F.col("c_custkey") % 2 == 0, ["c_custkey", "c_name"]),
+        (F.col("c_custkey") % 2 == 1, ["c_custkey", "c_name", "c_acctbal"]),
+    ]:
+        src = tempfile.mkdtemp(prefix="evolve_src_")
+        cust.filter(pred).select(*cols).write.mode("overwrite").parquet(src)
+        make_ingestion(
+            spark,
+            IngestionConfig(
+                source_path=src,
+                source_format="parquet",
+                infer_schema=False,
+                target_path=target,
+                write_mode="append",
+            ),
+        ).run()
+    back = spark.read.option("mergeSchema", "true").parquet(target)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_with_balance"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+@register(
     "q30_ingest_merge_pipeline",
     """
     WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -8,6 +8,8 @@ the streaming pipeline's output exactly like any batch query.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -86,6 +88,155 @@ def q27_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     return _drain(agg, "complete")
+
+
+@register(
+    "q52_stream_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="REAL streaming session windows (T4): session_window over the "
+    "event replay, complete-mode drain; oracle is the gaps-and-islands "
+    "rewrite. At scale the watermark bounds per-key session state.",
+)
+def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.streaming import session_window_agg
+
+    stream, _ = _events_stream(spark, sf_dir)
+    agg = session_window_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        group_cols=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+        watermark="1 hour",
+    ).select(
+        "user_id",
+        F.date_format("window.start", TS_FMT).alias("session_start"),
+        "n_events",
+    )
+    return _drain(agg, "complete")
+
+
+@register(
+    "q53_stream_late_data",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS v FROM events),
+         cutoff AS (SELECT MAX(ts) - INTERVAL '24 hours' AS v FROM events),
+         kept AS (
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, value
+            FROM events
+            WHERE event_id % 2 = 0 OR ts >= (SELECT v FROM cutoff)
+         )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 3) AS sum_value
+    FROM kept
+    WHERE ws + INTERVAL '6 hours' <= (SELECT v FROM wm)
+    GROUP BY ws
+    """,
+    doc="Late-data drop under a watermark (T4): three-file replay with "
+    "maxFilesPerTrigger=1 — even event_ids, then last-day odd rows "
+    "(advancing the watermark to max(ts)-1h), then the remaining OLD odd "
+    "rows, which arrive beyond the watermark and are DROPPED (Spark "
+    "filters late events with the PREVIOUS batch's watermark — "
+    "watermarkForLateEvents — hence the priming middle batch). Append "
+    "emits windows closed by the final watermark; the oracle states "
+    "exactly that: even + last-day rows, in windows ending <= max(ts)-1h.",
+)
+def q53_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = tempfile.mkdtemp(prefix="late_stream_")
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 24 HOURS")
+    odd = F.col("event_id") % 2 != 0
+    parts = [
+        events.filter(~odd),                           # batch 0: on time
+        events.filter(odd & (F.col("ts") >= cutoff)),  # batch 1: advances wm
+        events.filter(odd & (F.col("ts") < cutoff)),   # batch 2: too late
+    ]
+    for i, sub_df in enumerate(parts):
+        sub = tempfile.mkdtemp(prefix=f"late_part{i}_")
+        sub_df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(sub, part), dst)
+        # deterministic arrival order for the file-stream source
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "append")
+
+
+@register(
+    "q54_stream_stateful",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+    doc="Custom stateful streaming operator (T5): applyInPandasWithState "
+    "running-count per user over a single-batch replay; state is one "
+    "counter per key (bounded by key cardinality, Arrow-batched).",
+)
+def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    staged = tempfile.mkdtemp(prefix="stateful_stream_")
+    events = load_table(spark, sf_dir, "events")
+    # one file -> one micro-batch -> the per-batch emission IS the final
+    # per-key count, so the batch oracle matches exactly
+    events.select("user_id").coalesce(1).write.mode("overwrite").parquet(staged)
+
+    def count_per_user(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = spark.readStream.schema("user_id long").parquet(staged)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        count_per_user,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, "update")
 
 
 @register(
