@@ -302,53 +302,46 @@ def embedding_neardup_pairs(
     candidates (near-exact for high thresholds: similar vectors share
     sign bits with high probability).
 
-    Norms are computed ONCE per row before the pairwise join (computing
-    them per pair tripled the dominant cost)."""
+    The pairwise scoring runs as ONE BLAS matmul per block/bucket
+    (grouped applyInPandas, Arrow-batched): a JVM join producing
+    |block|² rows with an interpreted per-pair array fold was ~10x
+    slower at 10k vectors. One shuffle on the block key; a block must
+    fit one task's memory (|block| x dim doubles + |block|² scores) —
+    for larger blocks, subdivide via additional block cols or use the
+    LSH path."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
-        l2_norm(F.col(vec_col)).alias("__norm"),
         *[F.col(c) for c in block_cols],
     )
     if block_cols:
-        a = base.select(
-            *block_cols,
-            F.col("__id").alias("id_a"),
-            F.col("__vec").alias("va"),
-            F.col("__norm").alias("na"),
-        )
-        b = base.select(
-            *block_cols,
-            F.col("__id").alias("id_b"),
-            F.col("__vec").alias("vb"),
-            F.col("__norm").alias("nb"),
-        )
-        joined = a.join(b, list(block_cols))
+        keys = list(block_cols)
     else:
-        sig = base.withColumn(
+        base = base.withColumn(
             "__bucket", lsh_bucket_signature("__vec", dim, num_planes)
         )
-        a = sig.select(
-            "__bucket",
-            F.col("__id").alias("id_a"),
-            F.col("__vec").alias("va"),
-            F.col("__norm").alias("na"),
-        )
-        b = sig.select(
-            "__bucket",
-            F.col("__id").alias("id_b"),
-            F.col("__vec").alias("vb"),
-            F.col("__norm").alias("nb"),
-        )
-        joined = a.join(b, "__bucket")
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", *block_cols, "cosine")
-    )
+        keys = ["__bucket"]
+
+    out_fields = ["id_a bigint", "id_b bigint"]
+    for c in block_cols:
+        out_fields.append(f"{c} {base.schema[c].dataType.simpleString()}")
+    out_fields.append("cosine double")
+    schema = ", ".join(out_fields)
+
+    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        mat = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = np.round(sims[ia, ib], 6)
+        keep = cos >= threshold
+        out = {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
+        for c, v in zip(block_cols, key):
+            out[c] = v
+        out["cosine"] = cos[keep]
+        return pd.DataFrame(out, columns=["id_a", "id_b", *block_cols, "cosine"])
+
+    return base.groupBy(*keys).applyInPandas(pairs, schema)

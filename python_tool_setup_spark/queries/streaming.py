@@ -23,16 +23,23 @@ from python_tool_setup_spark.tables import load_table
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+_STAGED_EVENTS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """Replay the events table through a real file-stream source.
 
     The fixture parquet stores TIMESTAMP(NANOS) (unreadable by Spark's
     scan), so stage it once through a batch rewrite to micros, then
-    stream from the staged dir.
+    stream from the staged dir. The staged copy is cached per sf_dir —
+    every streaming query replays the same immutable input.
     """
-    staged = tempfile.mkdtemp(prefix="events_stream_")
     events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").parquet(staged)
+    staged = _STAGED_EVENTS.get(sf_dir)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        events.write.mode("overwrite").parquet(staged)
+        _STAGED_EVENTS[sf_dir] = staged
     return (
         spark.readStream.schema(events.schema).parquet(staged),
         events,
