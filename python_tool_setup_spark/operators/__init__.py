@@ -13,6 +13,11 @@ from python_tool_setup_spark.operators.relational import (
 )
 from python_tool_setup_spark.operators.asof import asof_join, range_join
 from python_tool_setup_spark.operators.merge import merge_upsert
+from python_tool_setup_spark.operators.skew import (
+    salted_join,
+    create_bucketed_table,
+    bucketed_join,
+)
 
 __all__ = [
     "dedup_by_keys",
@@ -22,4 +27,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "merge_upsert",
+    "salted_join",
+    "create_bucketed_table",
+    "bucketed_join",
 ]

@@ -1,0 +1,95 @@
+"""Skew-resistant and co-located join strategies.
+
+At 100 TB, two join failure modes dominate:
+
+- **skew**: one hot key (a crawler's user_id, the empty-string bucket)
+  lands an entire shuffle partition on one executor. AQE's skew-join
+  splitting (on by default in our session) handles moderate skew;
+  ``salted_join`` is the explicit fix when one side is both huge and
+  pathologically concentrated.
+- **repeated shuffles**: joining the same fact table on the same key
+  daily re-shuffles 100 TB every run. ``create_bucketed_table`` +
+  ``bucketed_join`` pre-shuffles ONCE at write time; subsequent joins
+  on the bucket key are exchange-free sort-merge joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over
+    ``salt_buckets`` shuffle partitions.
+
+    The big side gets a uniform random salt per ROW (never key-derived —
+    that would re-concentrate the hot key); the small side is exploded
+    ``salt_buckets``-fold so every (key, salt) combination exists. The
+    join result is identical to ``big.join(small, on, how)``; only the
+    shuffle distribution changes. Cost: small side × salt_buckets —
+    use for big⋈small only; for big⋈big prefer AQE skew splitting.
+    """
+    keys = list(on)
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_big.join(salted_small, [*keys, "__salt"], how).drop("__salt")
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    location: str | None = None,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on
+    ``bucket_cols`` — the write-time shuffle that later joins reuse.
+
+    Spark's bucketing metadata lives in the session catalog, so readers
+    must go through ``spark.table``; the files themselves are plain
+    parquet with hash-assigned file membership.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .mode("overwrite")
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on the join key: the MERGE hint forces
+    sort-merge so neither side exchanges (bucket layout satisfies the
+    distribution requirement). Verify with .explain(): no Exchange
+    above either scan."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, list(on), how)

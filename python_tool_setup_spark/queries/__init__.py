@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
         ingestion,
         extras,
         udfs,
+        maintenance,
     )
 
     return dict(_REGISTRY)

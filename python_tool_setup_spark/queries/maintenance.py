@@ -1,0 +1,159 @@
+"""Layout-maintenance and join-strategy queries (SURVEY.md §2.4 M2/M3
++ the skew/bucketing scale paths).
+
+Each runs the REAL maintenance/strategy operator against temp targets
+and returns a relation whose contents must be IDENTICAL to computing
+directly over the source — proving the physical rewrite (compaction,
+clustering, salting, bucketing) never changes query results.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.ingestion.maintenance import optimize_layout
+from python_tool_setup_spark.operators.skew import (
+    bucketed_join,
+    create_bucketed_table,
+    salted_join,
+)
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+@register(
+    "q61_compaction",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="OPTIMIZE-equivalent compaction (M2): fragment lineitem into "
+    "64 small files, compact via staged rewrite + atomic rename, "
+    "aggregate the readback — identical to aggregating the source.",
+)
+def q61_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="compact_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(target)
+    optimize_layout(spark, path=target)
+    return (
+        spark.read.parquet(target)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q62_zorder_cluster",
+    """
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    WHERE o_custkey BETWEEN 1000 AND 2000
+    """,
+    doc="Z-order-style clustering (M3): repartitionByRange + "
+    "sortWithinPartitions on o_custkey, then a range predicate on the "
+    "clustered readback — row-group min/max stats give the data-"
+    "skipping effect; results identical to the unclustered source.",
+)
+def q62_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="zorder_")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(target)
+    optimize_layout(spark, path=target, zorder_by=["o_custkey"])
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("o_custkey").between(1000, 2000))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+@register(
+    "q63_salted_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-resistant salted join: big side salted per row, small "
+    "side exploded per salt — result identical to the plain equi-join, "
+    "but a hot key spreads over salt_buckets shuffle partitions.",
+)
+def q63_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    joined = salted_join(orders, cust, ["custkey"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q64_bucketed_join",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice * (1 - l_discount)), 2) AS net
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Exchange-free co-located join: orders and lineitem bucketed "
+    "16-way on the join key at write time; the sort-merge join then "
+    "shuffles NEITHER side (asserted in tests via plan inspection). "
+    "This is the write-once/join-many pattern for 100 TB fact tables.",
+)
+def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = uuid.uuid4().hex[:8]
+    lt, rt = f"orders_b_{run}", f"lineitem_b_{run}"
+    create_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        lt,
+        ["o_orderkey"],
+        16,
+        location=tempfile.mkdtemp(prefix="bkt_o_"),
+        sort_cols=["o_orderkey"],
+    )
+    create_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_discount"
+        ),
+        rt,
+        ["o_orderkey"],
+        16,
+        location=tempfile.mkdtemp(prefix="bkt_l_"),
+        sort_cols=["o_orderkey"],
+    )
+    joined = bucketed_join(spark, lt, rt, ["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice") * (1 - F.col("l_discount"))), 2).alias(
+            "net"
+        ),
+    )
