@@ -72,8 +72,15 @@ class IngestionConfig:
             raise IngestionError("write_mode='merge' requires merge_keys")
         if self.ingest_mode == "stream" and not self.checkpoint_path:
             raise IngestionError("ingest_mode='stream' requires checkpoint_path")
-        if self.ingest_mode == "stream" and self.write_mode == "merge":
-            raise IngestionError("streaming merge is not supported; use append")
+        if (
+            self.ingest_mode == "stream"
+            and self.write_mode == "merge"
+            and not self.target_path
+        ):
+            raise IngestionError(
+                "streaming merge needs a target_path (foreachBatch upsert "
+                "into a path-backed table)"
+            )
         if self.write_mode not in ("append", "overwrite", "merge"):
             raise IngestionError(f"unknown write_mode {self.write_mode!r}")
         if self.ingest_mode not in ("batch", "stream"):

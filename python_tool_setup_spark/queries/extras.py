@@ -187,6 +187,50 @@ def q49_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q67_sketch_bounds",
+    """
+    SELECT l_returnflag,
+           CAST(NULL AS BIGINT) AS approx_distinct,
+           CAST(NULL AS BIGINT) AS exact_distinct,
+           CAST(NULL AS DOUBLE) AS approx_p50,
+           CAST(NULL AS DOUBLE) AS exact_p50
+    FROM lineitem WHERE FALSE
+    """,
+    doc="Sketch accuracy gate: HLL approx_count_distinct (rsd 2%) and "
+    "t-digest percentile_approx vs their exact counterparts per group; "
+    "emits VIOLATING groups (>5% relative error) — the oracle asserts "
+    "the result is EMPTY. Sketches are the 100 TB path (mergeable, "
+    "bounded memory); this query pins their error envelope.",
+)
+def q67_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # two aggregation passes joined on the (tiny) group key: mixing
+    # COUNT(DISTINCT) — which Expands input 2x — with value-buffering
+    # exact percentile in ONE aggregate buffered the expanded rows too
+    # and was ~7x slower
+    pcts = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+    )
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    stats = pcts.join(F.broadcast(exact), "l_returnflag")
+    bad_distinct = (
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        > 0.05 * F.col("exact_distinct")
+    )
+    bad_p50 = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50")) > 0.05 * F.col("exact_p50")
+    )
+    return stats.filter(bad_distinct | bad_p50)
+
+
+@register(
     "q50_window_sliding",
     f"""
     WITH expanded AS (

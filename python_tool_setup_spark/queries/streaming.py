@@ -247,6 +247,110 @@ def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q65_stream_merge",
+    """
+    WITH b1 AS (SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price
+                FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 3 != 0
+    UNION ALL
+    SELECT o_orderkey, price FROM b1
+    """,
+    doc="Streaming upsert (S5 x T1): two-file replay through the "
+    "autoloader in merge mode — each micro-batch foreachBatch-merges "
+    "into the path target (staged rewrite, idempotent on replay); "
+    "batch 2's updated rows overwrite batch 1's by key.",
+)
+def q65_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.config import IngestionConfig
+    from python_tool_setup_spark.ingestion import make_ingestion
+
+    staged = tempfile.mkdtemp(prefix="smerge_src_")
+    target = tempfile.mkdtemp(prefix="smerge_tgt_") + "/t"
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 1000, 2).alias("price")
+    )
+    for i, sub_df in enumerate([base, updates]):
+        sub = tempfile.mkdtemp(prefix=f"smerge_b{i}_")
+        sub_df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    cfg = IngestionConfig(
+        source_path=staged,
+        source_format="parquet",
+        source_options={"maxFilesPerTrigger": "1"},
+        schema="o_orderkey bigint, price double",
+        target_path=target,
+        write_mode="merge",
+        ingest_mode="stream",
+        merge_keys=["o_orderkey"],
+        checkpoint_path=tempfile.mkdtemp(prefix="smerge_ckpt_"),
+    )
+    make_ingestion(spark, cfg).run()
+    return spark.read.parquet(target)
+
+
+@register(
+    "q66_stream_stream_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    doc="Stream-stream inner join: views joined to purchases by the "
+    "same user within 30 minutes, both sides watermarked so join state "
+    "is evicted past the horizon; single-batch drain makes the full "
+    "pair set deterministic and equal to the batch SQL join.",
+)
+def q66_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, _ = _events_stream(spark, sf_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("p_ts", TS_FMT).alias("purchase_ts"),
+    )
+    return _drain(joined, "append")
+
+
+@register(
     "q28_stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
     doc="REAL streaming dedup (T5): dropDuplicatesWithinWatermark over the "

@@ -75,8 +75,40 @@ def load_or_evolve_schema(spark: SparkSession, cfg: IngestionConfig) -> StructTy
     return merged
 
 
+def _merge_microbatch(cfg: IngestionConfig):
+    """foreachBatch body for streaming upsert: each micro-batch merges
+    into the path-backed target via the staged-rewrite merge_upsert.
+
+    foreachBatch is at-least-once; replaying the SAME micro-batch
+    through merge_upsert is a fixpoint (matched rows are replaced with
+    identical values), so the sink is effectively idempotent as long as
+    merge keys are unique per batch (enforce with cfg.dedup_order)."""
+    from python_tool_setup_spark.operators.merge import merge_upsert
+    from python_tool_setup_spark.operators.relational import dedup_by_keys
+    from python_tool_setup_spark.sources.fs import replace_dir
+
+    def apply(batch_df, batch_id: int) -> None:
+        import uuid
+
+        spark = batch_df.sparkSession
+        tgt = cfg.target_path
+        if cfg.dedup_order:
+            batch_df = dedup_by_keys(batch_df, cfg.merge_keys, cfg.dedup_order)
+        if path_exists(spark, tgt):
+            target = spark.read.format(cfg.target_format).load(tgt)
+            merged = merge_upsert(target, batch_df, cfg.merge_keys)
+        else:
+            merged = batch_df
+        staging = f"{tgt.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
+        merged.write.format(cfg.target_format).mode("overwrite").save(staging)
+        replace_dir(spark, staging, tgt)
+
+    return apply
+
+
 def run_autoloader(spark: SparkSession, cfg: IngestionConfig) -> None:
-    """One drain-everything-available streaming run (T1-T3)."""
+    """One drain-everything-available streaming run (T1-T3; merge mode
+    runs the upsert per micro-batch via foreachBatch)."""
     schema = load_or_evolve_schema(spark, cfg)
     reader = (
         spark.readStream.format(cfg.source_format)
@@ -86,6 +118,17 @@ def run_autoloader(spark: SparkSession, cfg: IngestionConfig) -> None:
     if cfg.source_format == "csv":
         reader = reader.option("header", "true")
     stream = reader.load(cfg.source_path)
+
+    if cfg.write_mode == "merge":
+        query = (
+            stream.writeStream.foreachBatch(_merge_microbatch(cfg))
+            .outputMode("append")
+            .option("checkpointLocation", cfg.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return
 
     writer = (
         stream.writeStream.format(cfg.target_format)

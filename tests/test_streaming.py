@@ -240,3 +240,54 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r["k"] for r in spark.table("dedup_out").collect()) == [1, 2]
+
+
+# -------------------------------------------- streaming merge (S5 x T1) ----
+def test_streaming_merge_upserts_and_resumes(spark, tmp_path):
+    src = str(tmp_path / "m_in")
+    target = str(tmp_path / "m_out")
+    ckpt = str(tmp_path / "m_ckpt")
+    write_json(f"{src}/f1.json", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    cfg = _stream_cfg(
+        src,
+        target,
+        ckpt,
+        write_mode="merge",
+        merge_keys=["k"],
+        schema="k long, v string",
+    )
+    make_ingestion(spark, cfg).run()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # second file: update k=2, insert k=3
+    write_json(f"{src}/f2.json", [{"k": 2, "v": "B"}, {"k": 3, "v": "C"}])
+    make_ingestion(spark, cfg).run()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+    # resume with no new files: checkpoint prevents re-application
+    make_ingestion(spark, cfg).run()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_streaming_merge_dedups_within_batch(spark, tmp_path):
+    src = str(tmp_path / "md_in")
+    target = str(tmp_path / "md_out")
+    write_json(
+        f"{src}/f1.json",
+        [{"k": 1, "v": "old", "seq": 1}, {"k": 1, "v": "new", "seq": 2}],
+    )
+    cfg = _stream_cfg(
+        src,
+        target,
+        str(tmp_path / "md_ckpt"),
+        write_mode="merge",
+        merge_keys=["k"],
+        dedup_order=[F.col("seq").desc()],
+        schema="k long, v string, seq long",
+    )
+    make_ingestion(spark, cfg).run()
+    got = [(r["k"], r["v"]) for r in spark.read.parquet(target).collect()]
+    assert got == [(1, "new")]
