@@ -362,3 +362,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", *blocks, "jaccard")
     )
+
+
+# --------------------------------------------- cluster resolution (L2) ----
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: every id gets the minimum
+    id reachable through the pair graph (`cluster_id`), so "keep one
+    per cluster" is a single dropDuplicates downstream.
+
+    Iterative min-label propagation (large-star/small-star style):
+    each round joins current labels through the edge list and keeps the
+    per-node minimum; converges in O(log(diameter)) rounds for dup
+    graphs (near-clique components -> typically 2-3 rounds). Each round
+    is one shuffle on node id; `localCheckpoint` truncates the plan so
+    lineage doesn't grow per iteration. The driver sees only a
+    converged-yet count per round, never row data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "cluster_id")
+        )
+        new = (
+            labels.select("node", "cluster_id").union(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, Query]:
         extras,
         udfs,
         maintenance,
+        pipeline,
     )
 
     return dict(_REGISTRY)

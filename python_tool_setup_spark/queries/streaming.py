@@ -49,16 +49,26 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # Stateful ops allocate one state store PER shuffle partition (a
+    # stream-stream join allocates four); at this input size 32
+    # partitions is pure overhead. Each run gets a fresh checkpoint, so
+    # re-binding the state partition count is safe.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(
