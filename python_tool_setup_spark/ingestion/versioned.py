@@ -1,0 +1,152 @@
+"""Versioned tables: time travel + change-data-feed emulation over
+plain Parquet.
+
+Delta-parity features the reference's table properties imply
+(`delta.enableChangeDataFeed`, reference framework.py:345) but that
+plain Spark lacks. Layout:
+
+    <table>/
+      _versions.json          # manifest: ordered list of version ids
+      v=0/  v=1/  ...         # immutable Parquet snapshot dirs
+
+- **Writes are copy-on-write and atomic**: a new snapshot dir is fully
+  written, then the manifest is swapped — readers of version N never
+  see a partial write (same staged-rewrite discipline as merge/
+  compaction).
+- **Time travel** = read the snapshot dir for version N; zero extra
+  cost over a plain read.
+- **Change feed** between versions = a full-outer join of the two
+  snapshots on the table key, emitting Delta-CDF-shaped rows
+  (`_change_type` in insert / delete / update_preimage /
+  update_postimage). One shuffle per side; at 100 TB both sides are
+  partition-pruned to the key ranges that could differ if the table is
+  written partitioned.
+
+Version dirs are immutable once the manifest references them, so the
+change feed between any two historical versions is reproducible
+forever (until versions are vacuumed).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.sources.fs import (
+    delete_path,
+    get_object,
+    path_exists,
+    put_object,
+)
+
+
+def _manifest_path(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/_versions.json"
+
+
+def list_versions(spark: SparkSession, table_path: str) -> list[int]:
+    mp = _manifest_path(table_path)
+    if not path_exists(spark, mp):
+        return []
+    return json.loads(get_object(spark, mp).decode("utf-8"))["versions"]
+
+
+def _version_dir(table_path: str, version: int) -> str:
+    return f"{table_path.rstrip('/')}/v={version}"
+
+
+def write_version(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    fmt: str = "parquet",
+) -> int:
+    """Write `df` as the next version of the table; returns the new
+    version id. Snapshot first, manifest swap last (atomic commit)."""
+    versions = list_versions(spark, table_path)
+    new_v = (versions[-1] + 1) if versions else 0
+    df.write.format(fmt).mode("overwrite").save(_version_dir(table_path, new_v))
+    put_object(
+        spark,
+        _manifest_path(table_path),
+        json.dumps({"versions": versions + [new_v]}),
+    )
+    return new_v
+
+
+def read_version(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Time travel: read snapshot `version` (default: latest)."""
+    versions = list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"no versions at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return spark.read.format(fmt).load(_version_dir(table_path, version))
+
+
+def vacuum_versions(spark: SparkSession, table_path: str, keep: int) -> list[int]:
+    """Drop all but the last `keep` versions; returns what remains."""
+    versions = list_versions(spark, table_path)
+    kept, dropped = versions[-keep:], versions[:-keep]
+    for v in dropped:
+        delete_path(spark, _version_dir(table_path, v))
+    put_object(spark, _manifest_path(table_path), json.dumps({"versions": kept}))
+    return kept
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Change feed between two snapshots, Delta-CDF row shape.
+
+    Full outer join on the key: key only in new -> insert; only in old
+    -> delete; both but any non-key column differs -> update_preimage
+    (old values) + update_postimage (new values). Null-safe comparison
+    via a canonical struct equality, so NULL -> value transitions are
+    detected.
+    """
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*val_cols).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*val_cols).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__k_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    key_out = [
+        F.coalesce(o[f"__k_{k}"], n[f"__k_{k}"]).alias(k) for k in keys
+    ]
+    inserts = (
+        j.filter(F.col("__in_old").isNull())
+        .select(*key_out, "__new.*", F.lit("insert").alias("_change_type"))
+    )
+    deletes = (
+        j.filter(F.col("__in_new").isNull())
+        .select(*key_out, "__old.*", F.lit("delete").alias("_change_type"))
+    )
+    changed = j.filter(
+        F.col("__in_old").isNotNull()
+        & F.col("__in_new").isNotNull()
+        & ~F.col("__old").eqNullSafe(F.col("__new"))
+    )
+    pre = changed.select(
+        *key_out, "__old.*", F.lit("update_preimage").alias("_change_type")
+    )
+    post = changed.select(
+        *key_out, "__new.*", F.lit("update_postimage").alias("_change_type")
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)

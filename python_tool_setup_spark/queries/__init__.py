@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
         udfs,
         maintenance,
         pipeline,
+        versioned,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,59 @@
+"""Unit tests for versioned tables (ingestion/versioned.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.ingestion.versioned import (
+    list_versions,
+    read_version,
+    snapshot_diff,
+    vacuum_versions,
+    write_version,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_read_versions_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    v1 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["k", "v"])
+    assert write_version(spark, v0, path) == 0
+    assert write_version(spark, v1, path) == 1
+    assert list_versions(spark, path) == [0, 1]
+    assert _rows(read_version(spark, path, 0)) == [(1, "a"), (2, "b")]
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, "B"), (3, "c")]
+    assert vacuum_versions(spark, path, keep=1) == [1]
+    with pytest.raises(ValueError):
+        read_version(spark, path, 0)
+    # next write continues the version sequence, not reusing ids
+    assert write_version(spark, v0, path) == 2
+
+
+def test_snapshot_diff_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], ["k", "v", "x"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)], ["k", "v", "x"]
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    got = {(r["k"], r["_change_type"]): (r["v"], r["x"]) for r in diff.collect()}
+    assert got == {
+        (1, "delete"): ("a", 10.0),
+        (4, "insert"): ("d", 40.0),
+        (2, "update_preimage"): ("b", 20.0),
+        (2, "update_postimage"): ("b", 25.0),
+        # NULL -> value transition is detected (null-safe compare)
+        (3, "update_preimage"): ("c", None),
+        (3, "update_postimage"): ("c", 30.0),
+    }
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert snapshot_diff(df, df.select("k", "v"), ["k"]).count() == 0
