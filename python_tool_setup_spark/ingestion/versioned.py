@@ -130,23 +130,26 @@ def snapshot_diff(
     key_out = [
         F.coalesce(o[f"__k_{k}"], n[f"__k_{k}"]).alias(k) for k in keys
     ]
-    inserts = (
-        j.filter(F.col("__in_old").isNull())
-        .select(*key_out, "__new.*", F.lit("insert").alias("_change_type"))
+
+    # one join, one pass: each joined row yields 0-2 change entries via
+    # an array + explode (a union of 4 filtered branches re-evaluates
+    # the join once per branch family)
+    def entry(kind: str, payload) -> F.Column:
+        return F.struct(F.lit(kind).alias("kind"), payload.alias("payload"))
+
+    changes = (
+        F.when(F.col("__in_old").isNull(), F.array(entry("insert", F.col("__new"))))
+        .when(F.col("__in_new").isNull(), F.array(entry("delete", F.col("__old"))))
+        .when(
+            ~F.col("__old").eqNullSafe(F.col("__new")),
+            F.array(
+                entry("update_preimage", F.col("__old")),
+                entry("update_postimage", F.col("__new")),
+            ),
+        )
+        .otherwise(F.array())
     )
-    deletes = (
-        j.filter(F.col("__in_new").isNull())
-        .select(*key_out, "__old.*", F.lit("delete").alias("_change_type"))
+    return (
+        j.select(*key_out, F.explode(changes).alias("__c"))
+        .select(*keys, "__c.payload.*", F.col("__c.kind").alias("_change_type"))
     )
-    changed = j.filter(
-        F.col("__in_old").isNotNull()
-        & F.col("__in_new").isNotNull()
-        & ~F.col("__old").eqNullSafe(F.col("__new"))
-    )
-    pre = changed.select(
-        *key_out, "__old.*", F.lit("update_preimage").alias("_change_type")
-    )
-    post = changed.select(
-        *key_out, "__new.*", F.lit("update_postimage").alias("_change_type")
-    )
-    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)

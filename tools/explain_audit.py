@@ -18,6 +18,11 @@ CHECKS = [
     ("q14_sort_topk", ["TakeOrderedAndProject"]),
     ("q22_asof_join", ["Exchange", "Window"]),
     ("q37_cosine_topk", ["BroadcastNestedLoopJoin"]),
+    ("q68_stratified_sample", ["Exchange", "Filter"]),
+    ("q69_shard_packing", ["BroadcastHashJoin", "Exchange", "Window"]),
+    ("q70_tfidf_top_terms", ["BroadcastHashJoin", "HashAggregate"]),
+    ("q73_change_feed", ["SortMergeJoin", "Exchange"]),
+    ("q75_incremental_agg", ["HashAggregate", "Exchange"]),
 ]
 
 
