@@ -1,0 +1,73 @@
+"""Data-quality expectations: declarative row-level rules checked in a
+single scan, with optional quarantine routing.
+
+The pipeline-pattern counterpart to the reference's config validation
+(reference framework.py:121-126 validates the PIPELINE config; these
+validate the DATA). Rules are named boolean Column predicates:
+
+    rules = {"qty_range": F.col("qty").between(1, 50),
+             "key_not_null": F.col("id").isNotNull()}
+
+- `expectation_report`: one aggregate pass → per-rule violation count
+  + violation rate. No shuffle beyond the final global agg of
+  rule-cardinality partial sums; cost is one scan regardless of how
+  many rules.
+- `quarantine`: split (good, bad) where bad rows carry the list of
+  failed rule names — route bad rows to a dead-letter table instead of
+  failing the pipeline. Both outputs derive from ONE projection; a
+  NULL predicate result counts as a violation (fail-closed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fails(pred: Column) -> Column:
+    # NULL predicate (e.g. comparison with NULL) fails closed
+    return ~F.coalesce(pred, F.lit(False))
+
+
+def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Per-rule violation counts over one scan: (rule, violations,
+    total_rows, violation_rate)."""
+    aggs = [
+        F.sum(_fails(pred).cast("long")).alias(name) for name, pred in rules.items()
+    ] + [F.count(F.lit(1)).alias("__total")]
+    wide = df.agg(*aggs)
+    names = F.array(*[F.lit(n) for n in rules])
+    counts = F.array(*[F.col(n) for n in rules])
+    return (
+        wide.select(
+            F.explode(F.arrays_zip(names.alias("rule"), counts.alias("violations")))
+            .alias("z"),
+            F.col("__total").alias("total_rows"),
+        )
+        .select(
+            F.col("z.rule").alias("rule"),
+            F.col("z.violations").alias("violations"),
+            "total_rows",
+            F.round(F.col("z.violations") / F.col("total_rows"), 6).alias(
+                "violation_rate"
+            ),
+        )
+    )
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split df into (good, bad); bad rows get a `_failed_rules`
+    array column naming every rule they violate."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(_fails(pred), F.lit(name)) for name, pred in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("_failed_rules", failed)
+    good = tagged.filter(F.size("_failed_rules") == 0).drop("_failed_rules")
+    bad = tagged.filter(F.size("_failed_rules") > 0)
+    return good, bad

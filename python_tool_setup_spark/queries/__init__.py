@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         maintenance,
         pipeline,
         versioned,
+        quality,
     )
 
     return dict(_REGISTRY)
