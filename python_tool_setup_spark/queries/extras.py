@@ -315,3 +315,42 @@ def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q79_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VariantType surface: rows are round-tripped through "
+    "to_json -> parse_json (VARIANT) and consumed via typed "
+    "variant_get path extraction ($.u.value, $.event_type), plus "
+    "variant extraction over the raw events.props JSON column. The "
+    "oracle aggregates the same fields from the raw columns — "
+    "matching proves the variant round-trip is lossless. Variant's "
+    "binary encoding beats per-row string re-parsing at scale.",
+)
+def q79_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.struct("user_id", "value").alias("u"),
+                "event_type",
+            )
+        )
+    )
+    parsed = e.select(
+        F.variant_get(v, "$.event_type", "string").alias("event_type"),
+        F.variant_get(v, "$.u.value", "double").alias("val"),
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_value"),
+        F.sum("k").alias("sum_k"),
+    )

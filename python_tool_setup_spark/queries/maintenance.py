@@ -165,3 +165,33 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "net"
         ),
     )
+
+
+_MORTON_SQL = """
+    SELECT CAST((((((l_partkey % 1024) >> 0) & 1) << 1) + ((((l_suppkey % 1024) >> 0) & 1) << 0) + ((((l_partkey % 1024) >> 1) & 1) << 3) + ((((l_suppkey % 1024) >> 1) & 1) << 2) + ((((l_partkey % 1024) >> 2) & 1) << 5) + ((((l_suppkey % 1024) >> 2) & 1) << 4) + ((((l_partkey % 1024) >> 3) & 1) << 7) + ((((l_suppkey % 1024) >> 3) & 1) << 6) + ((((l_partkey % 1024) >> 4) & 1) << 9) + ((((l_suppkey % 1024) >> 4) & 1) << 8) + ((((l_partkey % 1024) >> 5) & 1) << 11) + ((((l_suppkey % 1024) >> 5) & 1) << 10) + ((((l_partkey % 1024) >> 6) & 1) << 13) + ((((l_suppkey % 1024) >> 6) & 1) << 12) + ((((l_partkey % 1024) >> 7) & 1) << 15) + ((((l_suppkey % 1024) >> 7) & 1) << 14) + ((((l_partkey % 1024) >> 8) & 1) << 17) + ((((l_suppkey % 1024) >> 8) & 1) << 16) + ((((l_partkey % 1024) >> 9) & 1) << 19) + ((((l_suppkey % 1024) >> 9) & 1) << 18)) AS BIGINT) >> 14 AS cell,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """
+
+
+@register(
+    "q80_morton_cells",
+    _MORTON_SQL,
+    doc="True Z-order (Morton) clustering: bit-interleave two key "
+    "columns into a space-filling-curve code (pure shift/mask integer "
+    "math, whole-stage codegen), bucket rows by coarse curve cell. "
+    "zorder_by_morton range-partitions + sorts on this code so BOTH "
+    "columns get tight per-file min/max ranges (multi-column data "
+    "skipping); test_scale_ops asserts the skipping effect vs "
+    "single-column ordering.",
+)
+def q80_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.ingestion.maintenance import morton_code
+
+    li = load_table(spark, sf_dir, "lineitem")
+    code = morton_code(F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, bits=10)
+    return (
+        li.select(F.shiftright(code, 14).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
