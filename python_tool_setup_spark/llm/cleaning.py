@@ -1,0 +1,149 @@
+"""Corpus-cleaning operators: train/test contamination detection, PII
+redaction, RAG chunking, repetition (boilerplate) scoring.
+
+Standard stages of a training-data pipeline between raw ingestion and
+tokenization, all built on JVM-side expressions (regexp_replace,
+array ops, explode) — no Python in the row path.
+
+Scale notes:
+- contamination: content-hash equi-join — one shuffle per side on the
+  256-bit hash; the eval/test side is usually tiny -> broadcast.
+- redaction: per-row regexp chain fused into the scan stage; zero
+  shuffles.
+- chunking: sequence+explode fan-out is ~n_tokens/stride rows per doc,
+  produced executor-side; no driver involvement.
+- repetition: shingle explode + per-doc max/total — one shuffle on
+  doc_id, candidate for partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.llm.dedup import content_hash
+
+# deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): character classes + bounded repetition only
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    train_id: str,
+    test_id: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact train/test overlap by content hash: one row per
+    contaminated test doc with the matching train doc ids.
+
+    The test side of an eval-contamination check is orders of
+    magnitude smaller than the corpus — broadcast it so the 100 TB
+    train side never shuffles.
+    """
+    t = train.select(
+        F.col(train_id).alias("train_id"),
+        content_hash(text_col).alias("__h"),
+    )
+    e = test.select(
+        F.col(test_id).alias("test_id"),
+        content_hash(text_col).alias("__h"),
+    )
+    return (
+        t.join(F.broadcast(e), "__h")
+        .groupBy("test_id")
+        .agg(
+            F.sort_array(F.collect_list("train_id")).alias("train_matches"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED_{kind}]",
+) -> DataFrame:
+    """Replace every PII pattern occurrence with a typed placeholder.
+    A chained regexp_replace per pattern, fused into one projection."""
+    out = F.col(text_col)
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, token.format(kind=kind.upper()))
+    return df.withColumn(text_col, out)
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window preprocessing step): chunk i holds tokens
+    [i*stride, i*stride + window). Emits (id, chunk_id, chunk_text,
+    n_tokens); short documents produce exactly one chunk."""
+    toks = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        toks.select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.col("__n") - F.col("__start"), F.lit(window)).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Boilerplate/template-spam signal: the fraction of a document's
+    n-grams occupied by its single most-repeated n-gram. Near-1.0 ⇒
+    the doc is one phrase repeated; clean prose scores low."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("__t"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("__t") - ngram, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("__t", i + 1, ngram), " "),
+            )
+        ).alias("__g"),
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("max_ngram_ratio"),
+        F.sum("__c").alias("n_ngrams"),
+    )

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         pipeline,
         versioned,
         quality,
+        cleaning,
     )
 
     return dict(_REGISTRY)
