@@ -217,3 +217,101 @@ def q30_ingest_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
     )
+
+
+@register(
+    "q85_managed_table_lifecycle",
+    """
+    SELECT n_nationkey, n_name, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM nation JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    doc="Full managed-table lifecycle (S3+S6+S7+S8): CREATE SCHEMA IF "
+    "NOT EXISTS, ingest supplier into a managed saveAsTable target, "
+    "apply COMMENT + TBLPROPERTIES, then query the table BY CATALOG "
+    "NAME joined to nation — proving registration, metadata and "
+    "readback all round-trip. Idempotent DDL throughout.",
+)
+def q85_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.fs import delete_path
+
+    db = "gate_lc"
+    # a fresh session's in-memory catalog doesn't know about leftover
+    # warehouse dirs from prior processes; clear both sides first
+    spark.sql(f"DROP TABLE IF EXISTS {db}.supplier_m")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    delete_path(spark, f"{wh}/{db}.db/supplier_m")
+    cfg = IngestionConfig(
+        source_path=table_path(sf_dir, "supplier"),
+        source_format="parquet",
+        database=db,
+        table="supplier_m",
+        write_mode="overwrite",
+        table_comment="managed lifecycle gate",
+        table_properties={"team": "pipeline", "layer": "silver"},
+    )
+    make_ingestion(spark, cfg).run()
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.supplier_m").collect()
+    }
+    assert props.get("team") == "pipeline" and props.get("layer") == "silver"
+    sup = spark.table(f"{db}.supplier_m")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        nat.join(sup, nat["n_nationkey"] == sup["s_nationkey"])
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q86_tpch_q5ish",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped headline join: 6 tables, region/date "
+    "pushed-down filters, local-supplier condition. Dimensions "
+    "(region, nation, supplier, customer) broadcast; the fact "
+    "tables join on their natural keys and only the final group-agg "
+    "shuffles.",
+)
+def q86_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(sup),
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
