@@ -315,3 +315,63 @@ def q86_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@register(
+    "q87_orc_source",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="ORC source format (S13): stage nation as ORC, ingest through "
+    "the pipeline (format passthrough, no format-specific code), "
+    "aggregate the readback.",
+)
+def q87_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="orc_src_")
+    target = tempfile.mkdtemp(prefix="orc_tgt_")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(src)
+    cfg = IngestionConfig(
+        source_path=src,
+        source_format="orc",
+        target_path=target,
+        write_mode="overwrite",
+    )
+    make_ingestion(spark, cfg).run()
+    return (
+        spark.read.parquet(target)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "q88_analyze_stats",
+    """
+    SELECT 'nation_stats' AS table_name, COUNT(*) AS row_count FROM nation
+    """,
+    doc="Table statistics for the cost-based optimizer: ANALYZE TABLE "
+    "COMPUTE STATISTICS (+ FOR ALL COLUMNS) on a managed table; the "
+    "gate returns the row count the CATALOG recorded (read back via "
+    "DESCRIBE EXTENDED), proving stats are persisted where "
+    "Catalyst's CBO joins/reorders read them — at 100 TB, stats-fed "
+    "broadcast decisions and join reordering are a first-class "
+    "performance lever.",
+)
+def q88_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.fs import delete_path
+
+    db, tbl = "gate_lc", "nation_stats"
+    spark.sql(f"CREATE SCHEMA IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    delete_path(spark, f"{wh}/{db}.db/{tbl}")
+    load_table(spark, sf_dir, "nation").write.saveAsTable(f"{db}.{tbl}")
+    spark.sql(f"ANALYZE TABLE {db}.{tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    stats = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{tbl}").filter(
+        F.col("col_name") == "Statistics"
+    ).collect()
+    row_count = int(stats[0]["data_type"].split(",")[1].strip().split(" ")[0])
+    return spark.createDataFrame(
+        [(tbl, row_count)], "table_name string, row_count long"
+    )
