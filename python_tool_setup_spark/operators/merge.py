@@ -63,3 +63,97 @@ def merge_upsert(
     # non-matching, matching SQL MERGE ON equality semantics.
     untouched_target = target.join(source.select(*keys), on=keys, how="left_anti")
     return untouched_target.unionByName(source)
+
+
+# ------------------------------------------- partition-pruned merge ----
+BUCKET_COL = "__bucket"
+
+
+def bucket_of(keys: Sequence[str], num_buckets: int):
+    """Deterministic bucket id for a key tuple (xxhash64 → pmod)."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+
+def write_bucketed_target(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    num_buckets: int,
+    fmt: str = "parquet",
+) -> None:
+    """Lay a merge target out as hash-bucket partition dirs
+    (``__bucket=N/``) so future merges rewrite only touched buckets."""
+    df.withColumn(BUCKET_COL, bucket_of(keys, num_buckets)).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").format(fmt).save(path)
+
+
+def merge_upsert_bucketed(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    num_buckets: int,
+    fmt: str = "parquet",
+    source_dedup_order: Sequence | None = None,
+) -> list[int]:
+    """MERGE into a bucket-partitioned target touching ONLY the buckets
+    the source hashes into; returns the rewritten bucket ids.
+
+    This is the 100 TB shape of the Parquet-fallback merge: a naive
+    rewrite is O(table) per batch, but with the target laid out by
+    ``write_bucketed_target`` the work is O(touched buckets) — the same
+    file-pruning idea as Delta's join-based MERGE rewrite. The driver
+    sees only the distinct bucket ID LIST (bounded by ``num_buckets``,
+    metadata not data). Untouched bucket dirs are not read, not
+    rewritten, not renamed.
+
+    Each touched bucket is promoted with a metadata-only dir rename;
+    replaying the same source is a fixpoint per bucket, so a failure
+    between bucket promotes is repaired by rerunning the merge.
+    """
+    import uuid
+
+    from python_tool_setup_spark.sources.fs import path_exists, replace_dir
+
+    keys = list(keys)
+    src = source.withColumn(BUCKET_COL, bucket_of(keys, num_buckets))
+    touched = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )
+    existing = [
+        b for b in touched if path_exists(spark, f"{target_path}/{BUCKET_COL}={b}")
+    ]
+    if existing:
+        tgt = (
+            spark.read.format(fmt)
+            .option("basePath", target_path)
+            .load([f"{target_path}/{BUCKET_COL}={b}" for b in existing])
+        )
+        merged = merge_upsert(
+            tgt, src.select(*tgt.columns), keys,
+            source_dedup_order=source_dedup_order,
+        )
+    else:
+        merged = src
+        if source_dedup_order is not None:
+            from python_tool_setup_spark.operators.relational import dedup_by_keys
+
+            merged = dedup_by_keys(merged, keys, source_dedup_order)
+    staging = f"{target_path.rstrip('/')}__mstage_{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy(BUCKET_COL).mode("overwrite").format(fmt).save(staging)
+    for b in touched:
+        replace_dir(
+            spark,
+            f"{staging}/{BUCKET_COL}={b}",
+            f"{target_path}/{BUCKET_COL}={b}",
+        )
+    from python_tool_setup_spark.sources.fs import delete_path
+
+    delete_path(spark, staging)
+    return touched
+
+
+def read_bucketed_target(spark, target_path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a bucketed merge target (bucket col dropped)."""
+    return spark.read.format(fmt).load(target_path).drop(BUCKET_COL)

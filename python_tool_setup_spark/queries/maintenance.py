@@ -28,6 +28,8 @@ from python_tool_setup_spark.tables import load_table
 _BUCKETED: dict[str, tuple[str, str]] = {}
 # sf_dir -> fragmented lineitem dir reused as compaction input
 _FRAGMENTED: dict[str, str] = {}
+# sf_dir -> pristine bucketed merge target copied per run
+_BUCKETED_TGT: dict[str, str] = {}
 
 
 @register(
@@ -206,3 +208,51 @@ def q80_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q89_bucketed_merge",
+    """
+    WITH src AS (
+        SELECT o_orderkey, ROUND(o_totalprice + 5000, 2) AS price
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(s.price, ROUND(o.o_totalprice, 2)) AS price
+    FROM orders o LEFT JOIN src s USING (o_orderkey)
+    """,
+    doc="Partition-pruned MERGE (the 100 TB shape of the Parquet "
+    "fallback): target laid out as hash-bucket partition dirs, a "
+    "source touching ~1/11 of keys rewrites ONLY the buckets it "
+    "hashes into — untouched bucket dirs are never read, rewritten "
+    "or renamed (asserted via dir mtimes in tests). Work is "
+    "O(touched buckets), not O(table), matching Delta's file-pruned "
+    "join MERGE.",
+)
+def q89_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from python_tool_setup_spark.operators.merge import (
+        merge_upsert_bucketed,
+        read_bucketed_target,
+        write_bucketed_target,
+    )
+
+    # the bucketed layout is the write-once build artifact; the merge
+    # under test mutates a cheap local copy of it each run
+    if sf_dir not in _BUCKETED_TGT:
+        base = tempfile.mkdtemp(prefix="bmerge_src_") + "/t"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        write_bucketed_target(orders, base, ["o_orderkey"], num_buckets=16)
+        _BUCKETED_TGT[sf_dir] = base
+    target = tempfile.mkdtemp(prefix="bmerge_") + "/t"
+    shutil.copytree(_BUCKETED_TGT[sf_dir], target)
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    ).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 5000, 2).alias("price")
+    )
+    merge_upsert_bucketed(spark, target, src, ["o_orderkey"], num_buckets=16)
+    return read_bucketed_target(spark, target)

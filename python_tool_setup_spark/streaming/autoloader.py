@@ -94,6 +94,21 @@ def _merge_microbatch(cfg: IngestionConfig):
         tgt = cfg.target_path
         if cfg.dedup_order:
             batch_df = dedup_by_keys(batch_df, cfg.merge_keys, cfg.dedup_order)
+        if cfg.merge_bucket_count:
+            # O(touched buckets) per micro-batch instead of O(table)
+            from python_tool_setup_spark.operators.merge import (
+                merge_upsert_bucketed,
+            )
+
+            merge_upsert_bucketed(
+                spark,
+                tgt,
+                batch_df,
+                cfg.merge_keys,
+                cfg.merge_bucket_count,
+                fmt=cfg.target_format,
+            )
+            return
         if path_exists(spark, tgt):
             target = spark.read.format(cfg.target_format).load(tgt)
             merged = merge_upsert(target, batch_df, cfg.merge_keys)

@@ -129,3 +129,61 @@ def test_dedup_fixpoint(spark):
     once = df.dropDuplicates(["k", "v"])
     twice = once.dropDuplicates(["k", "v"])
     assert rows(once) == rows(twice)
+
+
+# ---------------------------------------- partition-pruned merge (S5) ----
+def test_bucketed_merge_touches_only_source_buckets(spark, tmp_path):
+    import os
+    import time
+
+    from python_tool_setup_spark.operators.merge import (
+        BUCKET_COL,
+        merge_upsert,
+        merge_upsert_bucketed,
+        read_bucketed_target,
+        write_bucketed_target,
+    )
+
+    target = str(tmp_path / "bt")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_bucketed_target(base, target, ["k"], num_buckets=8)
+    dirs = {
+        d: os.path.getmtime(os.path.join(target, d))
+        for d in os.listdir(target)
+        if d.startswith(BUCKET_COL)
+    }
+    assert len(dirs) == 8
+
+    time.sleep(1.1)  # make mtime changes observable
+    src = spark.createDataFrame([(3, 999), (3000, 42)], ["k", "v"])
+    touched = merge_upsert_bucketed(spark, target, src, ["k"], num_buckets=8)
+    got = {(r["k"], r["v"]) for r in read_bucketed_target(spark, target).collect()}
+    expect = {
+        (r["k"], r["v"]) for r in merge_upsert(base, src, ["k"]).collect()
+    }
+    assert got == expect
+
+    after = {
+        d: os.path.getmtime(os.path.join(target, d))
+        for d in os.listdir(target)
+        if d.startswith(BUCKET_COL)
+    }
+    changed = {d for d in dirs if d in after and after[d] != dirs[d]}
+    assert changed == {f"{BUCKET_COL}={b}" for b in touched if f"{BUCKET_COL}={b}" in dirs}
+    # at most 2 of 8 buckets rewritten for a 2-row source
+    assert len(touched) <= 2
+
+
+def test_bucketed_merge_bootstrap_empty_target(spark, tmp_path):
+    from python_tool_setup_spark.operators.merge import (
+        merge_upsert_bucketed,
+        read_bucketed_target,
+    )
+
+    target = str(tmp_path / "bt0")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    merge_upsert_bucketed(spark, target, src, ["k"], num_buckets=4)
+    got = {(r["k"], r["v"]) for r in read_bucketed_target(spark, target).collect()}
+    assert got == {(1, "a"), (2, "b")}
