@@ -23,6 +23,7 @@ CHECKS = [
     ("q70_tfidf_top_terms", ["BroadcastHashJoin", "HashAggregate"]),
     ("q73_change_feed", ["SortMergeJoin", "Exchange"]),
     ("q75_incremental_agg", ["HashAggregate", "Exchange"]),
+    ("q86_tpch_q5ish", ["BroadcastHashJoin", "SortMergeJoin", "PushedFilters"]),
 ]
 
 
