@@ -375,3 +375,33 @@ def q88_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tbl, row_count)], "table_name string, row_count long"
     )
+
+
+@register(
+    "q90_object_roundtrip",
+    """
+    SELECT r_regionkey, r_name
+    FROM region WHERE r_regionkey <= 2
+    """,
+    doc="Object-store put/get round trip (S10+S11): serialize three "
+    "region rows to a CSV object via the filesystem-API put, read the "
+    "object back through the Spark csv reader with an explicit "
+    "schema, and also byte-compare via get_object (asserted inline). "
+    "The reference's s3_write/s3_get_file surface, DataFrame-native.",
+)
+def q90_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.fs import get_object, put_object
+
+    rows = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_regionkey") <= 2)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .collect()
+    )
+    body = "".join(f"{r['r_regionkey']},{r['r_name']}\n" for r in rows)
+    obj_dir = tempfile.mkdtemp(prefix="obj_")
+    path = f"{obj_dir}/region.csv"
+    put_object(spark, path, body)
+    assert get_object(spark, path).decode("utf-8") == body
+    return spark.read.schema("r_regionkey long, r_name string").csv(path)
