@@ -223,3 +223,104 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_size=5, threshold=0.5
     )
     return dup_clusters(pairs)
+
+
+@register(
+    "q91_dedup_keep_best",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz qq' FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 200000, text || ' zz qq ww' FROM documents
+        WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 60 AND 79
+    ),
+    shingled AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(toks) - 4, 1)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM base)
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jac
+            FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        ) WHERE jac >= 0.5
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.src, r.lbl FROM und u JOIN reach r ON u.dst = r.node
+    ),
+    labels AS (
+        SELECT b.doc_id,
+               COALESCE(m.cluster_id, b.doc_id) AS cluster_id,
+               LEN(b.text) AS n_chars
+        FROM base b LEFT JOIN (
+            SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+        ) m ON b.doc_id = m.node
+    )
+    SELECT cluster_id, doc_id AS survivor, cluster_size FROM (
+        SELECT cluster_id, doc_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM labels
+    ) WHERE rk = 1
+    """,
+    doc="End-to-end near-dup dedup: pairs -> connected components -> "
+    "keep-best survivor per cluster (longest text, id tie-break); "
+    "docs with no near-dup survive as their own singleton cluster. "
+    "This is the full 'find, cluster, select' dedup pipeline a corpus "
+    "actually runs — the survivor policy is one window over the "
+    "cluster id, so policy changes (newest, highest-quality) are a "
+    "one-line ORDER BY swap.",
+)
+def q91_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lo = d.filter(F.col("doc_id") < 60)
+    c1 = lo.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat("text", F.lit(" zz qq"))
+    )
+    c2 = lo.withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+        "text", F.concat("text", F.lit(" zz qq ww"))
+    )
+    singles = d.filter(F.col("doc_id").between(60, 79))
+    corpus = lo.unionByName(c1).unionByName(c2).unionByName(singles).select(
+        "doc_id", "text"
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_size=5, threshold=0.5
+    )
+    labels = dup_clusters(pairs).withColumnRenamed("doc_id", "node")
+    labeled = corpus.join(
+        labels, corpus["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor"), "cluster_size")
+    )
