@@ -223,7 +223,9 @@ def ivf_index(
     model = KMeans(
         k=num_cells,
         seed=seed,
-        maxIter=10,  # coarse quantizer: rough cells are fine
+        maxIter=5,  # coarse quantizer: rough cells are fine (recall
+        # is governed by nprobe, not centroid polish — halves the
+        # build time with no measured recall change)
         featuresCol="__features",
         predictionCol="__cell",
     ).fit(feat)
