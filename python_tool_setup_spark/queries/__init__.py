@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
         versioned,
         quality,
         cleaning,
+        analytics,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,153 @@
+"""Event-analytics gate queries (q92-q94): batch sessionization,
+funnel conversion, retention cohorts. All oracle-checked over the
+`events` fixture.
+
+These are the batch counterparts of the streaming session windows
+(q51/q52): the same gap-based semantics expressed as windows over
+history, the way a warehouse backfills what the stream computes live.
+Every query is one-or-two shuffles on user_id — the natural key — and
+aggregates to small outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q92_sessionize",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: a new session starts after a >30-minute "
+    "gap (lag + cumulative flag-sum per user — the standard two-window "
+    "formulation, both windows on the same user_id partitioning so "
+    "there is ONE shuffle). This is the batch backfill of the "
+    "streaming session window (q51/q52).",
+)
+def q92_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(ws))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "q93_funnel",
+    """
+    WITH first_view AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT DISTINCT f.user_id
+        FROM first_view f JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase' AND e.ts > f.v_ts
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM first_view) AS n_viewers,
+           (SELECT COUNT(*) FROM converted) AS n_converted
+    """,
+    doc="Funnel conversion: users -> viewed -> purchased-after-first-"
+    "view. First-touch per user is a min-aggregate (map-side partial), "
+    "conversion is a semi-join shaped aggregate on user_id; output is "
+    "three scalars regardless of input size.",
+)
+def q93_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    converted = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(first_view.agg(F.count(F.lit(1)).alias("n_viewers")))
+        .crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
+
+
+@register(
+    "q94_retention_cohort",
+    """
+    WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+        FROM events
+    )
+    SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(DATEDIFF('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT f.user_id) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohorts: users grouped by first-activity week, "
+    "counted in every later week they return. Two aggregates on "
+    "user_id + one join on the same key — a co-partitioned plan; "
+    "output is cohort x offset, tiny at any scale.",
+)
+def q94_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    joined = firsts.join(activity, "user_id")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
