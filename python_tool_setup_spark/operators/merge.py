@@ -6,10 +6,13 @@ AND-joined key-equality condition (reference ``framework.py:211-231``,
 ``:226-231``). Semantics reproduced here without requiring delta-spark:
 
   result = (target rows with no source key match)       -- kept as-is
-         ∪ (source rows)                                -- update ∪ insert
+         ∪ (matched target rows ⋈ source values)        -- update all
+         ∪ (source rows with no target key match)       -- insert
 
-because "update all" replaces every column of a matched target row with
-the source row, a matched target row contributes nothing of its own.
+"update all" replaces every column of EACH matched target row with the
+source row — duplicate-key target rows each survive as one updated
+copy (SQL/Delta MERGE preserves target multiplicity; found by the
+hypothesis property suite).
 Delta raises on multiple source rows matching one target row; we expose
 ``source_dedup_order`` to make the source unique per key first
 (deterministically), or raise like Delta when duplicates remain.
@@ -62,7 +65,15 @@ def merge_upsert(
     # Null-safe NOT: plain anti-join already treats null keys as
     # non-matching, matching SQL MERGE ON equality semantics.
     untouched_target = target.join(source.select(*keys), on=keys, how="left_anti")
-    return untouched_target.unionByName(source)
+    # "update all" rewrites EVERY matched target row with its source
+    # row — duplicate-key target rows each survive as one updated copy
+    # (Delta/SQL MERGE preserves target multiplicity; only duplicate
+    # SOURCE keys are an error, handled above)
+    updated = target.select(*keys).join(source, on=keys, how="inner").select(
+        *target.columns
+    )
+    inserts = source.join(target.select(*keys), on=keys, how="left_anti")
+    return untouched_target.unionByName(updated).unionByName(inserts)
 
 
 # ------------------------------------------- partition-pruned merge ----
