@@ -24,7 +24,7 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     "q92_sessionize",
     """
     WITH ordered AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -33,8 +33,10 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     ),
     sessions AS (
         SELECT user_id, ts, event_type,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM ordered
     )
     SELECT user_id, session_id,

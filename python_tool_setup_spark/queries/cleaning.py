@@ -136,7 +136,7 @@ def q83_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_ngram_ratio,
-           SUM(c) AS n_ngrams
+           CAST(SUM(c) AS BIGINT) AS n_ngrams
     FROM per_gram GROUP BY doc_id
     """,
     doc="Repetition / boilerplate score: share of a document's 3-grams "

@@ -323,7 +323,8 @@ def q51_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS sum_value,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
     FROM events GROUP BY event_type
     """,
     doc="Spark 4 VariantType surface: rows are round-tripped through "

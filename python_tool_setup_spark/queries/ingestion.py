@@ -93,7 +93,7 @@ def q58_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q59_json_source",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,

@@ -70,7 +70,7 @@ def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     )
     SELECT lang, CAST(FLOOR(prefix / 2000) AS BIGINT) AS shard_id,
-           COUNT(*) AS docs, SUM(tok) AS shard_tokens
+           COUNT(*) AS docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
     FROM pref GROUP BY 1, 2
     """,
     doc="Token-budget shard packing: documents fill 2000-token shards "

@@ -75,12 +75,14 @@ def q76_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RULES_SQL = """
-        SUM(CASE WHEN NOT (l_quantity <= 30) THEN 1 ELSE 0 END) AS qty_le_30,
-        SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.05) THEN 1 ELSE 0 END)
-            AS disc_range,
-        SUM(CASE WHEN NOT (l_shipdate < TIMESTAMP '1998-06-01')
-                 THEN 1 ELSE 0 END) AS ship_in_range,
-        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS key_not_null,
+        CAST(SUM(CASE WHEN NOT (l_quantity <= 30) THEN 1 ELSE 0 END)
+             AS BIGINT) AS qty_le_30,
+        CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.05)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+        CAST(SUM(CASE WHEN NOT (l_shipdate < TIMESTAMP '1998-06-01')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ship_in_range,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS key_not_null,
         COUNT(*) AS total
 """
 
