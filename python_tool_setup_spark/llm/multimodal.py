@@ -2,10 +2,13 @@
 columns with typed metadata, plus decode / feature-extract / resize /
 frame-sample plumbing over Arrow-batched ``mapInPandas``.
 
-The container ships no image/audio codecs, so the decode kernels are
-STUBS behind ``use_fake_decoder``: the real-Spark parts — schema,
-binaryFile ingestion, batch iteration shape, partitioning — are real
-and tested; the pixel math is a clearly-marked deterministic fake (or
+PNG decode is REAL — a pure-stdlib codec (``llm/png.py``: zlib inflate
++ scanline unfilter) runs inside the mapInPandas workers, so q44's
+features come from actual pixel data. Formats with no codec in the
+container (JPEG, audio, video) remain STUBS behind
+``use_fake_decoder``: the real-Spark parts — schema, binaryFile
+ingestion, batch iteration shape, partitioning — are real and tested;
+only the non-PNG pixel math is a clearly-marked deterministic fake (or
 ``NotImplementedError`` when ``use_fake_decoder=False``).
 
 At 100 TB: media bytes stay in executor-local Arrow batches end to end
@@ -63,31 +66,50 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+def _band_means(pixels: bytes, feature_dim: int) -> list[float]:
+    """Feature vector: mean intensity of ``feature_dim`` equal byte
+    bands — deterministic, resolution-independent, vectorized."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64) / 255.0
+    return [float(b.mean()) if b.size else 0.0 for b in np.array_split(arr, feature_dim)]
+
+
 def decode_image_features(
     df: DataFrame, feature_dim: int = 8, use_fake_decoder: bool = True
 ) -> DataFrame:
     """Decode images and extract a feature vector via mapInPandas.
 
-    STUB: no codec libraries in this container. With
-    ``use_fake_decoder=True`` the decode is a deterministic fake
-    (dimensions and features derived from the byte content's digest) so
-    the full pipeline — Arrow batch shapes, schema, partition behavior —
-    is exercised; with False it raises NotImplementedError exactly where
-    a real PIL/opencv call would go.
+    PNG content (by signature) is decoded for REAL with the stdlib
+    codec in ``llm/png.py``; features are band means over the actual
+    pixel bytes. Non-PNG content falls back to a deterministic
+    digest-derived fake when ``use_fake_decoder=True`` (the honest stub
+    boundary — no JPEG/audio/video codecs in this container), or
+    raises NotImplementedError when False.
     """
+    from python_tool_setup_spark.llm.png import _SIGNATURE, decode_png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv; not in container"
-                )
             out = {
                 "path": [], "width": [], "height": [], "n_channels": [],
                 "feature": [],
             }
             for path, content in zip(pdf["path"], pdf["content"]):
-                digest = hashlib.sha256(bytes(content)).digest()
+                data = bytes(content)
+                if data[:8] == _SIGNATURE:
+                    w, h, ch, pixels = decode_png(data)  # real decode
+                    out["path"].append(path)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(ch)
+                    out["feature"].append(_band_means(pixels, feature_dim))
+                    continue
+                if not use_fake_decoder:
+                    raise NotImplementedError(
+                        "non-PNG decode requires PIL/opencv; not in container"
+                    )
+                digest = hashlib.sha256(data).digest()
                 out["path"].append(path)
                 out["width"].append(16 + digest[0] % 64)       # fake decode
                 out["height"].append(16 + digest[1] % 64)      # fake decode
@@ -98,6 +120,38 @@ def decode_image_features(
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "path string, width int, height int, n_channels int, "
+    "n_pixel_bytes long, pixel_sha256 string"
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Real-decode PNGs and emit scalar per-image stats (driver-gate
+    friendly: no array columns). ``pixel_sha256`` fingerprints the
+    decoded raw pixel buffer, proving the decompress + unfilter path
+    byte-exactly."""
+    from python_tool_setup_spark.llm.png import decode_png
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "path": [], "width": [], "height": [], "n_channels": [],
+                "n_pixel_bytes": [], "pixel_sha256": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, ch, pixels = decode_png(bytes(content))
+                out["path"].append(path)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                out["n_pixel_bytes"].append(len(pixels))
+                out["pixel_sha256"].append(hashlib.sha256(pixels).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(_decode, IMAGE_STATS_SCHEMA)
 
 
 def sample_frames(

@@ -417,24 +417,47 @@ def q43_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q44_multimodal_decode",
-    None,  # fake decoder output is digest-derived (no SQL equivalent)
-    doc="Multimodal decode plumbing (L5): mapInPandas feature extraction "
-    "over binary content (stub decoder — no codecs in container), plus "
-    "1->N frame sampling shape.",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           1 AS width,
+           CAST(octet_length(encode(text)) AS INT) AS height,
+           1 AS n_channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_pixel_bytes,
+           sha256(text) AS pixel_sha256
+    FROM documents WHERE doc_id < 20 AND octet_length(encode(text)) > 0
+    """,
+    doc="Multimodal REAL decode (L5): each document's UTF-8 bytes are "
+    "encoded as a genuine 1xN greyscale PNG (zlib-compressed, filtered "
+    "scanlines) via the stdlib codec in llm/png.py, ingested with "
+    "binaryFile, and decoded back inside mapInPandas workers. The "
+    "oracle checks sha256 of the DECODED pixel buffer against sha256 "
+    "of the original text — a byte-exact round-trip through real "
+    "compression, not a digest fake.",
 )
 def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
     from python_tool_setup_spark.llm.multimodal import (
-        decode_image_features,
+        decode_image_stats,
         read_media,
     )
+    from python_tool_setup_spark.llm.png import encode_png
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     media_dir = tempfile.mkdtemp(prefix="media_dec_")
-    for row in d.select("doc_id", "text").collect():
+    for row in d.select("doc_id", "text").collect():  # 20 small local files
+        raw = row["text"].encode("utf-8")
+        if not raw:
+            continue
         with open(os.path.join(media_dir, f"doc_{row['doc_id']}.png"), "wb") as f:
-            f.write(row["text"].encode("utf-8"))
+            f.write(encode_png(1, len(raw), raw, channels=1))
     media = read_media(spark, media_dir, glob="*.png")
-    return decode_image_features(media, feature_dim=8)
+    return decode_image_stats(media).select(
+        F.regexp_extract("path", r"doc_(\d+)\.png", 1).cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "n_channels",
+        "n_pixel_bytes",
+        "pixel_sha256",
+    )

@@ -192,3 +192,99 @@ def test_multimodal_stub_raises_without_fake(spark, tmp_path):
         decode_image_features(
             read_media(spark, d), use_fake_decoder=False
         ).collect()
+
+
+# ----------------------------------------------------------- png codec ----
+def test_png_roundtrip_exact():
+    import random
+
+    from python_tool_setup_spark.llm.png import decode_png, encode_png
+
+    rng = random.Random(7)
+    for w, h, ch in [(1, 1, 1), (1, 500, 1), (7, 13, 3), (16, 16, 4)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+def test_png_decodes_all_filter_types():
+    """Hand-filter one scanline per filter type (0-4) and check the
+    decoder reverses each (the encoder only emits filter 0)."""
+    import struct
+    import zlib
+
+    from python_tool_setup_spark.llm.png import _chunk, decode_png
+
+    w, h, ch = 4, 5, 3
+    stride = w * ch
+    pixels = bytes(range(stride)) * h
+    rows, prev = [], bytearray(stride)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            ul = prev[i - ch] if i >= ch else 0
+            up = prev[i]
+            if f == 0:
+                enc[i] = line[i]
+            elif f == 1:
+                enc[i] = (line[i] - left) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - up) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((left + up) >> 1)) & 0xFF
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc[i] = (line[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(enc))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(data) == (w, h, ch, pixels)
+
+
+def test_png_rejects_unsupported():
+    import pytest as _pytest
+
+    from python_tool_setup_spark.llm.png import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with _pytest.raises(NotImplementedError):
+        encode_png(2, 2, b"\x00" * 8, channels=2)  # gray+alpha unsupported
+
+
+def test_decode_image_features_real_png(spark, tmp_path):
+    import os
+
+    from python_tool_setup_spark.llm.multimodal import (
+        decode_image_features,
+        decode_image_stats,
+        read_media,
+    )
+    from python_tool_setup_spark.llm.png import encode_png
+
+    d = str(tmp_path / "real_png")
+    os.makedirs(d)
+    # 4x4 RGB: top half black, bottom half white -> band means split 0/1
+    px = b"\x00" * 24 + b"\xff" * 24
+    with open(os.path.join(d, "img.png"), "wb") as f:
+        f.write(encode_png(4, 4, px, channels=3))
+
+    feats = decode_image_features(read_media(spark, d), feature_dim=2)
+    row = feats.collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (4, 4, 3)
+    assert row["feature"][0] == 0.0 and row["feature"][1] == 1.0
+
+    stats = decode_image_stats(read_media(spark, d)).collect()[0]
+    assert stats["n_pixel_bytes"] == 48
+    import hashlib as _h
+
+    assert stats["pixel_sha256"] == _h.sha256(px).hexdigest()
