@@ -67,6 +67,31 @@ def shingles(text: Column | str, size: int = 5) -> Column:
     return F.when(n <= size, whole).otherwise(F.array_distinct(grams))
 
 
+# ------------------------------------- engine-independent md5 hashes ----
+def md5_hash32(col: Column | str, seed: int = 0) -> Column:
+    """Stable 32-bit hash in [0, 2^32) from md5 of UTF-8 text.
+
+    Engine-independent (unlike xxhash64), so a DuckDB oracle can
+    reproduce it: ``CAST('0x' || substr(md5(x || '#seed'), 1, 8) AS
+    BIGINT)``. Seed 0 omits the suffix."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def md5_hash64(col: Column | str) -> Column:
+    """Stable signed 64-bit hash: the first 16 md5 hex chars assembled
+    from two 32-bit halves (``shiftleft`` wraps two's-complement, so the
+    full signed range is covered deterministically). DuckDB mirror:
+    compute hi/lo the same way and test bits against each half."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 # -------------------------------------------------------- MinHash (L2) ----
 def minhash_signature(
     text: Column | str, num_hashes: int = 64, shingle_size: int = 5
@@ -181,7 +206,7 @@ def simhash(text: Column | str, num_bits: int = 64, shingle_size: int = 2) -> Co
     """64-bit SimHash over word shingles, pure built-ins: per bit i,
     sign of Σ_tokens (±1 by hash bit i), packed into a bigint."""
     sh = shingles(text, shingle_size)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, md5_hash64)
     # Single pass: fold the hash array into a num_bits-wide vote vector
     # (±1 per bit), then pack sign bits into one long. shiftleft(1L, 63)
     # wraps to Long.MIN_VALUE, which is exactly bit 63's two's-complement

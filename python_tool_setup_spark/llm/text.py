@@ -105,10 +105,10 @@ def fingerprint_minhash(
 ) -> Column:
     """Document fingerprint: min rolling-hash over word shingles
     (winnowing-style min-sampling, k=1). Equal fingerprints ⇒ documents
-    very likely share a shingle; used for cheap first-pass clustering."""
-    from python_tool_setup_spark.llm.dedup import shingles
+    very likely share a shingle; used for cheap first-pass clustering.
+    Uses the engine-independent md5 hash so a DuckDB oracle can verify
+    values, not just row counts."""
+    from python_tool_setup_spark.llm.dedup import md5_hash32, shingles
 
     sh = shingles(text, shingle_size)
-    return F.array_min(
-        F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
-    )
+    return F.array_min(F.transform(sh, lambda s: md5_hash32(s, seed)))

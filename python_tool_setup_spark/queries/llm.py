@@ -192,9 +192,24 @@ def q34_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_fingerprint",
-    None,  # fingerprint values are Spark-xxhash64-specific
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(t) - 4, 1)),
+                   i -> array_to_string(t[i:i+4], ' '))) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           LIST_MIN(LIST_TRANSFORM(s,
+               x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)))
+               AS fingerprint
+    FROM sh
+    """,
     doc="Document fingerprinting (L4): winnowing-style min-hash over word "
-    "shingles; planted copies share fingerprints (asserted in tests).",
+    "shingles, engine-independent md5 hash — the oracle recomputes every "
+    "fingerprint value in DuckDB.",
 )
 def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -338,9 +353,52 @@ def q39_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q40_simhash_neardup",
-    None,  # simhash values depend on Spark xxhash64
-    doc="SimHash near-dup (L2): 64-bit simhash, pigeonhole chunk blocking, "
-    "hamming<=3 verify; planted copies asserted in tests.",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz' FROM documents WHERE doc_id < 100
+    ),
+    toksd AS (SELECT doc_id, {_SQL_TOKS} AS t FROM base),
+    sh AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+            generate_series(1, GREATEST(LEN(t) - 1, 1)),
+            i -> array_to_string(t[i:i+1], ' ')))) AS s
+        FROM toksd
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS lo
+        FROM sh
+    ),
+    bits AS (
+        SELECT doc_id, b.i AS i,
+               SUM(CASE WHEN (CASE WHEN b.i < 32 THEN lo ELSE hi END
+                              & (CAST(1 AS BIGINT) << (b.i % 32))) != 0
+                        THEN 1 ELSE -1 END) AS vote
+        FROM hashes
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN
+                        CASE WHEN i = 63
+                             THEN CAST(-9223372036854775808 AS HUGEINT)
+                             ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
+                        END ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup (L2): 64-bit simhash over md5-hashed shingles "
+    "(engine-independent), pigeonhole chunk blocking, hamming<=3 verify. "
+    "The oracle recomputes every simhash bit-for-bit in DuckDB and "
+    "brute-forces all pairs — the blocked plan must match it exactly.",
 )
 def q40_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = _docs_with_copies(spark, sf_dir, limit=100, mutate=" zz")
