@@ -347,3 +347,45 @@ def embedding_neardup_pairs(
         return pd.DataFrame(out, columns=["id_a", "id_b", *block_cols, "cosine"])
 
     return base.groupBy(*keys).applyInPandas(pairs, schema)
+
+
+# --------------------------------------------------- ANN recall gate ----
+def ann_recall_report(
+    ann: DataFrame,
+    exact: DataFrame,
+    query_id: str,
+    k: int,
+    floor: float,
+) -> DataFrame:
+    """Quantitative ANN quality gate: per-query recall@k of ``ann``
+    against the ``exact`` top-k (both ranked with the same rounded
+    cosine + id tie-break, so recall is deterministic), aggregated to a
+    single scalar row ``(n_queries, k, n_recall_ok)``.
+
+    The DuckDB oracle asserts the expected constants: if the seeded
+    LSH/IVF search ever returns fewer than ``floor * k`` of the true
+    neighbors for any query, ``n_recall_ok`` drops and the value hash
+    goes red. This turns "approximate" from unverifiable into a checked
+    contract."""
+    a = ann.select(
+        F.col(query_id).alias("__qid"), F.col("neighbor_id").alias("__nid")
+    )
+    e = exact.select(
+        F.col(query_id).alias("__qid"), F.col("neighbor_id").alias("__nid")
+    )
+    hits = a.join(e, ["__qid", "__nid"]).groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    per_q = (
+        e.select("__qid")
+        .distinct()
+        .join(hits, "__qid", "left")
+        .select(F.coalesce("__hits", F.lit(0)).alias("__hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.sum((F.col("__hits") >= F.lit(floor) * k).cast("int"))
+        .cast("bigint")
+        .alias("n_recall_ok"),
+    )

@@ -405,18 +405,48 @@ def q40_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(dup, "doc_id", "text", max_hamming=3)
 
 
+def _planted_queries(e: DataFrame, n: int = 10, eps: float = 0.01) -> DataFrame:
+    """Deterministically perturbed copies of the first ``n`` corpus
+    vectors (id + 10000): cosine(query, source) ~ 0.999 while the rest
+    of the corpus sits near the random-noise floor (~0.37 max on this
+    synthetic data), so the true nearest neighbor is unambiguous —
+    the ANN analogue of q36's planted near-dup texts."""
+    return e.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(eps) * F.sin(F.col("vec_id") * 64 + i),
+        ).alias("embedding"),
+    )
+
+
 @register(
     "q41_ann_lsh",
-    None,  # LSH candidate set is probabilistic (recall asserted in tests)
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS k,
+           CAST(10 AS BIGINT) AS n_recall_ok
+    """,
     doc="Approximate nearest neighbors (L3 scale path): multi-table "
-    "random-hyperplane LSH buckets -> candidate equi-join -> exact rerank.",
+    "random-hyperplane LSH buckets -> candidate equi-join -> exact "
+    "rerank. Gate = recall@1 report for planted near-identical "
+    "queries vs the exact top-1 computed in the same query; the oracle "
+    "asserts every planted neighbor is retrieved — a checked "
+    "quantitative contract, not a rows-only smoke test.",
 )
 def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(
-        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
-        dim=64, k=5, num_planes=8, num_tables=6,
+    from python_tool_setup_spark.llm.similarity import (
+        ann_recall_report,
+        cosine_topk,
     )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _planted_queries(e)
+    ann = ann_lsh_topk(
+        q, e, "vec_id", "vec_id", "embedding",
+        dim=64, k=1, num_planes=8, num_tables=6,
+    )
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", k=1)
+    return ann_recall_report(ann, exact, "vec_id", k=1, floor=1.0)
 
 
 _IVF_CACHE: dict[str, tuple] = {}
@@ -424,12 +454,22 @@ _IVF_CACHE: dict[str, tuple] = {}
 
 @register(
     "q42_ivf_ann",
-    None,  # depends on k-means training
+    """
+    SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS k,
+           CAST(10 AS BIGINT) AS n_recall_ok
+    """,
     doc="IVF ANN (L3): distributed k-means coarse quantizer (pyspark.ml), "
-    "nprobe-cell search.",
+    "nprobe-cell search. Gate = recall@1 report for planted "
+    "near-identical queries vs the exact top-1 (same tie-break); the "
+    "oracle asserts every planted neighbor is retrieved.",
 )
 def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_tool_setup_spark.llm.similarity import ivf_index, ivf_topk
+    from python_tool_setup_spark.llm.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     # IVF is build-once / query-many: cache the trained index per corpus
@@ -437,10 +477,12 @@ def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_CACHE:
         _IVF_CACHE[sf_dir] = ivf_index(e, "embedding", num_cells=8)
     assigned, model = _IVF_CACHE[sf_dir]
-    return ivf_topk(
-        e.filter(F.col("vec_id") < 10), assigned, model, "vec_id", "vec_id",
-        "embedding", k=5, nprobe=3,
+    q = _planted_queries(e)
+    ann = ivf_topk(
+        q, assigned, model, "vec_id", "vec_id", "embedding", k=1, nprobe=3
     )
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", k=1)
+    return ann_recall_report(ann, exact, "vec_id", k=1, floor=1.0)
 
 
 @register(
