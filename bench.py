@@ -47,15 +47,23 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Full per-query timings for humans (stderr; the driver only keeps
+    # a short stdout tail).
+    print(json.dumps({"queries_full": timings}), file=sys.stderr)
+    # The driver records the LAST ~2000 chars of stdout; key the final
+    # JSON line by the short qNN prefix and 2-decimal seconds so the
+    # whole line stays well under that cap and parses.
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in sorted(timings.items())}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

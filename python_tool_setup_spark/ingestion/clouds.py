@@ -19,6 +19,21 @@ _AZURE_SCHEMES = ("abfss://", "abfs://", "wasbs://", "wasb://", "adl://")
 _S3_SCHEMES = ("s3://", "s3a://", "s3n://")
 _LOCAL_SCHEMES = ("file://", "/", "./", "hdfs://")
 
+# Convenience credential keys accepted in cfg.source_options, mapped to
+# the standard hadoop-aws conf names. Anything already prefixed "fs."
+# passes through verbatim (covers every provider-specific knob).
+_S3_OPTION_MAP = {
+    "aws_access_key": "fs.s3a.access.key",
+    "aws_secret_key": "fs.s3a.secret.key",
+    "aws_session_token": "fs.s3a.session.token",
+    "endpoint": "fs.s3a.endpoint",
+    "credentials_provider": "fs.s3a.aws.credentials.provider",
+}
+
+
+def _hadoop_conf(spark: SparkSession):
+    return spark.sparkContext._jsc.hadoopConfiguration()
+
 
 class AzureIngestion(IngestionPipeline):
     def validate_source_uri(self) -> None:
@@ -29,9 +44,37 @@ class AzureIngestion(IngestionPipeline):
             )
 
     def configure_auth(self) -> None:
-        # Spark-native auth: the cluster's hadoop conf (OAuth/SAS/keys)
-        # is expected to be provisioned out-of-band; hook kept for parity.
-        pass
+        """Map credentials from cfg.source_options onto the hadoop-azure
+        (ABFS) conf (parity framework.py:272-274): explicit ``fs.*``
+        keys verbatim; ``account_name`` + ``account_key`` → shared-key
+        auth; ``account_name`` + ``client_id``/``client_secret``/
+        ``tenant_id`` → OAuth2 client-credential auth."""
+        conf = _hadoop_conf(self.spark)
+        opts = self.cfg.source_options
+        for k, v in opts.items():
+            if k.startswith("fs."):
+                conf.set(k, v)
+        account = opts.get("account_name")
+        if not account:
+            return
+        suffix = f"{account}.dfs.core.windows.net"
+        if "account_key" in opts:
+            conf.set(f"fs.azure.account.key.{suffix}", opts["account_key"])
+        if {"client_id", "client_secret", "tenant_id"} <= opts.keys():
+            conf.set(f"fs.azure.account.auth.type.{suffix}", "OAuth")
+            conf.set(
+                f"fs.azure.account.oauth.provider.type.{suffix}",
+                "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider",
+            )
+            conf.set(f"fs.azure.account.oauth2.client.id.{suffix}", opts["client_id"])
+            conf.set(
+                f"fs.azure.account.oauth2.client.secret.{suffix}",
+                opts["client_secret"],
+            )
+            conf.set(
+                f"fs.azure.account.oauth2.client.endpoint.{suffix}",
+                f"https://login.microsoftonline.com/{opts['tenant_id']}/oauth2/token",
+            )
 
 
 class S3Ingestion(IngestionPipeline):
@@ -43,9 +86,16 @@ class S3Ingestion(IngestionPipeline):
             )
 
     def configure_auth(self) -> None:
-        # s3a credential chain (env, instance profile, …) is the
-        # Spark-native path; hook kept for parity with framework.py:284-286.
-        pass
+        """Map credentials from cfg.source_options onto the hadoop-aws
+        (s3a) conf (parity framework.py:284-286). Without explicit
+        options the s3a default credential chain (env, instance
+        profile, …) applies untouched."""
+        conf = _hadoop_conf(self.spark)
+        for k, v in self.cfg.source_options.items():
+            if k.startswith("fs."):
+                conf.set(k, v)
+            elif k in _S3_OPTION_MAP:
+                conf.set(_S3_OPTION_MAP[k], v)
 
 
 class LocalIngestion(IngestionPipeline):

@@ -93,8 +93,17 @@ def write_bucketed_target(
     fmt: str = "parquet",
 ) -> None:
     """Lay a merge target out as hash-bucket partition dirs
-    (``__bucket=N/``) so future merges rewrite only touched buckets."""
-    df.withColumn(BUCKET_COL, bucket_of(keys, num_buckets)).write.partitionBy(
+    (``__bucket=N/``) so future merges rewrite only touched buckets.
+
+    Rows are shuffled onto their bucket before the write so each task
+    writes exactly ONE bucket dir (one file per bucket) instead of
+    every task appending a sliver to every dir — num_tasks × num_buckets
+    small files is the classic partitionBy write amplification. At
+    larger volumes raise the partition count to a multiple of
+    ``num_buckets`` for more write parallelism (files-per-bucket > 1 is
+    fine; the merge prunes by directory)."""
+    bucketed = df.withColumn(BUCKET_COL, bucket_of(keys, num_buckets))
+    bucketed.repartition(num_buckets, F.col(BUCKET_COL)).write.partitionBy(
         BUCKET_COL
     ).mode("overwrite").format(fmt).save(path)
 

@@ -38,7 +38,20 @@ def salted_join(
     join result is identical to ``big.join(small, on, how)``; only the
     shuffle distribution changes. Cost: small side × salt_buckets —
     use for big⋈small only; for big⋈big prefer AQE skew splitting.
+
+    ``how`` is restricted to the big-side-preserving joins: with the
+    small side exploded ``salt_buckets``-fold, a right/full outer join
+    would emit each unmatched small-side row once PER SALT — silently
+    wrong. Use a plain ``join`` (or salt the other way around) there.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins; got {how!r} "
+            "(right/full outer would duplicate unmatched small-side rows "
+            "salt_buckets times)"
+        )
     keys = list(on)
     salted_big = big.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")

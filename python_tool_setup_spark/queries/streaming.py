@@ -156,11 +156,12 @@ def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q53_stream_late_data",
     """
-    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS v FROM events),
-         cutoff AS (SELECT MAX(ts) - INTERVAL '24 hours' AS v FROM events),
+    WITH ev AS (SELECT event_id, ts, value FROM events WHERE user_id % 20 = 0),
+         wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS v FROM ev),
+         cutoff AS (SELECT MAX(ts) - INTERVAL '24 hours' AS v FROM ev),
          kept AS (
             SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, value
-            FROM events
+            FROM ev
             WHERE event_id % 2 = 0 OR ts >= (SELECT v FROM cutoff)
          )
     SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -177,11 +178,18 @@ def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filters late events with the PREVIOUS batch's watermark — "
     "watermarkForLateEvents — hence the priming middle batch). Append "
     "emits windows closed by the final watermark; the oracle states "
-    "exactly that: even + last-day rows, in windows ending <= max(ts)-1h.",
+    "exactly that: even + last-day rows, in windows ending <= max(ts)-1h. "
+    "Replays ONE user shard (user_id % 20 = 0) — the late-drop semantics "
+    "are per-watermark, not per-volume, so the slice proves the same "
+    "contract without staging the full table three times.",
 )
 def q53_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tempfile.mkdtemp(prefix="late_stream_")
-    events = load_table(spark, sf_dir, "events")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "ts", "value")
+    )
     max_ts = events.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
     cutoff = F.lit(max_ts) - F.expr("INTERVAL 24 HOURS")
     odd = F.col("event_id") % 2 != 0

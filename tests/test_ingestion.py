@@ -287,3 +287,47 @@ def test_optimize_zorder_clusters(spark, tmp_path):
         .first()[0]
     )
     assert stats < 99  # unclustered would give ~99 per file
+
+
+# ---------------------------------------------------------- cloud auth ----
+def test_s3_auth_wiring(spark):
+    cfg = IngestionConfig(
+        source_path="s3a://bucket/key",
+        target_path="/t",
+        source_options={
+            "aws_access_key": "AKIAX",
+            "aws_secret_key": "SECRET",
+            "aws_session_token": "TOK",
+            "endpoint": "s3.eu-west-1.amazonaws.com",
+            "fs.s3a.path.style.access": "true",
+        },
+    )
+    S3Ingestion(spark, cfg).configure_auth()
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AKIAX"
+    assert conf.get("fs.s3a.secret.key") == "SECRET"
+    assert conf.get("fs.s3a.session.token") == "TOK"
+    assert conf.get("fs.s3a.endpoint") == "s3.eu-west-1.amazonaws.com"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_azure_auth_wiring(spark):
+    cfg = IngestionConfig(
+        source_path="abfss://cont@myacct.dfs.core.windows.net/x",
+        target_path="/t",
+        source_options={
+            "account_name": "myacct",
+            "account_key": "KEY==",
+            "client_id": "cid",
+            "client_secret": "csecret",
+            "tenant_id": "tid",
+        },
+    )
+    AzureIngestion(spark, cfg).configure_auth()
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    sfx = "myacct.dfs.core.windows.net"
+    assert conf.get(f"fs.azure.account.key.{sfx}") == "KEY=="
+    assert conf.get(f"fs.azure.account.auth.type.{sfx}") == "OAuth"
+    assert conf.get(f"fs.azure.account.oauth2.client.id.{sfx}") == "cid"
+    assert conf.get(f"fs.azure.account.oauth2.client.secret.{sfx}") == "csecret"
+    assert "tid" in conf.get(f"fs.azure.account.oauth2.client.endpoint.{sfx}")
