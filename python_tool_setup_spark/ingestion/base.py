@@ -220,10 +220,24 @@ class IngestionPipeline:
 
     # ------------------------------------------------------------- DDL --
     def _ensure_namespace(self) -> None:
-        """CREATE SCHEMA IF NOT EXISTS (framework.py:139-141). OSS Spark
-        has a single catalog, so cfg.catalog is recorded but not created."""
-        if self.cfg.database:
-            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.cfg.database}")
+        """Three-level-namespace parity (framework.py:139-141): catalogs
+        can't be CREATEd at runtime in OSS Spark (they are conf-registered
+        V2 plugins: ``spark.sql.catalog.<name>``), so the shim selects
+        ``cfg.catalog`` as the current catalog when it is registered and
+        fails fast when it isn't — then CREATE SCHEMA IF NOT EXISTS."""
+        cfg = self.cfg
+        if cfg.catalog:
+            known = {c.name for c in self.spark.catalog.listCatalogs()}
+            if cfg.catalog not in known:
+                raise IngestionError(
+                    f"catalog {cfg.catalog!r} is not registered in this "
+                    f"session (known: {sorted(known)}); register a V2 "
+                    f"catalog via spark.sql.catalog.{cfg.catalog} or drop "
+                    "cfg.catalog"
+                )
+            self.spark.catalog.setCurrentCatalog(cfg.catalog)
+        if cfg.database:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {cfg.database}")
 
     def _register_table(self) -> None:
         """External-table registration (framework.py:240-246)."""

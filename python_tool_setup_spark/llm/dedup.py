@@ -401,8 +401,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     per-node minimum; converges in O(log(diameter)) rounds for dup
     graphs (near-clique components -> typically 2-3 rounds). Each round
     is one shuffle on node id; `localCheckpoint` truncates the plan so
-    lineage doesn't grow per iteration. The driver sees only a
-    converged-yet count per round, never row data.
+    lineage doesn't grow per iteration. The previous label rides along
+    inside the same groupBy, so the convergence probe is a short-circuit
+    scan (``limit(1).count``) over the checkpointed round output — no
+    extra join or full count per round. The driver sees only that 0/1,
+    never row data.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -415,23 +418,32 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    id_type = dict(labels.dtypes)["cluster_id"]
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "cluster_id")
+        prop = edges.join(labels, edges["dst"] == labels["node"]).select(
+            F.col("src").alias("node"),
+            F.col("cluster_id").alias("cand"),
+            F.lit(None).cast(id_type).alias("old"),
+        )
+        cur = labels.select(
+            "node",
+            F.col("cluster_id").alias("cand"),
+            F.col("cluster_id").alias("old"),
         )
         new = (
-            labels.select("node", "cluster_id").union(prop)
+            cur.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cand").alias("cluster_id"),
+                # every node has exactly one non-null old label
+                F.max("old").alias("old"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
+            new.filter(F.col("cluster_id") != F.col("old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("node", "cluster_id")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")

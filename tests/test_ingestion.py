@@ -331,3 +331,23 @@ def test_azure_auth_wiring(spark):
     assert conf.get(f"fs.azure.account.oauth2.client.id.{sfx}") == "cid"
     assert conf.get(f"fs.azure.account.oauth2.client.secret.{sfx}") == "csecret"
     assert "tid" in conf.get(f"fs.azure.account.oauth2.client.endpoint.{sfx}")
+
+
+def test_catalog_shim(spark, src_dir, tmp_path):
+    write_json(os.path.join(src_dir, "a.json"), [{"k": 1}])
+    # default catalog is always registered -> selected, pipeline runs
+    ok = IngestionConfig(
+        source_path=src_dir,
+        catalog="spark_catalog",
+        target_path=str(tmp_path / "t1"),
+    )
+    make_ingestion(spark, ok).run()
+    assert spark.catalog.currentCatalog() == "spark_catalog"
+    # unregistered catalog fails fast with a clear message
+    bad = IngestionConfig(
+        source_path=src_dir,
+        catalog="unity_prod",
+        target_path=str(tmp_path / "t2"),
+    )
+    with pytest.raises(IngestionError, match="not registered"):
+        make_ingestion(spark, bad).run()
