@@ -447,3 +447,36 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ------------------------------------------- incremental dedup (L1) ----
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hash_col: str = "content_sha",
+) -> DataFrame:
+    """Cross-run exact dedup: drop batch rows whose content hash already
+    exists in a persisted hash store, keeping the min-id row per hash
+    within the batch.
+
+    This is how 100 TB pipelines dedup INCREMENTALLY — each crawl batch
+    is checked against the accumulated index instead of re-clustering
+    the full corpus. Both the in-batch winner window and the anti join
+    hash-partition on ``hash_col``, so Spark reuses one exchange; at
+    scale, persist the store bucketed by ``hash_col`` and the anti join
+    prunes to touched buckets. Survivors' hashes appended to the store
+    complete the cycle.
+    """
+    from pyspark.sql import Window
+
+    hashed = batch.withColumn(hash_col, F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    firsts = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    seen = store.select(hash_col).distinct()
+    return firsts.join(seen, hash_col, "left_anti")

@@ -149,3 +149,71 @@ def mix_weights(
         F.round("actual_share", 6).alias("actual_share"),
         F.round("weight", 6).alias("weight"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket.
+
+    The md5 bucket of the KEY decides the split, so membership is
+    stable across runs, machines, and engines (reproducible evals), a
+    document never migrates between splits as the corpus grows, and
+    the assignment is a pure per-row projection — no shuffle, no join,
+    nothing collected. At 100 TB this is a scan-speed operation.
+    """
+    b = hash_bucket(key_col)
+    val_hi = int(val_frac * HASH_MOD)
+    test_hi = val_hi + int(test_frac * HASH_MOD)
+    return df.withColumn(
+        split_col,
+        F.when(b < val_hi, "val")
+        .when(b < test_hi, "test")
+        .otherwise("train"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols,
+    order_cols,
+    max_rows: int,
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Frequency capping: keep at most ``max_rows`` rows per group
+    (e.g. per domain / source), preferring rows by ``order_cols``.
+
+    The standard anti-spam/diversity gate for web corpora: one window
+    per group partition — a single shuffle on the group key. Skewed
+    groups (one giant domain) are exactly the rows this drops, so the
+    post-cap distribution is also the balanced one.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= max_rows)
+        .drop(rank_col)
+    )
+
+
+def quantile_quality_filter(
+    df: DataFrame,
+    score_col,
+    keep_frac: float = 0.9,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Drop the worst ``1 - keep_frac`` of rows by a quality score.
+
+    The cutoff is the corpus-level ``(1 - keep_frac)`` quantile of the
+    score, computed with ``approxQuantile`` (Greenwald-Khanna, one pass,
+    driver receives ONE scalar). ``relative_error=0`` gives the exact
+    quantile for gate parity; at 100 TB pass ~1e-4 — the sketch is
+    mergeable across partitions, so no sort and no second shuffle.
+    """
+    col = score_col if isinstance(score_col, str) else score_col._jc.toString()
+    cutoff = df.approxQuantile(col, [1.0 - keep_frac], relative_error)[0]
+    return df.filter(F.col(col) >= F.lit(cutoff))

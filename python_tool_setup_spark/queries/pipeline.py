@@ -336,3 +336,114 @@ def q91_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("cluster_id", F.col("doc_id").alias("survivor"), "cluster_size")
     )
+
+
+@register(
+    "q95_train_val_test_split",
+    """
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 10000 < 100 THEN 'val'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 10000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n FROM tagged GROUP BY split, lang
+    """,
+    doc="Deterministic train/val/test split by md5 key bucket: stable "
+    "across runs and engines, zero shuffle (pure projection); the "
+    "oracle recomputes every assignment.",
+)
+def q95_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", val_frac=0.01, test_frac=0.01)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q96_cap_per_source",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    doc="Per-source frequency capping (web-corpus diversity gate): keep "
+    "the 20 longest docs per source — one window, one shuffle on the "
+    "group key; the skewed groups are exactly where rows drop.",
+)
+def q96_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_group(
+        d, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], max_rows=20
+    ).select("doc_id", "source")
+
+
+@register(
+    "q97_quality_percentile_filter",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.1) FROM documents)
+    """,
+    doc="Corpus-level quality filtering: drop the worst decile by score "
+    "(here n_chars as the stand-in quality signal). Cutoff comes from a "
+    "one-pass mergeable quantile sketch (approxQuantile; exact at "
+    "relative_error=0 for gate parity, ~1e-4 at 100 TB) — the driver "
+    "receives ONE scalar, the filter pushes down to the scan.",
+)
+def q97_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import quantile_quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = quantile_quality_filter(
+        d, "n_chars", keep_frac=0.9, relative_error=0.0
+    )
+    return kept.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@register(
+    "q98_incremental_dedup",
+    """
+    WITH store AS (
+        SELECT DISTINCT sha256(text) AS content_sha
+        FROM documents WHERE doc_id < 250
+    ),
+    firsts AS (
+        SELECT doc_id, content_sha FROM (
+            SELECT doc_id, sha256(text) AS content_sha,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    )
+    SELECT f.doc_id, f.content_sha
+    FROM firsts f LEFT JOIN store s USING (content_sha)
+    WHERE s.content_sha IS NULL
+    """,
+    doc="Incremental exact dedup: a new batch is checked against the "
+    "persisted content-hash store (here: hashes of doc_id < 250), "
+    "keeping the min-id survivor per hash within the batch. Both the "
+    "in-batch window and the anti join partition on the hash, so one "
+    "exchange serves both; at scale the store is bucketed by hash.",
+)
+def q98_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") < 250).select(
+        F.sha2("text", 256).alias("content_sha")
+    )
+    out = incremental_dedup(d, store, "doc_id")
+    return out.select("doc_id", "content_sha")

@@ -89,3 +89,52 @@ def test_dup_clusters_chain_and_isolated(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_train_val_test_split_stable(spark):
+    from python_tool_setup_spark.llm.pipeline import train_val_test_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = train_val_test_split(df, "k", val_frac=0.1, test_frac=0.1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash split is approximately proportional
+    assert 100 < counts["val"] < 300 and 100 < counts["test"] < 300
+    # stable: same assignment on recompute
+    again = train_val_test_split(df, "k", val_frac=0.1, test_frac=0.1)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_cap_per_group(spark):
+    from python_tool_setup_spark.llm.pipeline import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, 100 - i) for i in range(10)] + [("b", 99, 1)],
+        "g string, id long, score long",
+    )
+    out = cap_per_group(df, ["g"], [F.col("score").desc(), "id"], max_rows=3)
+    got = {(r["g"], r["id"]) for r in out.collect()}
+    assert got == {("a", 0), ("a", 1), ("a", 2), ("b", 99)}
+
+
+def test_quantile_quality_filter_exact(spark):
+    from python_tool_setup_spark.llm.pipeline import quantile_quality_filter
+
+    df = spark.range(1, 101).select(F.col("id").alias("score"))
+    kept = quantile_quality_filter(df, "score", keep_frac=0.9, relative_error=0.0)
+    assert kept.count() == 91  # scores 10..100 (cutoff = exact p10 element)
+    assert kept.agg(F.min("score")).collect()[0][0] == 10
+
+
+def test_incremental_dedup(spark):
+    from python_tool_setup_spark.llm.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")], "id long, text string"
+    )
+    store = spark.createDataFrame([("bb",)], "text string").select(
+        F.sha2("text", 256).alias("content_sha")
+    )
+    out = incremental_dedup(batch, store, "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 4]
