@@ -29,7 +29,8 @@ _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
         WHERE doc_id % 5 = 1
     )
     SELECT test_id,
-           ARRAY_AGG(doc_id ORDER BY doc_id) AS train_matches,
+           array_to_string(ARRAY_AGG(doc_id ORDER BY doc_id), '|')
+               AS train_matches,
            COUNT(*) AS n_matches
     FROM documents JOIN test ON sha256(documents.text) = sha256(test.text)
     GROUP BY test_id
@@ -51,7 +52,15 @@ def q81_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return contamination_report(d, test, "doc_id", "tid")
+    # gate output must be all-scalar (the driver's canonicalizer cannot
+    # sort list cells): join the match-id array to a '|' string
+    return contamination_report(d, test, "doc_id", "tid").select(
+        "test_id",
+        F.concat_ws(
+            "|", F.transform("train_matches", lambda x: x.cast("string"))
+        ).alias("train_matches"),
+        "n_matches",
+    )
 
 
 @register(
