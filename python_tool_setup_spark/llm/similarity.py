@@ -212,14 +212,27 @@ def ivf_index(
     vec_col: str = "embedding",
     num_cells: int = 16,
     seed: int = 42,
+    max_fit_rows: int = 100_000,
 ):
     """Train an IVF coarse quantizer (distributed k-means via
     pyspark.ml) and return (assigned_corpus, model): the corpus with a
-    ``__cell`` column — at scale you'd write it partitioned by cell."""
+    ``__cell`` column — at scale you'd write it partitioned by cell.
+
+    The quantizer is fitted on a bounded deterministic sample
+    (``max_fit_rows``): coarse cells only need the density SHAPE, so
+    fitting on 100 TB of vectors buys nothing over ~1e5 of them — the
+    standard FAISS-style train-on-sample. Cell ASSIGNMENT still covers
+    the full corpus (one model.transform pass)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    n = feat.count()
+    fit_set = (
+        feat.sample(fraction=min(1.0, max_fit_rows / n), seed=seed)
+        if n > max_fit_rows
+        else feat
+    )
     model = KMeans(
         k=num_cells,
         seed=seed,
@@ -228,7 +241,7 @@ def ivf_index(
         # build time with no measured recall change)
         featuresCol="__features",
         predictionCol="__cell",
-    ).fit(feat)
+    ).fit(fit_set)
     assigned = model.transform(feat).drop("__features")
     return assigned, model
 
