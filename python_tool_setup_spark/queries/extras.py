@@ -116,7 +116,11 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
     doc="Exact grouped percentiles (continuous interpolation — Spark "
-    "percentile == DuckDB quantile_cont); parallel per group key.",
+    "percentile == DuckDB quantile_cont); parallel per group key. "
+    "SCALE BOUNDARY (like q37's exact top-k): exact percentile buffers "
+    "each group's values in one task, so keep it off default 100 TB "
+    "paths — the sketch path (approx_percentile, q67's accuracy gate) "
+    "is the scale story, with this as its exactness reference.",
 )
 def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

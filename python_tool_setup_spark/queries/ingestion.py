@@ -405,3 +405,32 @@ def q90_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     put_object(spark, path, body)
     assert get_object(spark, path).decode("utf-8") == body
     return spark.read.schema("r_regionkey long, r_name string").csv(path)
+
+
+@register(
+    "q99_text_source",
+    """
+    SELECT CAST(LENGTH(text) AS BIGINT) AS n_chars, sha256(text) AS sha
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Text source format (S13): documents staged one-per-line via a "
+    "distributed text write, ingested back with the line-oriented text "
+    "reader through the pipeline (format passthrough); every line is "
+    "fingerprinted so the round trip is byte-exact, order-insensitive.",
+)
+def q99_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="text_src_")
+    target = tempfile.mkdtemp(prefix="text_tgt_")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(src)
+    cfg = IngestionConfig(
+        source_path=src,
+        source_format="text",
+        target_path=target,
+        write_mode="overwrite",
+    )
+    make_ingestion(spark, cfg).run()
+    return spark.read.parquet(target).select(
+        F.length("value").cast("bigint").alias("n_chars"),
+        F.sha2("value", 256).alias("sha"),
+    )
