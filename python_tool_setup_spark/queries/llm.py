@@ -445,11 +445,25 @@ def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, e, "vec_id", "vec_id", "embedding",
         dim=64, k=1, num_planes=8, num_tables=6,
     )
-    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", k=1)
-    return ann_recall_report(ann, exact, "vec_id", k=1, floor=1.0)
+    return ann_recall_report(ann, _exact_top1(spark, sf_dir), "vec_id",
+                             k=1, floor=1.0)
 
 
 _IVF_CACHE: dict[str, tuple] = {}
+_EXACT_TOP1: dict[str, DataFrame] = {}
+
+
+def _exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 ground truth for the planted queries, computed once
+    per corpus and shared by both ANN recall gates (q41/q42)."""
+    from python_tool_setup_spark.llm.similarity import cosine_topk
+
+    if sf_dir not in _EXACT_TOP1:
+        e = load_table(spark, sf_dir, "embeddings")
+        _EXACT_TOP1[sf_dir] = cosine_topk(
+            _planted_queries(e), e, "vec_id", "vec_id", "embedding", k=1
+        ).localCheckpoint()
+    return _EXACT_TOP1[sf_dir]
 
 
 @register(
@@ -466,7 +480,6 @@ _IVF_CACHE: dict[str, tuple] = {}
 def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.llm.similarity import (
         ann_recall_report,
-        cosine_topk,
         ivf_index,
         ivf_topk,
     )
@@ -481,8 +494,8 @@ def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_topk(
         q, assigned, model, "vec_id", "vec_id", "embedding", k=1, nprobe=3
     )
-    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", k=1)
-    return ann_recall_report(ann, exact, "vec_id", k=1, floor=1.0)
+    return ann_recall_report(ann, _exact_top1(spark, sf_dir), "vec_id",
+                             k=1, floor=1.0)
 
 
 @register(
