@@ -434,3 +434,36 @@ def q99_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("value").cast("bigint").alias("n_chars"),
         F.sha2("value", 256).alias("sha"),
     )
+
+
+@register(
+    "q101_python_datasource",
+    """
+    SELECT CAST(i % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH('doc ' || CAST(i AS VARCHAR) || ' body '
+                           || repeat('x', CAST(i % 7 AS INT)))) AS BIGINT)
+               AS total_body_chars
+    FROM range(0, 500) t(i)
+    GROUP BY 1
+    """,
+    doc="Custom Python DataSource (Spark 4 datasource API, S-extension): "
+    "a deterministic synthetic-doc generator registered as "
+    "format('synthetic_docs') with explicit input partitions — "
+    "generation runs distributed, one task per partition, rows striped "
+    "without skew. The oracle regenerates every row arithmetically.",
+)
+def q101_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.custom import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "500")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("body")).cast("bigint").alias("total_body_chars"),
+    )

@@ -574,3 +574,53 @@ def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixel_bytes",
         "pixel_sha256",
     )
+
+
+@register(
+    "q100_frame_sampling",
+    """
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 30 AND length(text) > 0
+          AND octet_length(encode(text)) = length(text)
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * 256 AS BIGINT) AS frame_offset,
+           substr(sha256(substr(text, i * 256 + 1, 256)), 1, 16)
+               AS frame_digest
+    FROM d, UNNEST(generate_series(0,
+        CAST(CEIL(length(text) / 256.0) AS INT) - 1)) AS t(i)
+    """,
+    doc="Frame-sampling plumbing (L5 video shape): each ASCII document's "
+    "bytes staged as a .bin media file, 1->N frame rows emitted per "
+    "256-byte stride via mapInPandas; the oracle recomputes every "
+    "frame digest from the same byte ranges (ASCII => char==byte), so "
+    "the 1->N batch shape is value-checked, not just counted.",
+)
+def q100_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from python_tool_setup_spark.llm.multimodal import read_media, sample_frames
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 30)
+            & (F.length("text") > 0)
+            & (F.octet_length("text") == F.length("text"))
+        )
+    )
+    media_dir = tempfile.mkdtemp(prefix="frames_")
+    for row in d.select("doc_id", "text").collect():  # 30 small local files
+        with open(os.path.join(media_dir, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    frames = sample_frames(read_media(spark, media_dir, glob="*.bin"),
+                           every_n_bytes=256)
+    return frames.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin", 1).cast("long").alias("doc_id"),
+        "frame_index",
+        "frame_offset",
+        "frame_digest",
+    )

@@ -351,3 +351,27 @@ def test_catalog_shim(spark, src_dir, tmp_path):
     )
     with pytest.raises(IngestionError, match="not registered"):
         make_ingestion(spark, bad).run()
+
+
+def test_python_datasource_striping(spark):
+    from python_tool_setup_spark.sources.custom import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "100")
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 100
+    assert sorted(r["doc_id"] for r in rows) == list(range(100))
+    # content is deterministic and partition-count independent
+    df1 = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "100")
+        .option("partitions", "7")
+        .load()
+    )
+    assert df.exceptAll(df1).count() == 0
