@@ -402,3 +402,44 @@ def ann_recall_report(
         .cast("bigint")
         .alias("n_recall_ok"),
     )
+
+
+# ------------------------------------------------- filtered search ----
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    predicate,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    assigned_corpus: DataFrame | None = None,
+    model=None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Vector search under a metadata predicate (the retrieval-with-
+    filters shape: "nearest docs WHERE lang = 'en' AND date > ...").
+
+    The predicate is applied to the corpus BEFORE the similarity work —
+    pre-filtering, the Spark-natural strategy: the filter pushes down
+    to the (partitioned/bucketed) scan, and the search cost scales with
+    the filtered subset, not the corpus. With an IVF index attached
+    (``assigned_corpus``/``model``), the probe joins cells of the
+    filtered subset only; otherwise exact brute-force over the subset.
+    Post-filtering (search first, filter the top-k after) loses recall
+    when the filter is selective — not what we want as the default.
+    """
+    if assigned_corpus is not None and model is not None:
+        return ivf_topk(
+            queries,
+            assigned_corpus.filter(predicate),
+            model,
+            query_id,
+            corpus_id,
+            vec_col,
+            k=k,
+            nprobe=nprobe,
+        )
+    return cosine_topk(
+        queries, corpus.filter(predicate), query_id, corpus_id, vec_col, k=k
+    )

@@ -624,3 +624,40 @@ def q100_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_offset",
         "frame_digest",
     )
+
+
+@register(
+    "q102_filtered_search",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE label < 5),
+         s AS (SELECT qid, cid,
+                      ROUND(list_dot_product(qv, cv)
+                            / (SQRT(list_dot_product(qv, qv))
+                               * SQRT(list_dot_product(cv, cv))), 6) AS cosine
+               FROM q CROSS JOIN c WHERE qid != cid)
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT qid AS vec_id, cid AS neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, cid) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= 3
+    """,
+    doc="Filtered vector search (retrieval-with-filters): top-3 cosine "
+    "neighbors restricted to a metadata predicate (label < 5), "
+    "PRE-filtered so the predicate pushes down to the scan and search "
+    "cost tracks the filtered subset — post-filtering the top-k would "
+    "lose recall under selective filters. Same entry point drives the "
+    "IVF-indexed variant at scale (filter the assigned corpus, probe "
+    "cells of the subset only).",
+)
+def q102_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.similarity import filtered_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return filtered_topk(
+        q, e, F.col("label") < 5, "vec_id", "vec_id", "embedding", k=3
+    )

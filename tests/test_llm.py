@@ -288,3 +288,40 @@ def test_decode_image_features_real_png(spark, tmp_path):
     import hashlib as _h
 
     assert stats["pixel_sha256"] == _h.sha256(px).hexdigest()
+
+
+def test_filtered_topk_with_ivf(spark):
+    """Filtered search through the IVF path returns the planted
+    neighbor when it satisfies the predicate, and never returns
+    filtered-out ids."""
+    import random
+
+    from python_tool_setup_spark.llm.similarity import (
+        filtered_topk,
+        ivf_index,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v, i % 2))
+    # planted near-copies of ids 0..9 (same parity label as source)
+    for i in range(10):
+        src = rows[i][1]
+        rows.append((100 + 1000 + i, [x + 0.01 for x in src], i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    corpus = df.filter(F.col("vec_id") < 1000)
+    queries = df.filter(F.col("vec_id") >= 1000)
+    assigned, model = ivf_index(corpus, "embedding", num_cells=4)
+    out = filtered_topk(
+        queries, corpus, F.col("label") == 0, "vec_id", "vec_id",
+        "embedding", k=1, assigned_corpus=assigned, model=model, nprobe=2,
+    )
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    # even-labeled queries (sources 0,2,4,..) must find their source
+    hits = sum(got.get(1100 + i) == i for i in range(0, 10, 2))
+    assert hits >= 4
+    # nothing with label 1 may appear
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[n] == 0 for n in got.values())
