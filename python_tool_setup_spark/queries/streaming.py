@@ -383,3 +383,38 @@ def q28_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="365 days",
     ).select("user_id", "event_type")
     return _drain(deduped, "append")
+
+
+@register(
+    "q103_python_stream_source",
+    """
+    SELECT CAST(i % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH('doc ' || CAST(i AS VARCHAR) || ' body '
+                           || repeat('x', CAST(i % 7 AS INT)))) AS BIGINT)
+               AS total_body_chars
+    FROM range(0, 400) t(i)
+    GROUP BY 1
+    """,
+    doc="Custom Python STREAMING DataSource (Spark 4 datasource API): an "
+    "offset-tracked synthetic stream (initialOffset/latestOffset/"
+    "partitions/read) drained with availableNow under a checkpoint — "
+    "exactly-once because any [start,end) offset range replays "
+    "identically. Aggregated per bucket; the oracle regenerates every "
+    "row arithmetically.",
+)
+def q103_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.custom import register_synthetic_stream
+
+    register_synthetic_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("rows", "400")
+        .option("partitions", "4")
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("body")).cast("bigint").alias("total_body_chars"),
+    )
+    return _drain(agg, "complete")

@@ -16,7 +16,12 @@ skew and no coordination.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -56,3 +61,62 @@ class SyntheticDocsReader(DataSourceReader):
 def register_synthetic_docs(spark) -> None:
     """Idempotent registration of the custom source with the session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ------------------------------------------------- streaming variant ----
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticStreamReader(DataSourceStreamReader):
+    """Offset-tracked stream of ``rows`` synthetic records: offsets are
+    plain row positions, each microbatch covers [start, end) split into
+    ``partitions`` executor tasks. ``availableNow`` drains to
+    ``latestOffset`` exactly once — replayable from any committed
+    offset, which is what makes the source exactly-once under
+    checkpointing."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 1000))
+        self.parts = int(options.get("partitions", 4))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        return {"pos": self.total}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        width = max(1, (hi - lo + self.parts - 1) // self.parts)
+        return [
+            _RangePartition(p, min(p + width, hi))
+            for p in range(lo, hi, width)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield (i, i % 10, f"doc {i} body {'x' * (i % 7)}")
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``readStream.format("synthetic_stream")`` — deterministic
+    counter stream with the same row contents as ``synthetic_docs``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, bucket int, body string"
+
+    def streamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
+
+
+def register_synthetic_stream(spark) -> None:
+    spark.dataSource.register(SyntheticStreamDataSource)

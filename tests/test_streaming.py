@@ -314,3 +314,29 @@ def test_streaming_merge_bucketed_target(spark, tmp_path):
     got = {(r["k"], r["v"])
            for r in read_bucketed_target(spark, target).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_python_stream_source_resume(spark, tmp_path):
+    """The custom Python stream source is exactly-once across a
+    stop/restart: a second availableNow run from the same checkpoint
+    adds nothing."""
+    from python_tool_setup_spark.sources.custom import register_synthetic_stream
+
+    register_synthetic_stream(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = (
+            spark.readStream.format("synthetic_stream")
+            .option("rows", "120")
+            .option("partitions", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == 120
+    assert back.select("doc_id").distinct().count() == 120
