@@ -443,3 +443,80 @@ def filtered_topk(
     return cosine_topk(
         queries, corpus.filter(predicate), query_id, corpus_id, vec_col, k=k
     )
+
+
+# ------------------------------------------------- hybrid retrieval ----
+def hybrid_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    text_col: str = "text",
+    k: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hybrid retrieval: ``alpha * cosine + (1-alpha) * token-Jaccard``.
+
+    The lexical leg (token-set Jaccard) catches exact keyword matches
+    that embedding geometry can miss; the vector leg catches paraphrase.
+    Both legs are JVM expressions over one broadcast(queries) × corpus
+    scan — same single-pass cost shape as ``cosine_topk``; at scale the
+    corpus side comes pre-filtered (``filtered_topk``) or bucketed.
+    Scores are rounded before ranking so ordering is engine-stable.
+    """
+    from python_tool_setup_spark.llm.text import tokenize
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qnorm"),
+            F.array_distinct(tokenize(text_col)).alias("__qtoks"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+        F.array_distinct(tokenize(text_col)).alias("__ctoks"),
+    )
+    inter = F.size(F.array_intersect("__qtoks", "__ctoks"))
+    uni = F.size(F.array_union("__qtoks", "__ctoks"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "lexical",
+            F.round(inter / F.greatest(uni, F.lit(1)), 6),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(alpha) * F.col("cosine")
+                + F.lit(1 - alpha) * F.col("lexical"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            "cosine",
+            "lexical",
+            "score",
+            "rank",
+        )
+    )

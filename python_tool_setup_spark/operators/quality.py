@@ -71,3 +71,39 @@ def quarantine(
     good = tagged.filter(F.size("_failed_rules") == 0).drop("_failed_rules")
     bad = tagged.filter(F.size("_failed_rules") > 0)
     return good, bad
+
+
+def outlier_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag rows whose value is more than ``threshold`` sample standard
+    deviations from its group mean.
+
+    Group moments come from ONE aggregate (count/mean/stddev — all
+    mergeable, map-side combined) broadcast back onto the rows, so the
+    big side is scanned once and never shuffled: the statistical
+    sibling of the rule-based ``expectation_report``. The z column is
+    rounded so the flag is engine-stable."""
+    keys = list(group_cols)
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev(value_col).alias("__sigma"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.round(
+        (F.col(value_col) - F.col("__mu"))
+        / F.when(F.col("__sigma") > 0, F.col("__sigma")),
+        4,
+    )
+    return (
+        joined.withColumn("z", z)
+        .withColumn("is_outlier", F.abs(F.col("z")) > threshold)
+        .drop("__mu", "__sigma")
+    )

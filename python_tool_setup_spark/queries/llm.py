@@ -661,3 +661,50 @@ def q102_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_topk(
         q, e, F.col("label") < 5, "vec_id", "vec_id", "embedding", k=3
     )
+
+
+@register(
+    "q104_hybrid_retrieval",
+    f"""
+    WITH docs AS (
+        SELECT d.doc_id, LIST_DISTINCT({_SQL_TOKS}) AS toks,
+               e.embedding::DOUBLE[] AS vec
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT doc_id AS qid, toks AS qtoks, vec AS qv
+          FROM docs WHERE qid < 5),
+    s AS (
+        SELECT qid, c.doc_id AS cid,
+               ROUND(list_dot_product(qv, c.vec)
+                     / (SQRT(list_dot_product(qv, qv))
+                        * SQRT(list_dot_product(c.vec, c.vec))), 6) AS cosine,
+               ROUND(CAST(LEN(LIST_INTERSECT(qtoks, c.toks)) AS DOUBLE)
+                     / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(qtoks, c.toks))),
+                                1), 6) AS lexical
+        FROM q CROSS JOIN docs c WHERE qid != c.doc_id
+    )
+    SELECT doc_id, neighbor_id, cosine, lexical, score, rank FROM (
+        SELECT qid AS doc_id, cid AS neighbor_id, cosine, lexical,
+               ROUND(0.5 * cosine + 0.5 * lexical, 6) AS score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY ROUND(0.5 * cosine + 0.5 * lexical, 6) DESC,
+                             cid) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= 3
+    """,
+    doc="Hybrid retrieval: alpha*cosine + (1-alpha)*token-Jaccard over "
+    "a documents-embeddings join (doc_id = vec_id) — the lexical leg "
+    "catches keyword matches embedding geometry misses, the vector leg "
+    "catches paraphrase. One broadcast(queries) x corpus scan, all "
+    "JVM expressions; the oracle recomputes both legs and the fusion.",
+)
+def q104_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.similarity import hybrid_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", "text", "embedding"
+    )
+    q = joined.filter(F.col("doc_id") < 5)
+    return hybrid_topk(q, joined, "doc_id", "doc_id", "embedding", "text", k=3)

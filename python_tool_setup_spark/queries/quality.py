@@ -140,3 +140,37 @@ def q78_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.groupBy(
         F.concat_ws(",", "_failed_rules").alias("failed")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q105_outlier_zscore",
+    """
+    WITH stats AS (
+        SELECT o_orderstatus,
+               AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(ROUND((o.o_totalprice - s.mu) / s.sigma, 4))
+                              > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS(ROUND((o.o_totalprice - s.mu) / s.sigma, 4))), 4)
+               AS max_abs_z
+    FROM orders o JOIN stats s USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Statistical outlier detection: per-group z-score against "
+    "mergeable one-pass moments (count/mean/stddev), group stats "
+    "broadcast back — the big side is scanned once, never shuffled. "
+    "The statistical sibling of the rule-based expectations (q77).",
+)
+def q105_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.quality import outlier_zscore
+
+    o = load_table(spark, sf_dir, "orders")
+    flagged = outlier_zscore(o, "o_totalprice", ["o_orderstatus"], 3.0)
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )

@@ -85,3 +85,16 @@ def test_quarantine_split_and_failed_rules(spark):
     assert [r["id"] for r in good.collect()] == [1]
     got = {tuple(r["_failed_rules"]): r["id"] for r in bad.collect()}
     assert got == {("qty_range",): 2, ("qty_range", "id_not_null"): None}
+
+
+def test_outlier_zscore(spark):
+    from python_tool_setup_spark.operators.quality import outlier_zscore
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 8, 10, 11, 9, 10, 100]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = outlier_zscore(df, "v", ["g"], threshold=3.0)
+    flagged = [r["v"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [100.0]
+    # constant group: sigma = 0 -> z null -> never flagged
+    const = spark.createDataFrame([("c", 5.0)] * 4, "g string, v double")
+    assert outlier_zscore(const, "v", ["g"]).filter("is_outlier").count() == 0
