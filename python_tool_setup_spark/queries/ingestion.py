@@ -467,3 +467,40 @@ def q101_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("body")).cast("bigint").alias("total_body_chars"),
     )
+
+
+@register(
+    "q106_python_datasink",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Custom Python DataSource WRITER (Spark 4 datasource API): rows "
+    "staged one JSONL file per task under unique names, then a "
+    "driver-side commit publishes a manifest — the two-phase commit "
+    "shape of every distributed sink (abort discards staged files). "
+    "Readback aggregates must match the pre-write aggregate.",
+)
+def q106_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.custom import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    out = tempfile.mkdtemp(prefix="pysink_")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderstatus", "o_totalprice")
+        # few, full tasks: each task pays a Python worker round trip,
+        # so don't fan a small write across 32 slivers
+        .coalesce(4)
+    )
+    src.write.format("jsonl_dir").option("path", out).mode("append").save()
+    back = spark.read.schema("o_orderstatus string, o_totalprice double").json(
+        out, pathGlobFilter="part-*.jsonl"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -20,7 +20,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -120,3 +122,70 @@ class SyntheticStreamDataSource(DataSource):
 
 def register_synthetic_stream(spark) -> None:
     spark.dataSource.register(SyntheticStreamDataSource)
+
+
+# --------------------------------------------------- writer variant ----
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename, self.rows = filename, rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """One JSONL file per task, written to a unique name and reported
+    via a commit message — the two-phase shape every distributed sink
+    needs: tasks stage independently, the driver's ``commit`` sees the
+    full manifest (or ``abort`` discards). No coordination during the
+    write; rename/manifest publication is the only serial step."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            m.filename: m.rows for m in messages if m is not None
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            f.write(_json.dumps(manifest, sort_keys=True))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", dir)`` — a custom
+    Python sink with per-task staging + driver-side manifest commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
+def register_jsonl_dir(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)

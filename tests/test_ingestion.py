@@ -375,3 +375,22 @@ def test_python_datasource_striping(spark):
         .load()
     )
     assert df.exceptAll(df1).count() == 0
+
+
+def test_python_datasink_manifest(spark, tmp_path):
+    import json as _json
+
+    from python_tool_setup_spark.sources.custom import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    spark.range(50).selectExpr("id", "id % 3 AS b").repartition(4).write.format(
+        "jsonl_dir"
+    ).option("path", out).mode("append").save()
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(manifest.values()) == 50
+    assert len(manifest) == 4  # one staged file per task
+    back = spark.read.json(out, pathGlobFilter="part-*.jsonl")
+    assert back.count() == 50
+    assert sorted(r["id"] for r in back.collect()) == list(range(50))
