@@ -106,3 +106,34 @@ def bucketed_join(
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     return left.join(right, list(on), how)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostics to run BEFORE a big join/agg ships: the
+    ``top_n`` heaviest keys with their row share and skew factor
+    (rows / mean-rows-per-key). A skew factor in the hundreds says
+    "salt this key or let AQE split it"; ~1 says the shuffle is safe.
+
+    One aggregate on the key (map-side combined) + a TakeOrdered of
+    ``top_n`` rows + a broadcast scalar join — nothing driver-side,
+    safe to point at the full fact table.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    stats = counts.agg(
+        F.sum("key_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    top = counts.orderBy(F.col("key_rows").desc(), *keys).limit(top_n)
+    return top.crossJoin(F.broadcast(stats)).select(
+        *keys,
+        "key_rows",
+        F.round(F.col("key_rows") / F.col("__total"), 6).alias("row_share"),
+        F.round(
+            F.col("key_rows") / (F.col("__total") / F.col("__nkeys")), 4
+        ).alias("skew_factor"),
+    )

@@ -256,3 +256,30 @@ def q89_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_upsert_bucketed(spark, target, src, ["o_orderkey"], num_buckets=16)
     return read_bucketed_target(spark, target)
+
+
+@register(
+    "q107_skew_report",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS key_rows FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT SUM(key_rows) AS total, COUNT(*) AS nkeys FROM counts
+    )
+    SELECT user_id, CAST(key_rows AS BIGINT) AS key_rows,
+           ROUND(CAST(key_rows AS DOUBLE) / total, 6) AS row_share,
+           ROUND(key_rows / (CAST(total AS DOUBLE) / nkeys), 4) AS skew_factor
+    FROM counts, stats
+    ORDER BY key_rows DESC, user_id
+    LIMIT 10
+    """,
+    doc="Hot-key skew diagnostics (the pre-flight for salted_join/AQE "
+    "skew handling): top-10 heaviest join keys with row share and "
+    "skew factor, from one map-side-combined aggregate + a top-k — "
+    "nothing collected, safe on the full fact table.",
+)
+def q107_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), ["user_id"], 10)

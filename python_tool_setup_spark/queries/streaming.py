@@ -410,7 +410,7 @@ def q103_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("synthetic_stream")
         .option("rows", "400")
-        .option("partitions", "4")
+        .option("partitions", "2")
         .load()
     )
     agg = stream.groupBy("bucket").agg(

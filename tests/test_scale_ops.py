@@ -150,3 +150,26 @@ def test_morton_zorder_skips_on_both_columns(spark, sf_dir):
     assert avg_span(linear, "l_suppkey") > 0.9 * glob["b"]
     # clustering never changes the data
     assert morton.count() == li.count()
+
+
+def test_skew_report_flags_hot_key(spark):
+    from python_tool_setup_spark.operators.skew import skew_report
+
+    rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    rep = skew_report(df, ["k"], top_n=3).collect()
+    assert rep[0]["k"] == 1 and rep[0]["key_rows"] == 90
+    assert rep[0]["row_share"] == 0.9
+    # 100 rows / 11 keys -> mean ~9.09 -> skew factor ~9.9
+    assert 9.0 < rep[0]["skew_factor"] < 11.0
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from python_tool_setup_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, b, ["k"], how="full_outer")
