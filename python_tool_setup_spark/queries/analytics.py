@@ -153,3 +153,52 @@ def q94_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("week_offset"),
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q108_resample_gapfill",
+    """
+    WITH ev AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value
+        FROM events WHERE user_id % 30 = 0
+    ),
+    hourly AS (
+        SELECT user_id, h, COUNT(*) AS n_events,
+               ROUND(SUM(value), 3) AS sum_value,
+               SUM(value) / COUNT(*) AS av
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+        FROM bounds
+    )
+    SELECT g.user_id,
+           STRFTIME(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, 0.0) AS sum_value,
+           ROUND(last_value(av IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.h
+                       ROWS UNBOUNDED PRECEDING), 6) AS carry_avg
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+    doc="Time-series resample + gap fill + LOCF: one row per (user, "
+    "hour) from each user's first to last event — quiet hours carry "
+    "explicit zeros and the last known hourly mean. Dense grid is "
+    "generated executor-side (sequence+explode); agg, grid join and "
+    "carry window all partition on the key, one exchange reused.",
+)
+def q108_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.timeseries import resample_gapfill
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 30 == 0)
+    out = resample_gapfill(e, "ts", ["user_id"], "value", "1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", _TS_FMT).alias("hour"),
+        "n_events",
+        "sum_value",
+        "carry_avg",
+    )

@@ -187,3 +187,24 @@ def test_bucketed_merge_bootstrap_empty_target(spark, tmp_path):
     merge_upsert_bucketed(spark, target, src, ["k"], num_buckets=4)
     got = {(r["k"], r["v"]) for r in read_bucketed_target(spark, target).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_resample_gapfill_locf(spark):
+    from python_tool_setup_spark.operators.timeseries import resample_gapfill
+
+    rows = [
+        ("u", "2024-01-01 00:10:00", 2.0),
+        ("u", "2024-01-01 00:40:00", 4.0),
+        # 01:00 empty -> gap
+        ("u", "2024-01-01 02:05:00", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {r["bucket"].hour: r for r in
+           resample_gapfill(df, "ts", ["user_id"], "value").collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_events"] == 2 and out[0]["sum_value"] == 6.0
+    assert out[1]["n_events"] == 0 and out[1]["sum_value"] == 0.0
+    assert out[1]["carry_avg"] == 3.0   # carried from hour 0 (mean of 2,4)
+    assert out[2]["carry_avg"] == 10.0
