@@ -147,3 +147,88 @@ def repetition_score(
         F.round(F.max("__c") / F.sum("__c"), 6).alias("max_ngram_ratio"),
         F.sum("__c").alias("n_ngrams"),
     )
+
+
+def segment_word_lines(
+    text_col: Column | str, words_per_line: int = 10
+) -> Column:
+    """Segment text into fixed-width word "lines" → array<string>.
+
+    Real corpora segment on newlines; the fixture text is single-line,
+    so the splitter is a fixed word window (pluggable — every consumer
+    takes the segmented array, not raw text). Executor-side array ops
+    only; no Python, no shuffle.
+    """
+    from python_tool_setup_spark.llm.text import tokenize
+
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_lines = F.ceil(n / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * words_per_line + 1, words_per_line), " "
+        ),
+    )
+    # sequence(0, -1) would count DOWN in Spark; guard empty docs
+    return F.when(n > 0, lines).otherwise(F.array().cast("array<string>"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    words_per_line: int = 10,
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: drop every
+    line that occurs verbatim in >= ``min_docs`` distinct documents
+    (nav bars, cookie banners, license headers), then reassemble each
+    document from its surviving lines in order.
+
+    Scale plan (the interesting part at 100 TB):
+    - line frequency = groupBy(line).count over the DISTINCT
+      (line, doc) pairs — two shuffles with full partial aggregation;
+      the hot boilerplate lines are exactly the skewed keys, and
+      count-distinct-style pre-aggregation absorbs them map-side.
+    - the boilerplate SET is small by construction (<= total_lines /
+      min_docs entries, in practice tiny), so the removal join is a
+      broadcast LEFT ANTI — the corpus itself never shuffles for the
+      filter. ``broadcast_boiler=False`` falls back to a shuffle
+      anti-join for pathological thresholds.
+    - reassembly is the one unavoidable wide shuffle (groupBy doc).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(segment_word_lines(text_col, words_per_line)).alias(
+            "__pos", "__line"
+        ),
+    )
+    boiler = (
+        lines.select("__line", id_col)
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__line")
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "__line", "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__line"))).alias(
+                "__s"
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("__s", lambda s: s["__line"]), " "
+            ).alias("clean_text"),
+            F.size("__s").cast("bigint").alias("n_lines_kept"),
+        )
+    )
+    return reassembled

@@ -480,3 +480,57 @@ def incremental_dedup(
     )
     seen = store.select(hash_col).distinct()
     return firsts.join(seen, hash_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: Sequence[str] = ("lang", "source"),
+    max_distance: int = 8,
+    prefix_len: int = 120,
+    length_bucket: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by bounded edit distance within cheap
+    blocks — the "fuzzy" complement to MinHash (word-level) and
+    SimHash (bit-level): catches small character edits (typos, OCR
+    noise, templated ids) that keep most shingles intact but also the
+    short texts where shingle statistics are too sparse.
+
+    Blocking = equality on ``block_cols`` + a text-length bucket, so
+    the quadratic levenshtein only runs inside each block's equi-join
+    partition, never all-pairs. ``prefix_len`` caps the O(m*n) DP per
+    pair, and Spark's thresholded ``levenshtein(l, r, max)`` bails out
+    of the DP as soon as the running distance exceeds ``max`` — at
+    100 TB the cost is (block sizes)^2 * O(prefix * max), with blocks
+    kept small by the length bucket.
+    """
+    pref = F.substring(F.col(text_col), 1, prefix_len)
+    blocked = df.select(
+        F.col(id_col),
+        pref.alias("__p"),
+        F.floor(F.length(text_col) / length_bucket).alias("__lb"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = blocked.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__p").alias("__pa"),
+        "__lb",
+        *[F.col(c) for c in block_cols],
+    )
+    b = blocked.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__p").alias("__pb"),
+        "__lb",
+        *[F.col(c) for c in block_cols],
+    )
+    keys = ["__lb", *block_cols]
+    # thresholded levenshtein returns -1 above max_distance: >= 0 is
+    # exactly "distance <= max_distance" with DP early-exit
+    dist = F.levenshtein("__pa", "__pb", max_distance)
+    return (
+        a.join(b, keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist >= 0)
+        .select("a_id", "b_id", dist.cast("bigint").alias("edit_dist"))
+    )

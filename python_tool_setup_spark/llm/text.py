@@ -112,3 +112,36 @@ def fingerprint_minhash(
 
     sh = shingles(text, shingle_size)
     return F.array_min(F.transform(sh, lambda s: md5_hash32(s, seed)))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram
+    language model — the classic cheap "perplexity filter" for
+    pretraining data (outlier docs score high; KenLM-style n-gram
+    models drop in the same way, this is the n=1 case).
+
+    Two aggregations: (1) global token counts -> probabilities
+    (vocabulary-sized, partial-aggregated map-side); (2) per-doc mean
+    of -ln p over its tokens. The vocab side is broadcast — a natural-
+    language vocabulary is millions of rows at worst, far under
+    broadcast limits — so the exploded corpus never shuffles for the
+    join; the only wide exchange is the per-doc re-aggregation."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # total tokens as a 1-row broadcast attach (no driver round-trip)
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok", (F.col("__c") / F.col("__n")).alias("__p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("xent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )

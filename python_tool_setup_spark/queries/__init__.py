@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         quality,
         cleaning,
         analytics,
+        corpus,
     )
 
     return dict(_REGISTRY)
