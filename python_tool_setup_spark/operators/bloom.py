@@ -1,30 +1,42 @@
 """Bloom-filter semi-join pruning: filter a huge fact table against a
 small/medium key set WITHOUT shuffling the fact side.
 
-The pattern (what Spark's own runtime row-group filters do inside AQE,
-exposed here as an explicit, composable operator — parity with the
-reference's "filter early" guidance, reference framework.py's staged
-ingest): build a tiny bitmask from the build side's join keys, embed it
-as a literal in a scan-stage predicate on the probe side, then finish
+This is the runtime-filter pattern Spark itself applies inside AQE
+(InjectRuntimeFilter: bloom_filter_agg on the build side, shipped to
+the probe scan as a scalar subquery + might_contain) — exposed here as
+an explicit, composable operator, since the native expressions aren't
+registered for SQL/PySpark use (parity with the reference's "filter
+early" staged-ingest guidance, reference framework.py). Build a bitmask
+from the build side's join keys, broadcast it to the probe side as a
+ONE-ROW array column, prefilter with pure JVM bit probes, then finish
 with the exact join. The bloom pass has NO false negatives, so
 ``bloom_semi_join`` is exactly ``probe ⋉ build`` — the bitmask only
-prunes rows (and, after predicate pushdown, whole row groups) before
-the shuffle.
+prunes rows before the exact join's shuffle/broadcast.
 
 Scale notes:
-- build: one partial-aggregated groupBy over <= num_bits/64 word slots
-  (default 128 rows) — the collect is bounded by the mask size, never
-  by data volume.
-- probe: pure JVM expressions (md5 → conv → getbit) evaluated inside
-  the scan's WholeStageCodegen; zero extra shuffle, zero Python.
-- sizing: false-positive rate ~ (1 - e^{-kn/m})^k; with the default
-  m=8192 bits / k=3 it stays < 5% up to n≈1000 distinct keys. Callers
-  with bigger build sides pass a bigger ``num_bits`` (the mask is
-  m/8 bytes of literal — 1 MiB mask ≈ 8M bits, still broadcast-cheap).
+- build: explode k positions → partial-aggregated groupBy over
+  <= num_bits/64 word slots; only the sparse (word, bits) rows reach
+  the driver (bounded by mask size, <= 1 MiB, never by data volume),
+  which scatters them into the dense word list.
+- probe: BroadcastNestedLoopJoin of the 1-row mask (the scalar-attach
+  shape — no shuffle of the fact side), then 2 xxhash64 calls +
+  Kirsch-Mitzenmacher double hashing → k element_at/getbit probes into
+  the SHARED broadcast ArrayData. Everything stays in WholeStageCodegen
+  with zero per-row allocation. (Rejected alternatives, measured at
+  sf0.1: a CreateArray-of-8192-literals mask is rebuilt per row by
+  codegen — 25 s; a hex-string literal probed with substring pays
+  O(position) codepoint counting — minutes. This path: ~0.9 s steady
+  state on 600k rows.)
+- sizing: false-positive rate ~ (1 - e^{-kn/m})^k. An under-sized mask
+  silently degrades to "prune nothing while paying the hash cost", so
+  by default the mask is AUTO-SIZED from the build-side key count
+  (one count() on the small side): m = next_pow2(12 * n), clamped to
+  [8192, 2^23]. 2^23 bits = 1 MiB broadcast; beyond ~700k build keys
+  the bloom stops paying for itself and callers should use a plain
+  shuffle join.
 
-Uses the engine-independent md5 hash (llm/dedup.py) so oracles can
-reproduce the pruning decision if needed; the gate oracle only needs
-the exact-join result, since bloom-then-exact ≡ exact.
+The oracle gate only needs the exact-join result (bloom-then-exact ≡
+exact), so the probe hash does not need to be engine-independent.
 """
 
 from __future__ import annotations
@@ -32,27 +44,52 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.llm.dedup import md5_hash32
+_MIN_BITS = 8192
+_MAX_BITS = 1 << 23
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k independent bit positions for a key, via seeded md5 hashes."""
-    s = key.cast("string")
+    """k bit positions for a key via Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod m from two seeded xxhash64 calls,
+    instead of k independent digests. Two hash evaluations per row
+    total, regardless of k. Both hashes are reduced mod m up front so
+    the combination arithmetic can't overflow under ANSI mode."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(F.lit(0x9E3779B9), key), F.lit(num_bits))
     return [
-        F.pmod(md5_hash32(s, seed=i + 1), F.lit(num_bits))
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
         for i in range(num_hashes)
     ]
+
+
+def sized_bits(n_keys: int) -> int:
+    """Mask size for ``n_keys`` build keys: ~12 bits/key (FP < 1% at
+    k=3), rounded up to a power of two, clamped to [8192, 2^23]."""
+    bits = _MIN_BITS
+    while bits < 12 * max(n_keys, 1) and bits < _MAX_BITS:
+        bits <<= 1
+    return bits
 
 
 def bloom_bitmask(
     build: DataFrame,
     key_col: str,
-    num_bits: int = 8192,
+    num_bits: int = _MIN_BITS,
     num_hashes: int = 3,
 ) -> list[int]:
     """Aggregate the build side's keys into a bitmask of
-    ``num_bits / 64`` longs. One narrow aggregation; the driver only
-    ever sees <= num_bits/64 rows regardless of build-side size."""
+    ``num_bits / 64`` longs. The heavy part (explode k positions,
+    bit_or per word slot) is a distributed partial aggregation over
+    <= num_bits/64 groups regardless of build-side size; only the
+    sparse (word, bits) rows reach the driver, which scatters them
+    into the dense word list (<= 1 MiB by the _MAX_BITS clamp).
+
+    Densifying driver-side is deliberate: an executor-side
+    transform(sequence, element_at(map)) is an interpreted
+    higher-order function with O(words²) map scans (~5 s per
+    evaluation at 8192 words), re-executed on every broadcast of the
+    mask plan — measured 4× slower end-to-end than this bounded
+    collect."""
     num_words = (num_bits + 63) // 64
     pos = build.select(
         F.explode(
@@ -80,18 +117,25 @@ def bloom_prefilter(
     probe: DataFrame,
     key_col: str,
     mask: list[int],
-    num_bits: int = 8192,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """Keep only probe rows whose key *may* be in the build set: every
-    one of the k hashed bits is set in the literal mask. Pure scan-side
-    expression — survives into WholeStageCodegen, no join, no shuffle."""
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in mask])
+    one of the k hashed bits is set in the broadcast mask. The mask
+    words attach as a ONE-ROW locally-materialized DataFrame via
+    BroadcastNestedLoopJoin (the scalar-attach shape — no shuffle of
+    the probe side); the probes are codegen'd element_at/getbit reads
+    of the shared broadcast ArrayData, with zero per-row allocation."""
+    if num_bits is None:
+        num_bits = 64 * len(mask)
+    mask_df = probe.sparkSession.createDataFrame(
+        [([int(w) for w in mask],)], "mask: array<bigint>"
+    )
     cond = F.lit(True)
     for p in _positions(F.col(key_col), num_bits, num_hashes):
-        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        word = F.element_at(F.col("mask"), (p / 64).cast("int") + 1)
         cond = cond & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
-    return probe.filter(cond)
+    return probe.crossJoin(F.broadcast(mask_df)).filter(cond).drop("mask")
 
 
 def bloom_semi_join(
@@ -99,15 +143,22 @@ def bloom_semi_join(
     build: DataFrame,
     probe_key: str,
     build_key: str,
-    num_bits: int = 8192,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """Exactly ``probe ⋉ build`` (LEFT SEMI), with a bloom prefilter so
-    only candidate rows reach the exact join's shuffle/broadcast."""
-    mask = bloom_bitmask(build, build_key, num_bits, num_hashes)
+    only candidate rows reach the exact join's shuffle/broadcast.
+
+    ``num_bits=None`` (default) auto-sizes the mask from the build
+    side's distinct-key count — one cheap count() on the SMALL side —
+    so a build set that outgrows a fixed mask can't silently saturate
+    it into a no-op filter."""
+    # persist: the distinct key set is read three times (sizing count,
+    # mask build, final exact join) and is small by contract.
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    keys.persist()
+    if num_bits is None:
+        num_bits = sized_bits(keys.count())
+    mask = bloom_bitmask(keys, probe_key, num_bits, num_hashes)
     pre = bloom_prefilter(probe, probe_key, mask, num_bits, num_hashes)
-    return pre.join(
-        build.select(F.col(build_key).alias(probe_key)).distinct(),
-        on=probe_key,
-        how="left_semi",
-    )
+    return pre.join(keys, on=probe_key, how="left_semi")
