@@ -38,17 +38,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan — Catalyst handles
     column pruning / predicate pushdown from whatever the caller selects.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read nanos as long and truncate to microseconds with
-    integer division (same truncation DuckDB applies), keeping the
-    conversion exact — a double division would lose precision at 1e18 ns.
+    ``events.parquet`` has stored its timestamp differently across
+    fixture generations: TIMESTAMP(NANOS) (which the Spark scan rejects
+    unless read as long) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (which Spark reads as TIMESTAMP_NTZ — unusable for watermarks).
+    Normalize both to the session-zone TIMESTAMP type: nanos truncate
+    exactly via integer division (same truncation DuckDB applies), and
+    NTZ casts wall-clock-preserving under the UTC session zone.
     """
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
