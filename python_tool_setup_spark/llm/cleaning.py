@@ -232,3 +232,49 @@ def remove_boilerplate_lines(
         )
     )
     return reassembled
+
+
+# Latin-1 accented codepoints folded to ASCII; the identical pair of
+# from/to strings is used by the DuckDB oracle's translate(), so the
+# mapping can never diverge between engines.
+ACCENT_FROM = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_text(text_col: Column | str) -> Column:
+    """Canonical text key: lowercase, fold Latin-1 accents, collapse
+    runs of whitespace to one space, trim.
+
+    Pure scan-stage JVM expressions (lower/translate/regexp_replace),
+    so normalization fuses into whole-stage codegen with whatever
+    projection follows — at 100 TB it adds zero extra passes.
+    """
+    c = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    c = F.translate(c, ACCENT_FROM, ACCENT_TO)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalized_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup on the canonical key: documents equal after
+    :func:`normalize_text` collapse to one group. Returns one row per
+    group: (survivor id = min id, n_variants, norm_len), the same
+    hash-groupBy shape as exact_dedup but case/space/accent-blind.
+    """
+    norm = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    )
+    return (
+        norm.groupBy("__norm")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .select(
+            "survivor_id",
+            "n_variants",
+            F.length("__norm").cast("bigint").alias("norm_len"),
+        )
+    )

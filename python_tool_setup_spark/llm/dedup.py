@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -533,4 +533,104 @@ def edit_distance_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dist >= 0)
         .select("a_id", "b_id", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span detection (suffix-array-style substring
+    dedup, re-expressed relationally — the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" operation).
+
+    Every length-``shingle_len`` token window is hashed into an
+    inverted index; windows whose exact text occurs in >= ``min_docs``
+    distinct documents mark duplicated positions, and overlapping
+    positions are merged into maximal spans per document with one
+    gaps-and-islands window pass. Work is Σ(postings per shingle) —
+    never all-pairs — and both shuffles (shingle index, per-doc
+    windows) key on high-cardinality columns.
+
+    Returns one row per document that contains at least one duplicated
+    span: (id, n_dup_spans, dup_tokens, n_tokens, dup_fraction).
+    """
+    L = int(shingle_len)
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda t: t != F.lit(""),
+            ).alias("__tk"),
+        )
+        .withColumn("__n_tokens", F.size("__tk"))
+        .filter(F.col("__n_tokens") >= L)
+    )
+    sh = toks.select(
+        "__id",
+        "__n_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__tk) - {L}), "
+                f"p -> array_join(slice(__tk, p + 1, {L}), ' '))"
+            )
+        ).alias("__p", "__sh"),
+    )
+    dup = (
+        sh.select("__sh", "__id")
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__sh")
+    )
+    hits = sh.join(dup, "__sh", "left_semi")
+
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn("__end", F.col("__p") + F.lit(L - 1))
+        .withColumn("__prev_end", F.max("__end").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev_end").isNull()
+                | (F.col("__p") > F.col("__prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w_run))
+    )
+    spans = islands.groupBy("__id", "__n_tokens", "__island").agg(
+        F.min("__p").alias("__s"), F.max("__end").alias("__e")
+    )
+    return (
+        spans.groupBy("__id", "__n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("__e") - F.col("__s") + 1)
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_dup_spans",
+            "dup_tokens",
+            F.col("__n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("dup_tokens") / F.col("__n_tokens"), 6).alias(
+                "dup_fraction"
+            ),
+        )
     )

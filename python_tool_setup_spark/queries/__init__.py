@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         cleaning,
         analytics,
         corpus,
+        batch3,
     )
 
     return dict(_REGISTRY)

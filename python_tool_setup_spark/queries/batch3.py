@@ -1,0 +1,336 @@
+"""Scale/corpus operator gates, batch 3 (q116-q120): zone-map file
+skipping, PageRank link centrality, BM25 keyword retrieval, text
+canonicalization dedup, repeated-span (exact substring) dedup.
+
+Oracle conventions as everywhere: identical aliases both sides,
+integer aggregates cast to BIGINT, doubles ROUNDed identically,
+scalar-only output columns, deterministic tie-breaks on every ordered
+selection.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.operators.graph import pagerank, pagerank_oracle_sql
+from python_tool_setup_spark.operators.zonemap import build_zone_map, pruned_read
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q116
+# sf_dir -> monthly-partitioned lineitem dir (one file per month)
+_ZONED: dict[str, str] = {}
+
+_Z_LO = datetime.datetime(1994, 3, 15)
+_Z_HI = datetime.datetime(1994, 6, 10)
+
+
+@register(
+    "q116_zonemap_skipping",
+    """
+    WITH f AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS m,
+               MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+        FROM lineitem GROUP BY 1
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        ROUND(SUM(l_quantity), 2) AS sum_qty,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+         WHERE mn <= TIMESTAMP '1994-06-10 00:00:00'
+           AND mx >= TIMESTAMP '1994-03-15 00:00:00') AS files_read,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS files_total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-03-15 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1994-06-10 00:00:00'
+    """,
+    doc="Zone-map data skipping (the Delta-stats / Iceberg-manifest "
+    "pattern): lineitem is laid out one file per ship-month, a per-file "
+    "min/max stats table is built in one distributed pass, and a "
+    "93-day range scan reads ONLY the files whose range intersects — "
+    "files_read vs files_total proves the skip, and the aggregate "
+    "equals the full-scan answer exactly (the residual predicate "
+    "reapplies after pruning). The oracle reconstructs the per-month "
+    "file ranges relationally.",
+)
+def q116_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    layout = _ZONED.get(sf_dir)
+    if layout is None:
+        layout = tempfile.mkdtemp(prefix="zonemap_") + "/lineitem"
+        # one task per month -> exactly one file per month directory
+        (
+            li.withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .repartition("ship_month")
+            .write.partitionBy("ship_month")
+            .parquet(layout)
+        )
+        _ZONED[sf_dir] = layout
+    zmap = build_zone_map(spark, layout, ["l_shipdate"])
+    scan = pruned_read(spark, layout, zmap, "l_shipdate", _Z_LO, _Z_HI)
+    assert scan.files_read < scan.files_total, "zone map pruned nothing"
+    return scan.df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    ).select(
+        "n_rows",
+        "sum_qty",
+        "revenue",
+        F.lit(scan.files_read).cast("bigint").alias("files_read"),
+        F.lit(scan.files_total).cast("bigint").alias("files_total"),
+    )
+
+
+# ---------------------------------------------------------------- q117
+_PR_EDGES = "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem"
+
+
+@register(
+    "q117_pagerank",
+    pagerank_oracle_sql(_PR_EDGES, iterations=5, damping=0.85)
+    + """
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM final
+    ORDER BY ROUND(rank, 6) DESC, node
+    LIMIT 20
+    """,
+    doc="Fixed-iteration PageRank (5 rounds, d=0.85, dangling mass "
+    "redistributed) over the order->part link graph; one node-keyed "
+    "shuffle per round, lineage cut per round. The oracle unrolls the "
+    "identical fixed point as chained CTEs; both engines round the "
+    "rank vector to 12 decimals per iteration so float drift cannot "
+    "compound. Output: top-20 nodes, deterministic (rank, node) order.",
+)
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey % 997 AS src", "l_partkey % 997 AS dst")
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- q118
+_BM25_QUERIES = [
+    (1, "vector"), (1, "hash"), (1, "join"),
+    (2, "stream"), (2, "window"), (2, "agg"),
+    (3, "customer"), (3, "slow"), (3, "spark"),
+]
+
+
+@register(
+    "q118_bm25_search",
+    """
+    WITH q(qid, term) AS (
+        VALUES (CAST(1 AS BIGINT), 'vector'), (1, 'hash'), (1, 'join'),
+               (2, 'stream'), (2, 'window'), (2, 'agg'),
+               (3, 'customer'), (3, 'slow'), (3, 'spark')
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   t -> t <> '')) AS term
+        FROM documents
+    ),
+    postings AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    idf AS (
+        SELECT term,
+               ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM postings GROUP BY term)
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT q.qid, p.doc_id,
+               ROUND(SUM(idf.idf * (p.tf * 2.2)
+                         / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avg_dl))),
+                     6) AS score
+        FROM postings p
+        JOIN q ON q.term = p.term
+        JOIN idf ON idf.term = p.term
+        JOIN dl ON dl.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.qid, p.doc_id
+    )
+    SELECT qid, doc_id, score, rank FROM (
+        SELECT qid, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75): inverted index with "
+    "tf and document-frequency idf built in two shuffles, query terms "
+    "and idf broadcast into the postings probe, top-10 per query with "
+    "a deterministic (score, doc_id) tie-break. The lexical "
+    "counterpart of the ANN paths in llm/similarity.py.",
+)
+def q118_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    out = bm25_topk(docs, q, k=10)
+    return out.select(
+        "qid", "doc_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------- q119
+@register(
+    "q119_normalized_dedup",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000,
+               '  ' || translate(upper(text), 'A', 'Á') || ' '
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   translate(lower(text),
+                             'áàâäãåçéèêëíìîïñóòôöõúùûüýÿ',
+                             'aaaaaaceeeeiiiinooooouuuuyy'),
+                   '\\s+', ' ', 'g')) AS n
+        FROM corpus
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(LENGTH(n) AS BIGINT) AS norm_len
+    FROM norm
+    GROUP BY n
+    """,
+    doc="Canonicalization dedup: every 9th document is re-planted "
+    "upper-cased, accent-mangled, and whitespace-padded; the "
+    "normalized key (lowercase, Latin-1 accent fold via an identical "
+    "translate map in both engines, whitespace collapse) merges each "
+    "variant with its original. Normalization is pure scan-stage JVM "
+    "expression work — zero extra passes at scale.",
+)
+def q119_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.cleaning import normalized_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.translate(F.upper(F.col("text")), "A", "Á"),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    return normalized_dedup(d.unionByName(variants))
+
+
+# ---------------------------------------------------------------- q120
+_BANNER = "zig zag quux corge grault garply waldo fred plugh xyzzy thud wibble"
+
+
+@register(
+    "q120_repeated_spans",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' ' || '{_BANNER}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS tk
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id, len(tk) AS n_tokens, u.p,
+               array_to_string(tk[u.p + 1 : u.p + 8], ' ') AS s
+        FROM toks, unnest(range(len(tk) - 7)) u(p)
+        WHERE len(tk) >= 8
+    ),
+    dup AS (
+        SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df
+                       FROM sh GROUP BY s)
+        WHERE df >= 2
+    ),
+    hits AS (
+        SELECT doc_id, n_tokens, p, p + 7 AS e
+        FROM sh WHERE s IN (SELECT s FROM dup)
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens, p, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_end
+        FROM hits
+    ),
+    islands AS (
+        SELECT doc_id, n_tokens, p, e,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, island,
+               MIN(p) AS s0, MAX(e) AS e0
+        FROM islands GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(SUM(e0 - s0 + 1) / CAST(n_tokens AS DOUBLE), 6)
+               AS dup_fraction
+    FROM spans
+    GROUP BY doc_id, n_tokens
+    """,
+    doc="Exact duplicated-span detection (Lee et al. substring dedup, "
+    "re-expressed relationally): a 12-token banner is planted on every "
+    "11th document; 8-token shingles occurring in >= 2 distinct docs "
+    "mark duplicated positions, merged into maximal spans with one "
+    "gaps-and-islands window pass. Work is proportional to postings, "
+    "never all-pairs.",
+)
+def q120_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.dedup import repeated_spans
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BANNER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_spans(d, shingle_len=8, min_docs=2)

@@ -1,0 +1,161 @@
+"""Unit tests for the batch-3 operators: zone-map file skipping,
+PageRank, BM25 retrieval, text canonicalization dedup, repeated-span
+detection."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.llm.cleaning import normalize_text, normalized_dedup
+from python_tool_setup_spark.llm.dedup import repeated_spans
+from python_tool_setup_spark.llm.search import bm25_topk
+from python_tool_setup_spark.operators.graph import pagerank
+from python_tool_setup_spark.operators.zonemap import build_zone_map, pruned_read
+
+
+# ------------------------------------------------------------ zone map
+def test_zonemap_prunes_and_matches_full_scan(spark):
+    rows = [
+        (i, datetime.datetime(2024, 1 + (i // 25), 1 + i % 25)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, d timestamp")
+    base = tempfile.mkdtemp(prefix="zm_t_") + "/t"
+    (
+        df.withColumn("m", F.date_format("d", "yyyy-MM"))
+        .repartition("m")
+        .write.partitionBy("m")
+        .parquet(base)
+    )
+    zmap = build_zone_map(spark, base, ["d"])
+    assert zmap.count() == 4  # one file per month
+    lo, hi = datetime.datetime(2024, 2, 1), datetime.datetime(2024, 3, 5)
+    scan = pruned_read(spark, base, zmap, "d", lo, hi)
+    assert scan.files_total == 4 and scan.files_read == 2
+    expect = sorted(
+        r.k for r in df.filter((F.col("d") >= lo) & (F.col("d") <= hi)).collect()
+    )
+    assert sorted(r.k for r in scan.df.collect()) == expect
+
+
+def test_zonemap_empty_range(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k long, d timestamp"
+    )
+    base = tempfile.mkdtemp(prefix="zm_e_") + "/t"
+    df.write.parquet(base)
+    zmap = build_zone_map(spark, base, ["d"])
+    scan = pruned_read(
+        spark,
+        base,
+        zmap,
+        "d",
+        datetime.datetime(2030, 1, 1),
+        datetime.datetime(2030, 2, 1),
+    )
+    assert scan.files_read == 0 and scan.df.count() == 0
+
+
+# ------------------------------------------------------------ pagerank
+def test_pagerank_star_hub_wins_and_sums_to_one(spark):
+    # spokes 1..5 all link to hub 0; hub links back to every spoke, so
+    # its mass spreads instead of concentrating on one successor
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 0 -> 1, 1 dangles: total mass must still be 1
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[1] > ranks[0]
+
+
+# ------------------------------------------------------------ bm25
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join join join"),
+            (2, "spark scan filter"),
+            (3, "pandas numpy arrow"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "join")], "qid long, term string")
+    out = bm25_topk(docs, q, k=2).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [1]
+    # doc 3 has no query terms at all -> never scored
+    assert all(r.doc_id != 3 for r in out)
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    docs = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(1, 9)]
+        + [(9, "common rare")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "common"), (1, "rare")], "qid long, term string"
+    )
+    top = bm25_topk(docs, q, k=1).collect()[0]
+    assert top.doc_id == 9
+
+
+# ------------------------------------------------ canonicalization
+def test_normalize_text_folds_case_space_accents(spark):
+    df = spark.createDataFrame([(1, "  Héllo   WÖRLD  ")], "i long, t string")
+    out = df.select(normalize_text("t").alias("n")).collect()[0].n
+    assert out == "hello world"
+
+
+def test_normalized_dedup_merges_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Grüne Tee"), (2, "grüne   tee"), (3, "black tee")],
+        "doc_id long, text string",
+    )
+    rows = {r.survivor_id: r.n_variants for r in normalized_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+# ------------------------------------------------ repeated spans
+def test_repeated_spans_finds_planted_banner(spark):
+    banner = "a b c d e f g h i j k l"  # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight " + banner),
+            (2, "alpha beta gamma delta epsilon zeta eta theta " + banner),
+            (3, "unrelated text with no duplicate content at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_spans(docs, shingle_len=8).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.n_dup_spans == 1
+        assert r.dup_tokens == 12
+        assert r.n_tokens == 20
+        assert abs(r.dup_fraction - 0.6) < 1e-9
+
+
+def test_repeated_spans_merges_overlapping_islands(spark):
+    # two shared spans separated by a unique middle in doc 1
+    s1 = "p q r s t u v w"  # 8 tokens
+    s2 = "m n o aa bb cc dd ee"
+    docs = spark.createDataFrame(
+        [
+            (1, s1 + " unique1 unique2 unique3 " + s2),
+            (2, s1 + " other words entirely different here " + s2),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_spans(docs, shingle_len=8).collect()}
+    assert out[1].n_dup_spans == 2
+    assert out[1].dup_tokens == 16
