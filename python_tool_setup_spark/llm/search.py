@@ -54,11 +54,28 @@ def bm25_topk(
     (qid, doc_id, score, rank) with score rounded to 6 decimals and
     rank dense over (score desc, doc_id).
     """
-    toks = tokenize(docs.select(id_col, text_col), text_col)
-    postings = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # One corpus pass: doc length rides along with the explode so no
+    # separate doc-keyed length join is ever needed, and the postings
+    # index is persisted because three consumers (idf, corpus stats,
+    # scoring probe) would otherwise each re-tokenize the corpus.
+    arr = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+            lambda t: t != F.lit(""),
+        ).alias("__tk"),
     )
-    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    toks = arr.select(
+        id_col,
+        F.size("__tk").alias("dl"),
+        F.explode("__tk").alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    doc_len = postings.select(id_col, "dl").distinct()
     n_and_avg = doc_len.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
@@ -78,7 +95,6 @@ def bm25_topk(
     scored = (
         postings.join(F.broadcast(query_terms), "term")
         .join(F.broadcast(idf), "term")
-        .join(doc_len, id_col)
         .crossJoin(F.broadcast(n_and_avg.select("avg_dl")))
         .withColumn(
             "w",
