@@ -44,7 +44,14 @@ def pagerank(
     ``edges`` is treated as a set (duplicates removed); node set is
     src ∪ dst; dangling nodes redistribute their mass uniformly.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the deduped edge set once — every iteration joins it,
+    # and without the checkpoint each round would re-scan + re-distinct
+    # the source lineage
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
