@@ -252,3 +252,99 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(n)
     )
+
+
+# ---------------------------------------------- temperature resample ----
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-corpus
+    balancing rule: sample group g with probability ∝ n_g^(1/T)).
+
+    Per-group keep probability p_g = C · n_g^(1/T − 1), with C chosen
+    so the most-upweighted (smallest) group keeps 100% — pure
+    downsampling, no duplication. Selection reuses the deterministic
+    md5 bucket of ``key_col``, so the sample is reproducible, join-free
+    per row (the group→p map is broadcast), and resumable at any
+    parallelism. p is rounded to 6 decimals so the acceptance threshold
+    is engine-exact.
+
+    Returns the sampled rows with a ``keep_p`` column attached.
+    """
+    exponent = 1.0 / float(temperature) - 1.0
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    probs = counts.select(
+        group_col,
+        F.round(
+            F.pow("_n", F.lit(exponent))
+            / F.max(F.pow("_n", F.lit(exponent))).over(w_all),
+            6,
+        ).alias("keep_p"),
+    )
+    return df.join(F.broadcast(probs), group_col).filter(
+        hash_bucket(key_col) < F.col("keep_p") * HASH_MOD
+    )
+
+
+# ------------------------------------------------- sequence packing ----
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    seq_len: int,
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batch
+    prep): documents are concatenated in ``order_col`` order within
+    ``group_col`` and split into fixed ``seq_len``-token training
+    sequences; each document gets its boundary map — the sequence its
+    first token lands in, the offset inside it, and the last sequence
+    it spans.
+
+    The token start position is the same two-level prefix sum as
+    :func:`pack_shards` (chunk offsets broadcast + bounded windows), so
+    no group ever funnels through a single task. Zero-token rows are
+    dropped (they occupy no positions).
+
+    Adds ``seq_id``, ``seq_offset``, ``end_seq_id``, ``n_seqs``.
+    """
+    chunked = df.filter(F.col(token_col) > 0).withColumn(
+        "_chunk", (F.col(order_col) / chunk_size).cast("bigint")
+    )
+    chunk_tot = chunked.groupBy(group_col, "_chunk").agg(
+        F.sum(token_col).alias("_chunk_tokens")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_tot.select(
+        group_col,
+        "_chunk",
+        F.coalesce(F.sum("_chunk_tokens").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = (
+        Window.partitionBy(group_col, "_chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = int(seq_len)
+    return (
+        chunked.join(F.broadcast(offsets), [group_col, "_chunk"])
+        .withColumn(
+            "_start",
+            F.col("_offset") + F.coalesce(F.sum(token_col).over(w_in), F.lit(0)),
+        )
+        .withColumn("_end", F.col("_start") + F.col(token_col) - 1)
+        .withColumn("seq_id", F.expr(f"_start div {L}"))
+        .withColumn("seq_offset", F.expr(f"_start % {L}"))
+        .withColumn("end_seq_id", F.expr(f"_end div {L}"))
+        .withColumn("n_seqs", F.col("end_seq_id") - F.col("seq_id") + 1)
+        .drop("_chunk", "_chunk_tokens", "_offset", "_start", "_end")
+    )

@@ -334,3 +334,100 @@ def q120_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return repeated_spans(d, shingle_len=8, min_docs=2)
+
+
+# ---------------------------------------------------------------- q121
+@register(
+    "q121_temperature_resample",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    probs AS (
+        SELECT lang,
+               ROUND(pow(n, -0.5) / MAX(pow(n, -0.5)) OVER (), 6) AS keep_p
+        FROM counts
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           p.keep_p
+    FROM documents d
+    JOIN probs p USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < p.keep_p * 10000
+    GROUP BY d.lang, p.keep_p
+    """,
+    doc="Temperature-scaled mixture resampling (T=2): per-language "
+    "keep probability ∝ n^(1/T-1), normalized so the smallest "
+    "language keeps 100% — the multilingual corpus-balancing rule, "
+    "applied as a deterministic md5-bucket filter with the tiny "
+    "language→p map broadcast. No shuffle touches the corpus; the "
+    "only aggregation is the language histogram.",
+)
+def q121_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import temperature_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = temperature_resample(d, "lang", "doc_id", temperature=2.0)
+    return kept.groupBy("lang", "keep_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs")
+    ).select("lang", "kept_docs", "keep_p")
+
+
+# ---------------------------------------------------------------- q122
+@register(
+    "q122_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT lang, doc_id,
+               LEN(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS tok
+        FROM documents
+    ),
+    pref AS (
+        SELECT lang, doc_id, tok,
+               COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+        FROM toks WHERE tok > 0
+    )
+    SELECT doc_id, lang,
+           CAST(s // 256 AS BIGINT) AS seq_id,
+           CAST(s % 256 AS BIGINT) AS seq_offset,
+           CAST((s + tok - 1) // 256 AS BIGINT) AS end_seq_id,
+           CAST((s + tok - 1) // 256 - s // 256 + 1 AS BIGINT) AS n_seqs
+    FROM pref
+    """,
+    doc="Concat-and-chunk sequence packing for pretraining batches: "
+    "documents concatenate per language in doc_id order and split "
+    "into 256-token sequences; each document's boundary map (first "
+    "sequence, offset within it, last sequence) comes from the same "
+    "two-level prefix sum as shard packing — the oracle's naive "
+    "single window proves the distributed formulation exact.",
+)
+def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    packed = pack_sequences(
+        d, "lang", "doc_id", "tok", seq_len=256, chunk_size=1000
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("seq_offset").cast("bigint").alias("seq_offset"),
+        F.col("end_seq_id").cast("bigint").alias("end_seq_id"),
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+    )

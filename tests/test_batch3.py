@@ -159,3 +159,72 @@ def test_repeated_spans_merges_overlapping_islands(spark):
     out = {r.doc_id: r for r in repeated_spans(docs, shingle_len=8).collect()}
     assert out[1].n_dup_spans == 2
     assert out[1].dup_tokens == 16
+
+
+# ------------------------------------------- temperature resampling
+def test_temperature_resample_keeps_smallest_group_fully(spark):
+    from python_tool_setup_spark.llm.pipeline import temperature_resample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "lang", "doc_id", temperature=2.0)
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["small"] == 8  # p=1 for the smallest group
+    # big group downsampled roughly by sqrt(8/400) ~ 0.141
+    assert 20 <= by_lang["big"] <= 100
+
+
+def test_temperature_resample_t1_keeps_everything(spark):
+    from python_tool_setup_spark.llm.pipeline import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id long, lang string"
+    )
+    assert temperature_resample(df, "lang", "doc_id", temperature=1.0).count() == 60
+
+
+# ------------------------------------------------ sequence packing
+def test_pack_sequences_boundary_map(spark):
+    from python_tool_setup_spark.llm.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "g", 100), (2, "g", 100), (3, "g", 100), (4, "g", 0)],
+        "doc_id long, g string, tok long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, "g", "doc_id", "tok", seq_len=128).collect()
+    }
+    assert 4 not in rows  # zero-token rows dropped
+    assert (rows[1].seq_id, rows[1].seq_offset, rows[1].end_seq_id) == (0, 0, 0)
+    # doc 2 starts at 100 -> straddles seqs 0 and 1
+    assert (rows[2].seq_id, rows[2].seq_offset, rows[2].end_seq_id) == (0, 100, 1)
+    assert rows[2].n_seqs == 2
+    assert (rows[3].seq_id, rows[3].seq_offset) == (1, 72)
+
+
+def test_pack_sequences_two_level_equals_naive(spark):
+    from python_tool_setup_spark.llm.pipeline import pack_sequences
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", 1 + i % 7) for i in range(200)],
+        "doc_id long, g string, tok long",
+    )
+    got = pack_sequences(df, "g", "doc_id", "tok", seq_len=16, chunk_size=10)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        df.withColumn("s", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+        .select("doc_id", F.expr("s div 16").alias("seq_id"))
+    )
+    joined = got.select("doc_id", "seq_id").join(
+        naive.withColumnRenamed("seq_id", "naive_seq"), "doc_id"
+    )
+    assert joined.filter(F.col("seq_id") != F.col("naive_seq")).count() == 0
