@@ -348,3 +348,42 @@ def pack_sequences(
         .withColumn("n_seqs", F.col("end_seq_id") - F.col("seq_id") + 1)
         .drop("_chunk", "_chunk_tokens", "_offset", "_start", "_end")
     )
+
+
+# ---------------------------------------------- global id assignment ----
+def assign_global_ids(
+    df: DataFrame,
+    order_col: str,
+    chunk_size: int = 100_000,
+    id_name: str = "global_id",
+) -> DataFrame:
+    """Contiguous 0..N-1 ids in ``order_col`` order without a global
+    sort (the zipWithIndex primitive, kept in the DataFrame API).
+
+    Same two-level decomposition as :func:`pack_shards`: the chunk key
+    ``order_col // chunk_size`` is monotone in the order column, so
+    global position = broadcast cumulative chunk counts + within-chunk
+    row_number. No task ever sees more than ``chunk_size`` rows in one
+    window partition, and nothing funnels through a single partition —
+    the failure mode of ``ROW_NUMBER() OVER (ORDER BY ...)`` at scale.
+    """
+    chunked = df.withColumn(
+        "_chunk", (F.col(order_col) / chunk_size).cast("bigint")
+    )
+    counts = chunked.groupBy("_chunk").agg(F.count(F.lit(1)).alias("_cn"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_chunk", F.coalesce(F.sum("_cn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_chunk").orderBy(order_col)
+    return (
+        chunked.join(F.broadcast(offsets), "_chunk")
+        .withColumn(
+            id_name, F.col("_off") + F.row_number().over(w_in) - 1
+        )
+        .drop("_chunk", "_cn", "_off")
+    )

@@ -90,3 +90,44 @@ def range_join(
         eq = clause if eq is None else (eq & clause)
     cond = condition if eq is None else (eq & condition)
     return left.join(right, on=cond, how=how)
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join with NO equality key, made shuffle-
+    joinable by binning (the technique behind Databricks' range-join
+    hint and Flink's interval join).
+
+    Each point lands in exactly ONE ``bin_width``-sized bin; each
+    interval explodes to every bin it overlaps (≤ len/width + 1 rows).
+    The join is then a plain equi-join on the bin plus the exact
+    BETWEEN residual — each qualifying (interval, point) pair meets in
+    exactly one bin, so no post-join dedup is needed. A naive
+    formulation is a BroadcastNestedLoopJoin that dies at scale; this
+    one shuffles both sides once on the bin key. Columns must be
+    numeric (cast timestamps to epoch units first); pick ``bin_width``
+    near the typical interval length so explode fan-out stays small.
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast("bigint")
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("bigint"),
+                F.floor(F.col(end_col) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    residual = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+    return i.join(p, on=["_bin"], how=how).filter(residual).drop("_bin")

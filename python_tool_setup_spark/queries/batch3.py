@@ -431,3 +431,93 @@ def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_seq_id").cast("bigint").alias("end_seq_id"),
         F.col("n_seqs").cast("bigint").alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------- q123
+@register(
+    "q123_interval_join",
+    """
+    WITH iv AS (
+        SELECT o_orderkey,
+               date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS s,
+               date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 5 AS e
+        FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    pt AS (
+        SELECT date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS p,
+               l_quantity
+        FROM lineitem
+    )
+    SELECT iv.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           ROUND(SUM(pt.l_quantity), 2) AS sum_qty
+    FROM iv JOIN pt ON pt.p BETWEEN iv.s AND iv.e
+    GROUP BY iv.o_orderkey
+    """,
+    doc="Keyless interval-containment join via binning: every 50th "
+    "order opens a 6-day window; lineitem ship dates join into the "
+    "windows with NO equality key. Points land in one 7-day bin, "
+    "intervals explode to the bins they overlap, and the join is a "
+    "plain bin equi-join plus the exact BETWEEN residual — each pair "
+    "meets in exactly one bin, so no dedup. The naive plan is a "
+    "nested-loop cross product; this one shuffles each side once.",
+)
+def q123_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.asof import binned_interval_join
+
+    epoch = "TIMESTAMP '1970-01-01'"
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .selectExpr(
+            "o_orderkey",
+            f"datediff(o_orderdate, {epoch}) AS s",
+            f"datediff(o_orderdate, {epoch}) + 5 AS e",
+        )
+    )
+    pt = _t(spark, sf_dir, "lineitem").selectExpr(
+        f"datediff(l_shipdate, {epoch}) AS p", "l_quantity"
+    )
+    joined = binned_interval_join(pt, iv, "p", "s", "e", bin_width=7)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------- q124
+@register(
+    "q124_global_ids",
+    """
+    WITH ids AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                   AS global_id
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(global_id) AS BIGINT) AS min_id,
+           CAST(MAX(global_id) AS BIGINT) AS max_id,
+           CAST(SUM(global_id) AS BIGINT) AS sum_ids
+    FROM ids
+    GROUP BY lang
+    """,
+    doc="Distributed contiguous id assignment (zipWithIndex in the "
+    "DataFrame API): global position = broadcast cumulative chunk "
+    "counts + bounded within-chunk row_number, so ids are exactly "
+    "ROW_NUMBER()-1 in doc_id order but no task ever holds more than "
+    "one chunk — the single-partition ORDER BY window a naive "
+    "formulation needs is the thing this avoids.",
+)
+def q124_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.pipeline import assign_global_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ids = assign_global_ids(d, "doc_id", chunk_size=100)
+    return ids.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("global_id").cast("bigint").alias("min_id"),
+        F.max("global_id").cast("bigint").alias("max_id"),
+        F.sum("global_id").cast("bigint").alias("sum_ids"),
+    )

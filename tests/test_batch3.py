@@ -228,3 +228,41 @@ def test_pack_sequences_two_level_equals_naive(spark):
         naive.withColumnRenamed("seq_id", "naive_seq"), "doc_id"
     )
     assert joined.filter(F.col("seq_id") != F.col("naive_seq")).count() == 0
+
+
+# ------------------------------------------------ interval join
+def test_binned_interval_join_equals_naive(spark):
+    from python_tool_setup_spark.operators.asof import binned_interval_join
+
+    pts = spark.createDataFrame([(p,) for p in range(0, 100)], "p long")
+    ivs = spark.createDataFrame(
+        [(1, 5, 9), (2, 8, 30), (3, 95, 120), (4, 40, 40)],
+        "iid long, s long, e long",
+    )
+    got = (
+        binned_interval_join(pts, ivs, "p", "s", "e", bin_width=7)
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    naive = {1: 5, 2: 23, 3: 5, 4: 1}
+    assert {r.iid: r.n for r in got} == naive
+
+
+def test_binned_interval_join_no_duplicate_pairs(spark):
+    from python_tool_setup_spark.operators.asof import binned_interval_join
+
+    pts = spark.createDataFrame([(10,)], "p long")
+    # interval spans many bins; the single matching point appears once
+    ivs = spark.createDataFrame([(1, 0, 100)], "iid long, s long, e long")
+    out = binned_interval_join(pts, ivs, "p", "s", "e", bin_width=3).collect()
+    assert len(out) == 1
+
+
+# ------------------------------------------------ global ids
+def test_assign_global_ids_contiguous(spark):
+    from python_tool_setup_spark.llm.pipeline import assign_global_ids
+
+    df = spark.createDataFrame([(i * 3,) for i in range(500)], "k long")
+    out = assign_global_ids(df, "k", chunk_size=37).orderBy("k").collect()
+    assert [r.global_id for r in out] == list(range(500))
