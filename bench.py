@@ -53,7 +53,9 @@ def main() -> None:
     # The driver records the LAST ~2000 chars of stdout; key the final
     # JSON line by the short qNN prefix and 2-decimal seconds so the
     # whole line stays well under that cap and parses.
-    short = {n.split("_", 1)[0]: round(t, 2) for n, t in sorted(timings.items())}
+    # 1-decimal seconds: at 124 queries the line must stay well under
+    # the driver's ~2000-char stdout capture
+    short = {n.split("_", 1)[0]: round(t, 1) for n, t in sorted(timings.items())}
     print(
         json.dumps(
             {
