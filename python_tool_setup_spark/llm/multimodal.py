@@ -182,3 +182,74 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select("path", "content").mapInPandas(_sample, schema)
+
+
+AHASH_SCHEMA = "path string, hi long, lo long"
+
+
+def ahash64(df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode the PNG, flatten
+    to greyscale, threshold each of the first 64 pixels against their
+    exact mean (sum/64 — exact in float64, so reproducible anywhere),
+    and pack bit i = pixel_i > mean into two unsigned 32-bit halves
+    ``(hi, lo)``. Halves instead of one int64 keep every value
+    non-negative and make banding/hamming arithmetic engine-neutral.
+
+    Arrow-batched mapInPandas — the decode+hash loop is the same shape
+    any CV featurizer takes; at 100 TB images stream through executor
+    workers, nothing driver-side.
+    """
+    from python_tool_setup_spark.llm.png import decode_png
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "hi": [], "lo": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _w, _h, _ch, pixels = decode_png(bytes(content))
+                px = list(pixels[:64])
+                mean = sum(px) / 64.0
+                hi = lo = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        if i < 32:
+                            hi |= 1 << i
+                        else:
+                            lo |= 1 << (i - 32)
+                out["path"].append(path)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, id_col: str = "path", max_hamming: int = 2
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance, blocked
+    on the two 32-bit halves (pigeonhole: any pair within hamming 1
+    agrees on at least one half; candidate generation is two
+    equi-joins, never all-pairs — the same scheme as SimHash text
+    near-dup). Returns (a_id, b_id, hamming <= max_hamming).
+    """
+    a = hashes.select(
+        F.col(id_col).alias("a_id"),
+        F.col("hi").alias("a_hi"),
+        F.col("lo").alias("a_lo"),
+    )
+    b = hashes.select(
+        F.col(id_col).alias("b_id"),
+        F.col("hi").alias("b_hi"),
+        F.col("lo").alias("b_lo"),
+    )
+    cand_hi = a.join(b, a.a_hi == b.b_hi).filter(F.col("a_id") < F.col("b_id"))
+    cand_lo = a.join(b, a.a_lo == b.b_lo).filter(F.col("a_id") < F.col("b_id"))
+    cand = cand_hi.unionByName(cand_lo).distinct()
+    ham = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -521,3 +521,100 @@ def q124_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("global_id").cast("bigint").alias("max_id"),
         F.sum("global_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------- q125
+@register(
+    "q125_image_phash_neardup",
+    """
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 64) AS t
+        FROM documents
+        WHERE doc_id < 40 AND length(text) >= 64
+          AND octet_length(encode(text)) = length(text)
+    ),
+    corpus AS (
+        SELECT doc_id, t, 0 AS var FROM d
+        UNION ALL
+        SELECT doc_id + 400000, t, 1 FROM d
+    ),
+    px AS (
+        SELECT doc_id,
+               u.i,
+               ascii(substr(t, u.i + 1, 1))
+                 + CASE WHEN var = 1 AND u.i = 0 THEN 1
+                        WHEN var = 1 AND u.i = 1 THEN -1
+                        ELSE 0 END AS code
+        FROM corpus, unnest(range(64)) u(i)
+    ),
+    m AS (SELECT doc_id, SUM(code) / 64.0 AS mean FROM px GROUP BY doc_id),
+    h AS (
+        SELECT px.doc_id,
+               SUM(CASE WHEN code > mean AND i < 32
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS hi,
+               SUM(CASE WHEN code > mean AND i >= 32
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS lo
+        FROM px JOIN m USING (doc_id)
+        GROUP BY px.doc_id
+    ),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+        FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+        FROM h a JOIN h b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 2
+    """,
+    doc="Image near-dup via 64-bit average-hash (the LAION-style "
+    "image dedup shape): each document's first 64 bytes become an 8x8 "
+    "greyscale PNG (plus a mean-preserving 2-byte-perturbed variant), "
+    "REAL-decoded in mapInPandas workers, aHashed into two 32-bit "
+    "halves, and paired by half-equality blocking + hamming <= 2 — "
+    "pigeonhole-complete for hamming <= 1, never all-pairs. The "
+    "oracle recomputes the identical hash from the text bytes, "
+    "proving decode + hash + blocking end-to-end.",
+)
+def q125_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from python_tool_setup_spark.llm.multimodal import (
+        ahash64,
+        image_neardup_pairs,
+        read_media,
+    )
+    from python_tool_setup_spark.llm.png import encode_png
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 40)
+            & (F.length("text") >= 64)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select("doc_id", "text")
+    )
+    media_dir = tempfile.mkdtemp(prefix="phash_")
+    for row in d.collect():  # <=40 tiny fixture files, test staging only
+        px = bytearray(row["text"].encode("ascii")[:64])
+        with open(os.path.join(media_dir, f"img_{row['doc_id']}.png"), "wb") as f:
+            f.write(encode_png(8, 8, bytes(px), channels=1))
+        var = bytearray(px)
+        var[0] += 1
+        var[1] -= 1
+        vid = row["doc_id"] + 400000
+        with open(os.path.join(media_dir, f"img_{vid}.png"), "wb") as f:
+            f.write(encode_png(8, 8, bytes(var), channels=1))
+    media = read_media(spark, media_dir, glob="*.png")
+    hashes = ahash64(media).select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("long").alias("doc_id"),
+        "hi",
+        "lo",
+    )
+    return image_neardup_pairs(hashes, id_col="doc_id", max_hamming=2)

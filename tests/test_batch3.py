@@ -266,3 +266,28 @@ def test_assign_global_ids_contiguous(spark):
     df = spark.createDataFrame([(i * 3,) for i in range(500)], "k long")
     out = assign_global_ids(df, "k", chunk_size=37).orderBy("k").collect()
     assert [r.global_id for r in out] == list(range(500))
+
+
+# ------------------------------------------------ image phash
+def test_ahash_and_neardup_pairs(spark, tmp_path):
+    from python_tool_setup_spark.llm.multimodal import (
+        ahash64,
+        image_neardup_pairs,
+        read_media,
+    )
+    from python_tool_setup_spark.llm.png import encode_png
+
+    base = bytes(range(60, 124))  # 64 distinct pixel values
+    (tmp_path / "img_1.png").write_bytes(encode_png(8, 8, base, channels=1))
+    # identical copy -> hamming 0
+    (tmp_path / "img_2.png").write_bytes(encode_png(8, 8, base, channels=1))
+    # totally different image
+    inv = bytes(255 - b for b in base)
+    (tmp_path / "img_3.png").write_bytes(encode_png(8, 8, inv, channels=1))
+    hashes = ahash64(read_media(spark, str(tmp_path), glob="*.png")).select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("long").alias("i"),
+        "hi",
+        "lo",
+    )
+    pairs = image_neardup_pairs(hashes, id_col="i", max_hamming=2).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]
