@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         corpus,
         batch3,
+        batch4,
     )
 
     return dict(_REGISTRY)

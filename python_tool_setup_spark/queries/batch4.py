@@ -1,0 +1,221 @@
+"""Engine-surface gates, batch 4 (q126-q129): stream-static broadcast
+enrichment, two-sided cogrouped pandas aggregation, malformed-record
+CSV handling, and time-range (RANGE BETWEEN interval) window frames.
+
+Oracle conventions as everywhere: identical aliases, BIGINT casts on
+integer aggregates, identical ROUNDs, deterministic orders.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q126
+@register(
+    "q126_stream_static_join",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Stream-static enrichment: the events file-stream joins the "
+    "static customer→nation dimension (broadcast — the static side "
+    "ships to executors once and every micro-batch probes it, no "
+    "state store involved), then aggregates per nation across the "
+    "whole drained stream. The oracle is the identical batch join.",
+)
+def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.queries.streaming import _drain, _events_stream
+
+    stream, _events = _events_stream(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _drain(agg, "complete")
+
+
+# ---------------------------------------------------------------- q127
+@register(
+    "q127_cogrouped_pandas",
+    """
+    WITH o AS (
+        SELECT o_custkey AS key, COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS total_price
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT user_id AS key, COUNT(*) AS n_events,
+               SUM(value) AS total_value
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.key, e.key) AS key,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(o.total_price, 0.0), 2) AS total_price,
+           ROUND(COALESCE(e.total_value, 0.0), 2) AS total_value
+    FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+    doc="Two-sided cogrouped pandas aggregation (the "
+    "groupBy(...).cogroup(...).applyInPandas surface): orders and "
+    "events shuffle once each on the shared key and meet per-key in "
+    "one Arrow-batched worker — the shape custom per-entity "
+    "reconciliation logic takes when a join+agg can't express it. "
+    "The oracle is the equivalent full-outer join of the two "
+    "aggregates, proving the cogroup semantics exactly.",
+)
+def q127_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), "o_totalprice"
+    )
+    events = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "value"
+    )
+
+    def merge(ol: pd.DataFrame, ev: pd.DataFrame) -> pd.DataFrame:
+        key = ol["key"].iloc[0] if len(ol) else ev["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "n_orders": [len(ol)],
+                "n_events": [len(ev)],
+                "total_price": [round(float(ol["o_totalprice"].sum()), 2)],
+                "total_value": [round(float(ev["value"].sum()), 2)],
+            }
+        )
+
+    out = (
+        orders.groupBy("key")
+        .cogroup(events.groupBy("key"))
+        .applyInPandas(
+            merge,
+            "key long, n_orders long, n_events long, "
+            "total_price double, total_value double",
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------- q128
+_CSV_N = 200
+_CSV_BAD_EVERY = 17
+
+
+@register(
+    "q128_malformed_records",
+    f"""
+    WITH r AS (SELECT unnest(range({_CSV_N})) AS i),
+        flags AS (SELECT i, (i % {_CSV_BAD_EVERY} = 0) AS bad FROM r)
+    SELECT CAST({_CSV_N} AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_good,
+           CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_corrupt,
+           CAST(SUM(CASE WHEN NOT bad THEN i ELSE 0 END) AS BIGINT) AS sum_a,
+           CAST(SUM(CASE WHEN NOT bad THEN i * 2 ELSE 0 END) AS BIGINT)
+               AS sum_b
+    FROM flags
+    """,
+    doc="Malformed-record handling for semi-structured ingestion: a "
+    "CSV with a deliberately corrupt line every 17th row is read in "
+    "PERMISSIVE mode with a _corrupt_record column; good rows parse, "
+    "bad rows surface for quarantine instead of failing the job (the "
+    "S13 source-option surface the reference exposes via "
+    "options-passthrough). The oracle recomputes the expected "
+    "good/corrupt partition arithmetically.",
+)
+def q128_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="badcsv_") + "/data.csv"
+    with open(path, "w") as f:
+        for i in range(_CSV_N):
+            if i % _CSV_BAD_EVERY == 0:
+                f.write(f"bad_row_{i},oops,extra\n")
+            else:
+                f.write(f"{i},{i * 2}\n")
+    df = (
+        spark.read.schema("a INT, b INT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # PERMISSIVE corrupt-column counting requires it
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_corrupt"),
+        F.coalesce(F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("a"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_a"),
+        F.coalesce(F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("b"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_b"),
+    )
+
+
+# ---------------------------------------------------------------- q129
+@register(
+    "q129_rolling_time_window",
+    """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(AVG(value) OVER w, 6) AS avg_1h
+    FROM (SELECT event_id, user_id, value,
+                 epoch(ts) AS ts_s FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 1-hour per-user rolling aggregate with a TIME-RANGE "
+    "frame (RANGE BETWEEN 3600 PRECEDING over epoch seconds, peers "
+    "included — not a row-count frame): the batch analogue of a "
+    "sliding stream window, one shuffle on user_id. Both engines "
+    "evaluate the identical numeric range frame.",
+)
+def q129_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )

@@ -1,0 +1,68 @@
+"""Unit tests for the batch-4 surfaces: cogrouped pandas, malformed
+CSV handling, time-range window frames."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def test_cogroup_handles_one_sided_keys(spark):
+    left = spark.createDataFrame([(1, 10.0), (1, 20.0)], "key long, v double")
+    right = spark.createDataFrame([(2, 5.0)], "key long, v double")
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        key = l["key"].iloc[0] if len(l) else r["key"].iloc[0]
+        return pd.DataFrame(
+            {"key": [key], "nl": [len(l)], "nr": [len(r)]}
+        )
+
+    out = {
+        r.key: (r.nl, r.nr)
+        for r in left.groupBy("key")
+        .cogroup(right.groupBy("key"))
+        .applyInPandas(merge, "key long, nl long, nr long")
+        .collect()
+    }
+    assert out == {1: (2, 0), 2: (0, 1)}
+
+
+def test_permissive_csv_counts_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("1,2\nnot_an_int,oops,extra\n3,4\n")
+    df = (
+        spark.read.schema("a INT, b INT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).count()
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert (good, bad) == (2, 1)
+
+
+def test_time_range_frame_includes_only_trailing_hour(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (2, t0 + datetime.timedelta(minutes=30), 2.0),
+        (3, t0 + datetime.timedelta(minutes=61), 3.0),  # evicts row 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    out = {
+        r.event_id: r.n
+        for r in df.select(
+            "event_id", F.count(F.lit(1)).over(w).alias("n")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2}
