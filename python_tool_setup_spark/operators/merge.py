@@ -41,13 +41,31 @@ def merge_upsert(
     keys: Sequence[str],
     source_dedup_order: Sequence | None = None,
     check_duplicate_source_keys: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Return the merged relation: matched targets replaced by their
     source row, unmatched source rows appended, unmatched targets kept.
+
+    ``evolve_schema=True`` is the Delta ``mergeSchema``/autoMerge
+    behavior for a source that ADDS columns: the target gains each new
+    column (null for pre-existing rows), then the merge proceeds on the
+    widened schema. The source must carry every target column.
     """
     from python_tool_setup_spark.operators.relational import dedup_by_keys
 
     keys = list(keys)
+    if evolve_schema:
+        missing = [c for c in target.columns if c not in source.columns]
+        if missing:
+            raise MergeKeyError(
+                f"schema evolution requires the source to carry every "
+                f"target column; missing {missing}"
+            )
+        for field in source.schema.fields:
+            if field.name not in target.columns:
+                target = target.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
     source = source.select(*target.columns)  # align column order/schema
 
     if source_dedup_order is not None:

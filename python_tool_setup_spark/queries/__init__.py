@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         corpus,
         batch3,
         batch4,
+        batch5,
     )
 
     return dict(_REGISTRY)

@@ -70,7 +70,7 @@ def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
         SELECT o_custkey AS key, COUNT(*) AS n_orders,
                SUM(o_totalprice) AS total_price
-        FROM orders GROUP BY o_custkey
+        FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
     ),
     e AS (
         SELECT user_id AS key, COUNT(*) AS n_events,
@@ -93,8 +93,12 @@ def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates, proving the cogroup semantics exactly.",
 )
 def q127_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"), "o_totalprice"
+    # a key-range slice keeps the gate honest about the cogroup
+    # SEMANTICS while bounding per-group pandas invocations in bench
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(F.col("o_custkey").alias("key"), "o_totalprice")
     )
     events = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("key"), "value"

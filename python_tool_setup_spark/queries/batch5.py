@@ -1,0 +1,223 @@
+"""Engine-surface gates, batch 5 (q130-q133): quality filter cascade
+with reason codes, join-strategy hints (same answer under three
+physical plans, shapes asserted), null-safe join semantics, and MERGE
+schema evolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q130
+@register(
+    "q130_filter_cascade",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, lang,
+               len(tk) AS n_tok,
+               len(list_distinct(tk)) AS n_uniq,
+               list_sum(list_transform(tk, t -> length(t))) AS sum_len
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE
+               WHEN n_tok < 10 THEN 'too_short'
+               WHEN lang = 'zh' THEN 'excluded_lang'
+               WHEN n_uniq / n_tok < 0.3 THEN 'too_repetitive'
+               WHEN sum_len / n_tok < 3.0
+                    OR sum_len / n_tok > 12.0 THEN 'bad_word_length'
+               ELSE 'keep'
+           END AS verdict
+    FROM st
+    """,
+    doc="Quality filter cascade with reason codes — the keep/drop "
+    "decision every corpus pipeline ends with: ordered rules "
+    "(min length, language allowlist, distinct-token ratio, mean "
+    "word length) evaluated as ONE scan-stage CASE chain; the verdict "
+    "is the first failing rule, so drop reasons are attributable and "
+    "countable. No shuffle, no UDF — pure fused projection at any "
+    "scale.",
+)
+def q130_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    st = d.select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n_tok"),
+        F.size(F.array_distinct(tk)).alias("n_uniq"),
+        F.aggregate(
+            tk, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+    )
+    return st.select(
+        "doc_id",
+        F.when(F.col("n_tok") < 10, "too_short")
+        .when(F.col("lang") == "zh", "excluded_lang")
+        .when(F.col("n_uniq") / F.col("n_tok") < 0.3, "too_repetitive")
+        .when(
+            (F.col("sum_len") / F.col("n_tok") < 3.0)
+            | (F.col("sum_len") / F.col("n_tok") > 12.0),
+            "bad_word_length",
+        )
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------- q131
+_HINT_AGG_SQL = """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "q131_join_strategy_hints",
+    f"""
+    WITH agg AS ({_HINT_AGG_SQL})
+    SELECT s.strategy, agg.n_name, agg.n_orders, agg.total_price
+    FROM agg
+    CROSS JOIN (VALUES ('broadcast'), ('shuffle_hash'), ('merge'))
+        s(strategy)
+    """,
+    doc="Join-strategy hint surface: the identical orders⋈customer⋈ "
+    "nation aggregate executed three times under BROADCAST, "
+    "SHUFFLE_HASH, and MERGE hints; the query asserts each executed "
+    "plan actually contains the hinted operator (BroadcastHashJoin / "
+    "ShuffledHashJoin / SortMergeJoin) and the gate proves all three "
+    "physical strategies return byte-identical results — the control "
+    "knob used when AQE's default pick is wrong at scale.",
+)
+def q131_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def agg_with(hint: str, expected: str) -> DataFrame:
+        ch = c.hint(hint)
+        nh = n.hint(hint)
+        out = (
+            o.join(ch, o.o_custkey == ch.c_custkey)
+            .join(nh, F.col("c_nationkey") == nh.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert expected in plan, f"hint {hint}: {expected} not in plan"
+        return out.select(F.lit(hint).alias("strategy"), "n_name", "n_orders", "total_price")
+
+    return (
+        agg_with("broadcast", "BroadcastHashJoin")
+        .unionByName(agg_with("shuffle_hash", "ShuffledHashJoin"))
+        .unionByName(agg_with("merge", "SortMergeJoin"))
+    )
+
+
+# ---------------------------------------------------------------- q132
+@register(
+    "q132_nullsafe_join",
+    """
+    WITH k AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 100 END AS grp
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT a.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM k a JOIN k b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY a.grp
+    """,
+    doc="Null-safe equality join (Spark's <=> / SQL IS NOT DISTINCT "
+    "FROM): null group keys MATCH each other instead of vanishing — "
+    "the semantics entity-resolution joins need when the blocking key "
+    "is optional. Grouped pair counts prove the null bucket joins to "
+    "itself in both engines.",
+)
+def q132_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_orderkey") % 100)
+            .alias("grp")
+        )
+    )
+    a = k.alias("a")
+    b = k.alias("b")
+    return (
+        a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------- q133
+@register(
+    "q133_merge_schema_evolution",
+    """
+    WITH target AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100
+    ),
+    source AS (
+        SELECT c_custkey, c_name || '_v2' AS c_name,
+               CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'silver' END
+                   AS loyalty_tier
+        FROM customer WHERE c_custkey >= 50 AND c_custkey < 150
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           s.loyalty_tier
+    FROM target t FULL OUTER JOIN source s USING (c_custkey)
+    """,
+    doc="MERGE with schema evolution (Delta autoMerge behavior): the "
+    "source adds a loyalty_tier column the target never had; the "
+    "target widens (null for untouched rows), matched rows take the "
+    "source row wholesale, new keys append. The oracle's full-outer "
+    "join states the exact post-merge relation.",
+)
+def q133_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") < 100).select("c_custkey", "c_name")
+    source = (
+        cust.filter((F.col("c_custkey") >= 50) & (F.col("c_custkey") < 150))
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("_v2")).alias("c_name"),
+            F.when(F.col("c_custkey") % 3 == 0, "gold")
+            .otherwise("silver")
+            .alias("loyalty_tier"),
+        )
+    )
+    return merge_upsert(
+        target, source, keys=["c_custkey"], evolve_schema=True
+    )

@@ -66,3 +66,30 @@ def test_time_range_frame_includes_only_trailing_hour(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 2, 3: 2}
+
+
+def test_merge_schema_evolution_adds_column(spark):
+    from python_tool_setup_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame(
+        [(2, "b2", "x"), (3, "c", "y")], "k long, v string, extra string"
+    )
+    out = {
+        r.k: (r.v, r.extra)
+        for r in merge_upsert(
+            target, source, keys=["k"], evolve_schema=True
+        ).collect()
+    }
+    assert out == {1: ("a", None), 2: ("b2", "x"), 3: ("c", "y")}
+
+
+def test_merge_schema_evolution_rejects_missing_target_cols(spark):
+    import pytest
+
+    from python_tool_setup_spark.operators.merge import MergeKeyError, merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame([(2, "x")], "k long, extra string")
+    with pytest.raises(MergeKeyError):
+        merge_upsert(target, source, keys=["k"], evolve_schema=True).collect()
