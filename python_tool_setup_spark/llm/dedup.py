@@ -317,9 +317,17 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str] = (),
     shingle_size: int = 3,
     threshold: float = 0.1,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within blocking groups
+    """Exact n-gram similarity for pairs within blocking groups
     (deterministic, oracle-checkable).
+
+    ``metric="jaccard"`` scores resemblance |∩|/|∪|;
+    ``metric="containment"`` scores |∩|/min(|A|,|B|) — the measure
+    that catches near-SUBSET duplication (a document quoting most of
+    a shorter one), which resemblance dilutes toward 0 as the longer
+    document grows. Same inverted-index candidate generation either
+    way; the output score column is named after the metric.
 
     Sparse formulation: explode shingles, equi-join on (block, shingle)
     so only pairs SHARING a shingle are ever materialized, count shared
@@ -375,17 +383,18 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", *blocks, "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    return (
-        shared.withColumn(
-            "jaccard",
-            F.round(
-                F.col("__inter")
-                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
-                6,
-            ),
+    if metric == "jaccard":
+        score = F.col("__inter") / (
+            F.col("__na") + F.col("__nb") - F.col("__inter")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", *blocks, "jaccard")
+    elif metric == "containment":
+        score = F.col("__inter") / F.least(F.col("__na"), F.col("__nb"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        shared.withColumn(metric, F.round(score, 6))
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", *blocks, metric)
     )
 
 

@@ -221,3 +221,120 @@ def q133_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         target, source, keys=["c_custkey"], evolve_schema=True
     )
+
+
+# ---------------------------------------------------------------- q134
+@register(
+    "q134_observe_metrics",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS scanned_rows,
+               ROUND(SUM(l_quantity), 2) AS scanned_qty
+        FROM lineitem
+    )
+    SELECT agg.l_returnflag, agg.n, agg.revenue,
+           m.scanned_rows, m.scanned_qty
+    FROM agg CROSS JOIN m
+    """,
+    doc="Inline pipeline observability (df.observe / CollectMetrics): "
+    "row-count and quantity-sum metrics are collected DURING the one "
+    "aggregation scan — no second pass over the data, which is the "
+    "whole point at 100 TB — and surfaced next to the query result. "
+    "The oracle recomputes both the aggregate and the metrics, "
+    "proving the observed values are exact, not sampled.",
+)
+def q134_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("scanned_rows"),
+        F.sum("l_quantity").alias("scanned_qty"),
+    )
+    agg = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    rows = agg.collect()  # one action: fills the result AND the metrics
+    m = obs.get
+    out = [
+        (r["l_returnflag"], r["n"], r["revenue"],
+         int(m["scanned_rows"]), round(float(m["scanned_qty"]), 2))
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "l_returnflag string, n long, revenue double, "
+        "scanned_rows long, scanned_qty double",
+    )
+
+
+# ---------------------------------------------------------------- q135
+_Q135_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "q135_containment_neardup",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, source,
+               array_to_string(({_Q135_TOKS})[1:25], ' ')
+        FROM documents
+        WHERE doc_id % 13 = 0 AND len({_Q135_TOKS}) >= 30
+    ),
+    shingled AS (
+        SELECT doc_id, source,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, source, {_Q135_TOKS} AS toks FROM corpus)
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
+               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                     / LEAST(LEN(a.sh), LEN(b.sh)), 6) AS containment
+        FROM shingled a JOIN shingled b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE containment >= 0.9
+    """,
+    doc="Containment near-dup (|∩|/min — catches near-SUBSET "
+    "duplication): every 13th document is re-planted as a 25-token "
+    "'quote' of itself; containment flags each quote against its "
+    "original at ~1.0 where resemblance Jaccard would score it far "
+    "below any dedup threshold. Same inverted-index candidate "
+    "generation as q39 — only pairs sharing a shingle materialize.",
+)
+def q135_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.dedup import ngram_jaccard_pairs
+    from python_tool_setup_spark.llm.text import tokenize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokenize(F.col("text"))
+    quotes = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.size(toks) >= 30))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "source",
+            F.array_join(F.slice(toks, 1, 25), " ").alias("text"),
+        )
+    )
+    corpus = d.unionByName(quotes)
+    return ngram_jaccard_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        block_cols=["source"],
+        shingle_size=3,
+        threshold=0.9,
+        metric="containment",
+    )

@@ -93,3 +93,25 @@ def test_merge_schema_evolution_rejects_missing_target_cols(spark):
     source = spark.createDataFrame([(2, "x")], "k long, extra string")
     with pytest.raises(MergeKeyError):
         merge_upsert(target, source, keys=["k"], evolve_schema=True).collect()
+
+
+def test_containment_flags_subset_quote(spark):
+    from python_tool_setup_spark.llm.dedup import ngram_jaccard_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(12))  # strict prefix subset
+    docs = spark.createDataFrame(
+        [(1, "s", long_doc), (2, "s", quote), (3, "s", "totally different words here")],
+        "doc_id long, source string, text string",
+    )
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["source"],
+        shingle_size=3, threshold=0.9, metric="containment",
+    ).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in out] == [(1, 2, 1.0)]
+    # resemblance jaccard on the same pair is far below 0.9
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["source"],
+        shingle_size=3, threshold=0.01,
+    ).collect()
+    assert all(r.jaccard < 0.5 for r in jac)
