@@ -338,3 +338,129 @@ def q135_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         metric="containment",
     )
+
+
+# ---------------------------------------------------------------- q136
+_Q136_SORTED = (
+    "array_to_string(list_sort(list_filter("
+    "string_split_regex(lower(text), '\\s+'), t -> t <> '')), ' ')"
+)
+
+
+@register(
+    "q136_token_sort_match",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 600000, source,
+               array_to_string(list_reverse(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> t <> '')), ' ')
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    norm AS (
+        SELECT doc_id, source, {_Q136_SORTED} AS skey FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS edit_dist
+    FROM norm a JOIN norm b
+      ON a.source = b.source AND a.skey = b.skey AND a.doc_id < b.doc_id
+    """,
+    doc="Token-sort fuzzy matching (the fuzzywuzzy token_sort_ratio "
+    "shape): every 19th document is re-planted with its word order "
+    "REVERSED — invisible to exact/edit-distance dedup, but the "
+    "sorted-token canonical key collapses the permutation and the "
+    "pair surfaces at distance 0. Normalization is scan-stage array "
+    "ops; pairing is a hash join on the canonical key, never "
+    "all-pairs.",
+)
+def q136_token_sort_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.text import tokenize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokenize(F.col("text"))
+    shuffled = d.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        "source",
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    corpus = d.unionByName(shuffled)
+    norm = corpus.select(
+        "doc_id",
+        "source",
+        F.array_join(F.array_sort(tokenize(F.col("text"))), " ").alias("skey"),
+    )
+    a = norm.alias("a")
+    b = norm.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.skey") == F.col("b.skey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q137
+_FED: dict[str, str] = {}
+
+
+@register(
+    "q137_federated_formats",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_regionkey) AS BIGINT) AS s
+    FROM nation
+    GROUP BY n_name
+    """,
+    doc="Federated multi-format union: the nation table is split into "
+    "three disjoint slices persisted as parquet, csv, and json; the "
+    "query unions the three scans (each with its own reader + schema) "
+    "and aggregates — byte-identical to aggregating the original. "
+    "The S13 format surface exercised as ONE relation, the way a "
+    "migration-in-progress lake actually looks.",
+)
+def q137_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from python_tool_setup_spark.sources.files import read_batch
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = _FED.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="fed_")
+        n.filter(F.col("n_nationkey") % 3 == 0).write.parquet(base + "/p")
+        n.filter(F.col("n_nationkey") % 3 == 1).write.option(
+            "header", "true"
+        ).csv(base + "/c")
+        n.filter(F.col("n_nationkey") % 3 == 2).write.json(base + "/j")
+        _FED[sf_dir] = base
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    parts = [
+        read_batch(spark, base + "/p", fmt="parquet"),
+        read_batch(
+            spark,
+            base + "/c",
+            fmt="csv",
+            schema=schema,
+            options={"header": "true"},
+        ),
+        read_batch(spark, base + "/j", fmt="json", schema=schema),
+    ]
+    fed = parts[0]
+    for p in parts[1:]:
+        fed = fed.unionByName(p.select(*fed.columns))
+    return fed.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_regionkey").cast("bigint").alias("s"),
+    )
