@@ -159,3 +159,108 @@ def test_pack_shards_matches_naive(spark, rows, budget):
     assert {(r["g"], r["ord"]): r["shard_id"] for r in fast.collect()} == {
         (r["g"], r["ord"]): r["shard_id"] for r in naive.collect()
     }
+
+
+# ------------------------------------------------- round-2 operators ----
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(edges=edge_lists)
+def test_pagerank_conserves_mass_and_stays_positive(spark, edges):
+    from python_tool_setup_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks = [r.rank for r in pagerank(e, iterations=4).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-6
+    assert all(r > 0 for r in ranks)
+
+
+tok_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=20, unique_by=lambda r: r[0],
+)
+
+
+@SETTINGS
+@given(rows=tok_rows, seq_len=st.integers(min_value=2, max_value=16))
+def test_pack_sequences_matches_naive_window(spark, rows, seq_len):
+    from python_tool_setup_spark.llm.pipeline import pack_sequences
+
+    df = spark.createDataFrame(rows, "k long, tok long")
+    got = {
+        r.k: (r.seq_id, r.seq_offset, r.end_seq_id)
+        for r in pack_sequences(
+            df.withColumn("g", F.lit("x")), "g", "k", "tok", seq_len,
+            chunk_size=3,
+        ).collect()
+    }
+    # naive reference: running start positions in k order
+    start = 0
+    expect = {}
+    for k, tok in sorted(rows):
+        if tok > 0:
+            expect[k] = (start // seq_len, start % seq_len,
+                         (start + tok - 1) // seq_len)
+            start += tok
+    assert got == expect
+
+
+iv_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.integers(min_value=0, max_value=15)),
+    min_size=1, max_size=8,
+)
+pt_lists = st.lists(st.integers(min_value=-5, max_value=60),
+                    min_size=1, max_size=25)
+
+
+@SETTINGS
+@given(ivs=iv_lists, pts=pt_lists, width=st.integers(min_value=1, max_value=9))
+def test_binned_interval_join_matches_naive(spark, ivs, pts, width):
+    from python_tool_setup_spark.operators.asof import binned_interval_join
+
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)],
+        "iid long, s long, e long",
+    )
+    points = spark.createDataFrame([(p,) for p in pts], "p long")
+    got = sorted(
+        (r.iid, r.p)
+        for r in binned_interval_join(
+            points, intervals, "p", "s", "e", bin_width=width
+        ).collect()
+    )
+    expect = sorted(
+        (i, p)
+        for i, (s, ln) in enumerate(ivs)
+        for p in pts
+        if s <= p <= s + ln
+    )
+    assert got == expect
+
+
+id_rows = st.lists(st.integers(min_value=-100, max_value=100),
+                   min_size=1, max_size=30, unique=True)
+
+
+@SETTINGS
+@given(ks=id_rows, chunk=st.integers(min_value=1, max_value=7))
+def test_assign_global_ids_is_rank_order(spark, ks, chunk):
+    from python_tool_setup_spark.llm.pipeline import assign_global_ids
+
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {
+        r.k: r.global_id
+        for r in assign_global_ids(df, "k", chunk_size=chunk).collect()
+    }
+    assert got == {k: i for i, k in enumerate(sorted(ks))}
