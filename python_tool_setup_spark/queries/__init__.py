@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         batch3,
         batch4,
         batch5,
+        batch6,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,159 @@
+"""Streaming-depth gates, batch 6: micro-batch granularity invariance
+under rate limiting (q138), plus a complete-but-unregistered
+transformWithStateInPandas implementation (the container lacks the
+protobuf dependency the API's state protocol needs).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- q138
+_CHUNKED: dict[str, str] = {}
+_N_CHUNKS = 4
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as _N_CHUNKS single-file parquet drops (by event_id
+    range) so maxFilesPerTrigger=1 yields exactly _N_CHUNKS non-empty
+    micro-batches."""
+    path = _CHUNKED.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ratelim_")
+        ev = load_table(spark, sf_dir, "events")
+        hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        step = (hi + _N_CHUNKS - 1) // _N_CHUNKS
+        for i in range(_N_CHUNKS):
+            (
+                ev.filter(
+                    (F.col("event_id") >= i * step)
+                    & (F.col("event_id") < (i + 1) * step)
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+        _CHUNKED[sf_dir] = path
+    return path
+
+
+@register(
+    "q138_rate_limited_drain",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST({_N_CHUNKS} AS BIGINT) AS n_batches
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Micro-batch granularity invariance: the events table is "
+    "staged as 4 file drops and drained with maxFilesPerTrigger=1 — "
+    "4 rate-limited micro-batches instead of one bulk pass — and the "
+    "final aggregate is byte-identical to the batch answer, with the "
+    "non-empty batch count surfaced from query progress. This is the "
+    "backfill-vs-live contract incremental pipelines depend on: "
+    "results must not depend on how the stream was chopped.",
+)
+def q138_rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = _chunked_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"q138_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_q138_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "event_type",
+        "n",
+        "total_value",
+        F.lit(n_batches).cast("bigint").alias("n_batches"),
+    )
+
+
+# ------------------------------------------------- transformWithState
+# NOT registered as a gate: Spark 4's transformWithStateInPandas
+# requires google.protobuf for its state-server protocol, and protobuf
+# is absent from this container (no installs allowed). The
+# implementation below is complete and becomes a drop-in gate where
+# protobuf exists; q54 (applyInPandasWithState) remains the registered
+# arbitrary-state gate. Guarded oracle, for reference:
+#   SELECT user_id, COUNT(*) n_events, ROUND(SUM(value),2) total_value
+#   FROM events GROUP BY user_id
+def transform_with_state_running_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from python_tool_setup_spark.queries.streaming import _drain, _events_stream
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt long, sm double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, sm = 0, 0.0
+            if self._totals.exists():
+                cnt, sm = self._totals.get()
+            for pdf in rows:
+                cnt += len(pdf)
+                sm += float(pdf["value"].sum())
+            self._totals.update((cnt, sm))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [round(sm, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream, _ = _events_stream(spark, sf_dir)
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _drain(out, "update")
