@@ -157,3 +157,42 @@ def transform_with_state_running_totals(
         )
     )
     return _drain(out, "update")
+
+
+# ---------------------------------------------------------------- q140
+@register(
+    "q140_grouped_statistics",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS price_qty_cov,
+           ROUND(stddev_pop(l_discount), 6) AS discount_sd,
+           ROUND(covar_pop(l_quantity, l_extendedprice)
+                 / var_pop(l_quantity), 6) AS ols_slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Grouped statistical aggregates: Pearson correlation, "
+    "population covariance/stddev, and the OLS trend slope "
+    "(cov/var) per return flag — all computed as single-pass "
+    "mergeable moment aggregates (sum, sum-of-squares, cross-sum), "
+    "so they partial-aggregate map-side and merge like any sum; the "
+    "moment formulation is what makes per-key statistics tractable "
+    "at 100 TB.",
+)
+def q140_grouped_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "price_qty_cov"
+        ),
+        F.round(F.stddev_pop("l_discount"), 6).alias("discount_sd"),
+        F.round(
+            F.covar_pop("l_quantity", "l_extendedprice")
+            / F.var_pop("l_quantity"),
+            6,
+        ).alias("ols_slope"),
+    )
