@@ -196,3 +196,78 @@ def q140_grouped_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------- q141
+@register(
+    "q141_length_histogram",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    )
+    SELECT CAST(CASE WHEN n_tok >= 200 THEN 11
+                     ELSE n_tok // 20 + 1 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM toks
+    GROUP BY 1
+    """,
+    doc="Sequence-length histogram (width_bucket, 10 equal bins over "
+    "[0,200) plus overflow bin 11): the length distribution that "
+    "drives training batch sizing and packing efficiency, computed "
+    "as one scan + one tiny aggregate — bucket assignment is a pure "
+    "projection, the shuffle carries at most n_buckets rows per "
+    "partition after map-side partial aggregation.",
+)
+def q141_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    return (
+        d.select(F.width_bucket(n_tok, F.lit(0), F.lit(200), F.lit(10)).alias("bucket"),
+                 n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"),
+                "n_docs", "min_tok", "max_tok")
+    )
+
+
+# ---------------------------------------------------------------- q142
+@register(
+    "q142_conditional_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Modern conditional-aggregate surface: count_if / bool_and / "
+    "bool_or per priority class — predicate aggregation without CASE "
+    "scaffolding, all mergeable single-pass aggregates.",
+)
+def q142_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000)
+        .cast("bigint")
+        .alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )
