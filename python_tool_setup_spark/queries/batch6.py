@@ -271,3 +271,59 @@ def q142_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
     )
+
+
+# ---------------------------------------------------------------- q143
+@register(
+    "q143_winsorize",
+    """
+    WITH cuts AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(l_extendedprice < lo) AS BIGINT) AS n_clipped_low,
+           CAST(count_if(l_extendedprice > hi) AS BIGINT) AS n_clipped_high,
+           ROUND(AVG(l_extendedprice), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
+               AS mean_winsorized
+    FROM lineitem l JOIN cuts USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Percentile winsorization (clip features at p01/p99 — the "
+    "standard outlier treatment before model-feature export): "
+    "per-group cutoffs come from one exact-percentile aggregate "
+    "(group-count-sized, broadcast back), rounded to 4 decimals on "
+    "both engines so the clip boundary is engine-exact; clipping "
+    "itself is a scan-stage LEAST/GREATEST projection. At 100 TB the "
+    "cutoff step swaps to approx_percentile (q67 bounds the error) "
+    "with the identical downstream plan.",
+)
+def q143_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
+    )
+    cuts = li.groupBy("l_returnflag").agg(pcts.alias("__p")).select(
+        "l_returnflag",
+        F.round(F.col("__p")[0], 4).alias("lo"),
+        F.round(F.col("__p")[1], 4).alias("hi"),
+    )
+    j = li.join(F.broadcast(cuts), "l_returnflag")
+    clip = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("l_extendedprice") < F.col("lo"))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.count_if(F.col("l_extendedprice") > F.col("hi"))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+        F.round(F.avg(clip), 4).alias("mean_winsorized"),
+    )
