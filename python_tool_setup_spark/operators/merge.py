@@ -195,3 +195,37 @@ def merge_upsert_bucketed(
 def read_bucketed_target(spark, target_path: str, fmt: str = "parquet") -> DataFrame:
     """Read a bucketed merge target (bucket col dropped)."""
     return spark.read.format(fmt).load(target_path).drop(BUCKET_COL)
+
+
+def merge_apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "_op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC log onto a snapshot: each change row carries
+    ``op_col`` ∈ {'upsert', 'delete'}; the latest change per key wins
+    (by ``order_col`` if given, else the log is assumed pre-compacted
+    to one row per key), upserts replace-or-append exactly like
+    :func:`merge_upsert`, and deletes REMOVE matching target rows —
+    the whenMatchedDelete arm a plain upsert merge lacks.
+
+    One window (if compaction is needed) + the same two hash joins as
+    merge_upsert: anti-join keeps target rows whose key has no change,
+    surviving upserts append. O(target + changes) with shuffles only
+    on the merge key — CDC volume, not table size, drives the cost of
+    a typical incremental apply.
+    """
+    from python_tool_setup_spark.operators.relational import dedup_by_keys
+
+    keys = list(keys)
+    if order_col is not None:
+        changes = dedup_by_keys(changes, keys, [F.col(order_col).desc()])
+    untouched = target.join(
+        changes.select(*keys), on=keys, how="left_anti"
+    )
+    upserts = changes.filter(F.col(op_col) == "upsert").select(
+        *target.columns
+    )
+    return untouched.unionByName(upserts)

@@ -327,3 +327,118 @@ def q143_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
         F.round(F.avg(clip), 4).alias("mean_winsorized"),
     )
+
+
+# ---------------------------------------------------------------- q144
+@register(
+    "q144_cdc_apply",
+    """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey < 1000
+    ),
+    log AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'delete'
+                    ELSE 'upsert' END AS _op,
+               'X' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    )
+    SELECT t.o_orderkey,
+           COALESCE(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(l.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN log l USING (o_orderkey)
+    WHERE l._op IS NULL OR l._op = 'upsert'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM log l
+    WHERE l._op = 'upsert'
+      AND NOT EXISTS (SELECT 1 FROM target t
+                      WHERE t.o_orderkey = l.o_orderkey)
+    """,
+    doc="CDC log application with DELETE semantics (the "
+    "whenMatchedDelete arm plain upsert-MERGE lacks): a change log of "
+    "upserts and deletes compacts onto the snapshot in one pass — "
+    "unchanged keys kept via anti-join, upserts replace-or-append, "
+    "deletes remove. Shuffles key on the merge key only; CDC volume, "
+    "not table size, drives incremental-apply cost.",
+)
+def q144_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.merge import merge_apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log = (
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+    )
+    return merge_apply_cdc(target, log, keys=["o_orderkey"], op_col="_op")
+
+
+# ---------------------------------------------------------------- q145
+_DV_BASE: dict[str, str] = {}
+
+
+@register(
+    "q145_deletion_vectors",
+    """
+    WITH live AS (
+        SELECT * FROM lineitem WHERE NOT (l_quantity > 45)
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           ROUND(SUM(l_extendedprice), 2) AS live_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity > 45) AS n_deleted
+    FROM live
+    GROUP BY l_returnflag
+    """,
+    doc="Deletion vectors (merge-on-read soft delete): deleting "
+    "l_quantity > 45 writes only a (file, row_index) tombstone "
+    "sidecar — no data file is rewritten — and readers apply it as a "
+    "broadcast anti-join on the scan's metadata columns. The "
+    "read-back equals a hard-filtered table exactly; compaction "
+    "(q61) later folds tombstones into data, amortized. The "
+    "copy-on-write alternative rewrites every touched file per "
+    "delete.",
+)
+def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from python_tool_setup_spark.operators.deletevec import (
+        build_deletion_vector,
+        read_with_deletion_vector,
+    )
+
+    base = _DV_BASE.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="dv_")
+        load_table(spark, sf_dir, "lineitem").write.parquet(base + "/t")
+        _DV_BASE[sf_dir] = base
+    dv_path = tempfile.mkdtemp(prefix="dv_sidecar_") + "/dv"
+    dv = build_deletion_vector(
+        spark, base + "/t", F.col("l_quantity") > 45
+    )
+    dv.write.parquet(dv_path)  # the sidecar IS the delete commit
+    dv_read = spark.read.parquet(dv_path)
+    n_deleted = dv_read.count()
+    live = read_with_deletion_vector(spark, base + "/t", dv_read)
+    return live.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        F.round(F.sum("l_extendedprice"), 2).alias("live_price"),
+    ).select(
+        "l_returnflag",
+        "n_live",
+        "live_price",
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+    )

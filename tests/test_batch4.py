@@ -115,3 +115,48 @@ def test_containment_flags_subset_quote(spark):
         shingle_size=3, threshold=0.01,
     ).collect()
     assert all(r.jaccard < 0.5 for r in jac)
+
+
+def test_merge_apply_cdc_deletes_and_upserts(spark):
+    from python_tool_setup_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [(2, "delete", None), (3, "upsert", "c2"), (4, "upsert", "d")],
+        "k long, _op string, v string",
+    )
+    out = {r.k: r.v for r in merge_apply_cdc(target, log, ["k"]).collect()}
+    assert out == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_merge_apply_cdc_latest_change_wins(spark):
+    from python_tool_setup_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = spark.createDataFrame(
+        [(1, "delete", None, 1), (1, "upsert", "a2", 2)],
+        "k long, _op string, v string, seq long",
+    )
+    out = merge_apply_cdc(
+        target, log, ["k"], order_col="seq"
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a2")]
+
+
+def test_deletion_vector_roundtrip(spark, tmp_path):
+    from python_tool_setup_spark.operators.deletevec import (
+        build_deletion_vector,
+        read_with_deletion_vector,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, m long"
+    ).repartition(3).write.parquet(p)
+    dv = build_deletion_vector(spark, p, F.col("m") == 0)
+    live = read_with_deletion_vector(spark, p, dv)
+    assert sorted(r.k for r in live.collect()) == sorted(
+        i for i in range(30) if i % 3 != 0
+    )
