@@ -153,3 +153,33 @@ def snapshot_diff(
         j.select(*key_out, F.explode(changes).alias("__c"))
         .select(*keys, "__c.payload.*", F.col("__c.kind").alias("_change_type"))
     )
+
+
+def clean_orphans(spark: SparkSession, table_path: str) -> list[str]:
+    """Remove version directories the manifest does not reference —
+    the leftovers of writers that crashed between snapshot and commit
+    (Iceberg's remove_orphan_files). Safe by construction: the
+    manifest swap is the commit point, so an unreferenced ``v*`` dir
+    is by definition invisible to every reader. Returns the removed
+    dir names. Metadata-only: lists one directory level, never reads
+    data files."""
+    from python_tool_setup_spark.sources.fs import (
+        delete_path,
+        hadoop_fs,
+        _jpath,
+    )
+
+    referenced = {f"v{v}" for v in list_versions(spark, table_path)}
+    fs = hadoop_fs(spark, table_path)
+    removed: list[str] = []
+    for status in fs.listStatus(_jpath(spark, table_path)):
+        name = status.getPath().getName()
+        if (
+            status.isDirectory()
+            and name.startswith("v")
+            and name[1:].isdigit()
+            and name not in referenced
+        ):
+            delete_path(spark, f"{table_path}/{name}")
+            removed.append(name)
+    return sorted(removed)

@@ -442,3 +442,90 @@ def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "live_price",
         F.lit(n_deleted).cast("bigint").alias("n_deleted"),
     )
+
+
+# ---------------------------------------------------------------- q146
+@register(
+    "q146_orphan_cleanup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT) AS n_orphans_removed,
+           CAST(2 AS BIGINT) AS n_versions_kept
+    FROM nation
+    """,
+    doc="Orphan-file cleanup (Iceberg remove_orphan_files shape): a "
+    "writer that crashes between snapshot and manifest swap leaves an "
+    "unreferenced version dir; cleanup lists ONE directory level, "
+    "removes exactly the dirs the manifest does not reference, and "
+    "committed data is untouched — the readback still equals the "
+    "source. Metadata-only work: no data file is ever read.",
+)
+def q146_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from python_tool_setup_spark.ingestion.versioned import (
+        clean_orphans,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    table = tempfile.mkdtemp(prefix="orphan_") + "/t"
+    write_version(spark, n, table)
+    write_version(spark, n.filter(F.col("n_nationkey") >= 0), table)
+    # simulate a crashed writer: snapshot dir exists, never committed
+    n.limit(3).write.parquet(table + "/v99")
+    removed = clean_orphans(spark, table)
+    assert removed == ["v99"], removed
+    kept = list_versions(spark, table)
+    latest = read_version(spark, table)
+    return latest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(len(removed)).cast("bigint").alias("n_orphans_removed"),
+        F.lit(len(kept)).cast("bigint").alias("n_versions_kept"),
+    )
+
+
+# ---------------------------------------------------------------- q147
+@register(
+    "q147_degenerate_inputs",
+    """
+    SELECT CAST(0 AS BIGINT) AS empty_agg_rows,
+           CAST(0 AS BIGINT) AS empty_dedup_rows,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS merge_vs_empty,
+           CAST(0 AS BIGINT) AS empty_join_rows
+    """,
+    doc="Degenerate-input robustness: aggregation, dedup, MERGE, and "
+    "join over EMPTY relations return empty/identity results instead "
+    "of erroring — the guarantee incremental pipelines need on quiet "
+    "partitions (a day with no data must be a no-op, not a crash).",
+)
+def q147_degenerate_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.dedup import exact_dedup
+    from python_tool_setup_spark.operators.merge import merge_upsert
+
+    n = load_table(spark, sf_dir, "nation")
+    empty = n.filter(F.lit(False))
+    empty_agg = (
+        empty.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .count()
+    )
+    docs_empty = empty.select(
+        F.col("n_nationkey").alias("doc_id"),
+        F.col("n_name").alias("text"),
+    )
+    empty_dedup = exact_dedup(docs_empty, ["text"]).count()
+    merged = merge_upsert(n, empty, keys=["n_nationkey"]).count()
+    empty_join = empty.join(n, "n_nationkey").count()
+    return spark.createDataFrame(
+        [(empty_agg, empty_dedup, merged, empty_join)],
+        "empty_agg_rows long, empty_dedup_rows long, "
+        "merge_vs_empty long, empty_join_rows long",
+    )
