@@ -529,3 +529,35 @@ def q147_degenerate_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "empty_agg_rows long, empty_dedup_rows long, "
         "merge_vs_empty long, empty_join_rows long",
     )
+
+
+# ---------------------------------------------------------------- q148
+@register(
+    "q148_ordered_string_agg",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG / string_agg WITHIN "
+    "GROUP): per-region nation roster concatenated in a DETERMINISTIC "
+    "order — collect_list alone is partition-order-dependent, so the "
+    "list is sorted before joining, making the result reproducible at "
+    "any parallelism. The reporting surface every summary export "
+    "needs.",
+)
+def q148_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
