@@ -196,12 +196,12 @@ def q128_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
            ROUND(AVG(value) OVER w, 6) AS avg_1h
     FROM (SELECT event_id, user_id, value,
-                 epoch(ts) AS ts_s FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                 epoch_ms(ts) AS ts_ms FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
     """,
     doc="Trailing 1-hour per-user rolling aggregate with a TIME-RANGE "
-    "frame (RANGE BETWEEN 3600 PRECEDING over epoch seconds, peers "
+    "frame (RANGE BETWEEN 3600000 PRECEDING over exact epoch millis, peers "
     "included — not a row-count frame): the batch analogue of a "
     "sliding stream window, one shuffle on user_id. Both engines "
     "evaluate the identical numeric range frame.",
@@ -211,12 +211,12 @@ def q129_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_millis("ts").alias("ts_ms"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_s")
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy("ts_ms")
+        .rangeBetween(-3600000, Window.currentRow)
     )
     return ev.select(
         "event_id",

@@ -561,3 +561,160 @@ def q148_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------- q149
+@register(
+    "q149_mad_outliers",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+        SELECT l.l_returnflag,
+               ROUND(quantile_cont(ABS(l_extendedprice - med), 0.5), 4)
+                   AS mad
+        FROM lineitem l JOIN med USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(ABS(l_extendedprice - med.med) > 3 * mad.mad)
+                AS BIGINT) AS n_outliers,
+           med.med, mad.mad
+    FROM lineitem l
+    JOIN med USING (l_returnflag)
+    JOIN mad USING (l_returnflag)
+    GROUP BY l.l_returnflag, med.med, mad.mad
+    """,
+    doc="Robust outlier detection via median absolute deviation "
+    "(|x − median| > 3·MAD — immune to the outliers themselves, "
+    "unlike the z-score path in q105): two exact-percentile "
+    "aggregates produce group-count-sized cutoff tables, broadcast "
+    "back for a scan-stage flag; both cutoffs are rounded to 4 "
+    "decimals on both engines so the comparison boundary is exact. "
+    "At 100 TB the percentile step swaps to approx_percentile with "
+    "the identical downstream plan.",
+)
+def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med")
+    )
+    j1 = li.join(F.broadcast(med), "l_returnflag")
+    mad = j1.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ),
+            4,
+        ).alias("mad")
+    )
+    j2 = j1.join(F.broadcast(mad), "l_returnflag")
+    return j2.groupBy("l_returnflag", "med", "mad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(
+            F.abs(F.col("l_extendedprice") - F.col("med"))
+            > 3 * F.col("mad")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select("l_returnflag", "n", "n_outliers", "med", "mad")
+
+
+# ---------------------------------------------------------------- q150
+@register(
+    "q150_linear_interpolation",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_s,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    ctx AS (
+        SELECT event_id, user_id, ts_s, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN ts_s END
+                          IGNORE NULLS) OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN ts_s END
+                           IGNORE NULLS) OVER w_next AS nt
+        FROM base
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nt = pt THEN pv
+               ELSE pv + (nv - pv) * (ts_s - pt) / (nt - pt)
+           END, 6) AS v_filled,
+           (v IS NULL) AS was_imputed
+    FROM ctx
+    """,
+    doc="Grouped linear interpolation of missing values (the "
+    "time-series imputation step after q108's LOCF): every 7th "
+    "event's value is nulled, then filled by interpolating between "
+    "the nearest non-null neighbors in event time (boundary rows "
+    "back/forward fill). Two IGNORE-NULLS window passes per "
+    "direction over (user, time, id) — one shuffle on user_id, "
+    "deterministic total order, identical frames in both engines.",
+)
+def q150_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_s"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nn_ts = F.when(F.col("v").isNotNull(), F.col("ts_s"))
+    ctx = ev.select(
+        "event_id",
+        "v",
+        "ts_s",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(nn_ts, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(nn_ts, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("ts_s") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return ctx.select(
+        "event_id",
+        F.round(filled, 6).alias("v_filled"),
+        F.col("v").isNull().alias("was_imputed"),
+    )
