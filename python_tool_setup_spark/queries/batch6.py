@@ -718,3 +718,52 @@ def q150_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 6).alias("v_filled"),
         F.col("v").isNull().alias("was_imputed"),
     )
+
+
+# ---------------------------------------------------------------- q151
+@register(
+    "q151_schema_drift_union",
+    """
+    WITH v1 AS (
+        SELECT doc_id, lang, NULL AS quality FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT doc_id, lang,
+               ROUND(n_chars / 100.0, 6) AS quality
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(quality IS NULL) AS BIGINT) AS n_v1,
+           ROUND(COALESCE(SUM(quality), 0.0), 6) AS quality_sum
+    FROM unioned
+    GROUP BY lang
+    """,
+    doc="Schema-drift union on read (unionByName with "
+    "allowMissingColumns): two generations of the same feed — v2 "
+    "adds a quality column v1 never had — combine into one relation "
+    "with nulls backfilled for the missing column, the read-side "
+    "complement of write-side evolution (q60 mergeSchema, q133 "
+    "merge autoMerge). No rewrite of historical data, no scan "
+    "beyond the union itself.",
+)
+def q151_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars") / 100.0, 6).alias("quality"),
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("quality").isNull()).cast("bigint").alias("n_v1"),
+        F.round(F.coalesce(F.sum("quality"), F.lit(0.0)), 6).alias(
+            "quality_sum"
+        ),
+    )
