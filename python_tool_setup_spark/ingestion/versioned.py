@@ -169,15 +169,19 @@ def clean_orphans(spark: SparkSession, table_path: str) -> list[str]:
         _jpath,
     )
 
-    referenced = {f"v{v}" for v in list_versions(spark, table_path)}
+    # Match the REAL snapshot layout (_version_dir): 'v=<digits>'. A
+    # crashed writer leaves exactly such a dir (snapshot write precedes
+    # the manifest swap), so any other naming scheme would make this a
+    # no-op on the very orphans it exists to remove.
+    referenced = {f"v={v}" for v in list_versions(spark, table_path)}
     fs = hadoop_fs(spark, table_path)
     removed: list[str] = []
     for status in fs.listStatus(_jpath(spark, table_path)):
         name = status.getPath().getName()
         if (
             status.isDirectory()
-            and name.startswith("v")
-            and name[1:].isdigit()
+            and name.startswith("v=")
+            and name[2:].isdigit()
             and name not in referenced
         ):
             delete_path(spark, f"{table_path}/{name}")

@@ -223,28 +223,63 @@ def ahash64(df: DataFrame) -> DataFrame:
     return df.select("path", "content").mapInPandas(_hash, AHASH_SCHEMA)
 
 
+def _ahash_bands(hi: F.Column, lo: F.Column) -> list[F.Column]:
+    """Split the 64 aHash bits (carried as two 32-bit halves) into 3
+    disjoint bands of 21/21/22 bits. With b bands, pigeonhole
+    guarantees any pair within hamming b-1 agrees on at least one
+    band, so 3 bands make candidate generation COMPLETE for
+    hamming <= 2."""
+    return [
+        hi.bitwiseAND(F.lit(0x1FFFFF)),  # hi bits 0-20
+        # hi bits 21-31 (11) + lo bits 0-9 (10)
+        F.shiftright(hi, 21).bitwiseOR(
+            F.shiftleft(lo.bitwiseAND(F.lit(0x3FF)), 11)
+        ),
+        F.shiftright(lo, 10),  # lo bits 10-31
+    ]
+
+
 def image_neardup_pairs(
     hashes: DataFrame, id_col: str = "path", max_hamming: int = 2
 ) -> DataFrame:
     """Near-duplicate image pairs by aHash hamming distance, blocked
-    on the two 32-bit halves (pigeonhole: any pair within hamming 1
-    agrees on at least one half; candidate generation is two
-    equi-joins, never all-pairs — the same scheme as SimHash text
-    near-dup). Returns (a_id, b_id, hamming <= max_hamming).
+    on 3 disjoint 21/21/22-bit bands of the 64-bit hash (pigeonhole:
+    any pair within hamming 2 agrees on at least one band — candidate
+    generation is COMPLETE for the default threshold, three equi-joins,
+    never all-pairs; same scheme as SimHash text near-dup). Returns
+    (a_id, b_id, hamming <= max_hamming).
     """
+    if max_hamming > 2:
+        raise ValueError(
+            "image_neardup_pairs 3-band blocking is complete only for "
+            f"max_hamming <= 2 (got {max_hamming}); add bands (k+1 for "
+            "hamming k) to raise the threshold"
+        )
     a = hashes.select(
         F.col(id_col).alias("a_id"),
         F.col("hi").alias("a_hi"),
         F.col("lo").alias("a_lo"),
+        *[
+            band.alias(f"a_b{i}")
+            for i, band in enumerate(_ahash_bands(F.col("hi"), F.col("lo")))
+        ],
     )
     b = hashes.select(
         F.col(id_col).alias("b_id"),
         F.col("hi").alias("b_hi"),
         F.col("lo").alias("b_lo"),
+        *[
+            band.alias(f"b_b{i}")
+            for i, band in enumerate(_ahash_bands(F.col("hi"), F.col("lo")))
+        ],
     )
-    cand_hi = a.join(b, a.a_hi == b.b_hi).filter(F.col("a_id") < F.col("b_id"))
-    cand_lo = a.join(b, a.a_lo == b.b_lo).filter(F.col("a_id") < F.col("b_id"))
-    cand = cand_hi.unionByName(cand_lo).distinct()
+    cands = [
+        a.join(b, F.col(f"a_b{i}") == F.col(f"b_b{i}"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo")
+        for i in range(3)
+    ]
+    cand = cands[0].unionByName(cands[1]).unionByName(cands[2]).distinct()
     ham = F.bit_count(
         F.col("a_hi").bitwiseXOR(F.col("b_hi"))
     ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))

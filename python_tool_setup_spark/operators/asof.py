@@ -114,7 +114,19 @@ def binned_interval_join(
     one shuffles both sides once on the bin key. Columns must be
     numeric (cast timestamps to epoch units first); pick ``bin_width``
     near the typical interval length so explode fan-out stays small.
+
+    Only ``how='inner'`` is supported: the explode-then-residual-filter
+    shape would drop unmatched outer rows (null residual) and emit
+    duplicate bin rows for matched ones, so outer modes are rejected
+    rather than silently wrong. Use :func:`range_join` when an outer
+    interval join is needed and one side is broadcastable.
     """
+    if how != "inner":
+        raise ValueError(
+            "binned_interval_join supports only how='inner' "
+            f"(got {how!r}); outer semantics are not expressible in the "
+            "bin-explode + residual-filter plan"
+        )
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col) / bin_width).cast("bigint")
     )

@@ -220,6 +220,20 @@ def merge_apply_cdc(
     from python_tool_setup_spark.operators.relational import dedup_by_keys
 
     keys = list(keys)
+    # Fail fast on unknown ops: the anti-join removes EVERY changed key
+    # from the target, so a typo'd op ('update', 'insert', ...) would
+    # otherwise behave as a silent delete.
+    bad = (
+        changes.select(F.col(op_col).alias("_op_val"))
+        .filter(~F.col("_op_val").isin("upsert", "delete"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"merge_apply_cdc: unknown op {bad[0]['_op_val']!r} in "
+            f"{op_col!r}; expected 'upsert' or 'delete'"
+        )
     if order_col is not None:
         changes = dedup_by_keys(changes, keys, [F.col(order_col).desc()])
     untouched = target.join(

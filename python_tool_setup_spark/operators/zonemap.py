@@ -69,10 +69,16 @@ def pruned_read(
         "file", f"min_{column}", f"max_{column}"
     ).collect()
     files_total = len(stats)
+    # A file whose column is entirely NULL has min/max = None; no row
+    # in it can satisfy a range predicate, so skipping it is sound (and
+    # comparing None would raise).
     keep = [
         r["file"]
         for r in stats
-        if r[f"min_{column}"] <= hi and r[f"max_{column}"] >= lo
+        if r[f"min_{column}"] is not None
+        and r[f"max_{column}"] is not None
+        and r[f"min_{column}"] <= hi
+        and r[f"max_{column}"] >= lo
     ]
     if keep:
         df = spark.read.parquet(*keep).filter(

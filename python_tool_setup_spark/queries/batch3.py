@@ -556,29 +556,22 @@ def q124_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS lo
         FROM px JOIN m USING (doc_id)
         GROUP BY px.doc_id
-    ),
-    cand AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
-        FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
-        FROM h a JOIN h b ON a.lo = b.lo AND a.doc_id < b.doc_id
     )
-    SELECT a_id, b_id,
-           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
                 AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 2
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
     """,
     doc="Image near-dup via 64-bit average-hash (the LAION-style "
     "image dedup shape): each document's first 64 bytes become an 8x8 "
     "greyscale PNG (plus a mean-preserving 2-byte-perturbed variant), "
-    "REAL-decoded in mapInPandas workers, aHashed into two 32-bit "
-    "halves, and paired by half-equality blocking + hamming <= 2 — "
-    "pigeonhole-complete for hamming <= 1, never all-pairs. The "
-    "oracle recomputes the identical hash from the text bytes, "
-    "proving decode + hash + blocking end-to-end.",
+    "REAL-decoded in mapInPandas workers, aHashed, and paired by "
+    "3-band blocking + hamming <= 2 — pigeonhole-COMPLETE for the "
+    "threshold, never all-pairs. The oracle recomputes the hash from "
+    "the text bytes and pairs by EXACT all-pairs hamming (feasible at "
+    "oracle scale), so it proves decode + hash + blocking recall "
+    "end-to-end: any pair the banding missed would fail the gate.",
 )
 def q125_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -475,10 +475,11 @@ def q146_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = tempfile.mkdtemp(prefix="orphan_") + "/t"
     write_version(spark, n, table)
     write_version(spark, n.filter(F.col("n_nationkey") >= 0), table)
-    # simulate a crashed writer: snapshot dir exists, never committed
-    n.limit(3).write.parquet(table + "/v99")
+    # simulate a crashed writer: snapshot dir exists (real 'v=<N>'
+    # layout, same as _version_dir writes), never committed
+    n.limit(3).write.parquet(table + "/v=99")
     removed = clean_orphans(spark, table)
-    assert removed == ["v99"], removed
+    assert removed == ["v=99"], removed
     kept = list_versions(spark, table)
     latest = read_version(spark, table)
     return latest.agg(

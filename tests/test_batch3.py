@@ -40,6 +40,28 @@ def test_zonemap_prunes_and_matches_full_scan(spark):
     assert sorted(r.k for r in scan.df.collect()) == expect
 
 
+def test_zonemap_all_null_file_skipped_not_crashed(spark):
+    # A file whose pruning column is entirely NULL has min/max stats of
+    # None; it must be skipped conservatively (no row can satisfy a
+    # range predicate), never raise, and the pruned result must still
+    # equal full-scan + filter.
+    base = tempfile.mkdtemp(prefix="zm_n_") + "/t"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).coalesce(1).write.parquet(base)
+    spark.createDataFrame(
+        [(100 + i, None) for i in range(5)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(base)
+    zmap = build_zone_map(spark, base, ["v"])
+    assert zmap.count() == 2
+    scan = pruned_read(spark, base, zmap, "v", 2.0, 6.0)
+    assert scan.files_total == 2 and scan.files_read == 1
+    full = spark.read.parquet(base).filter(F.col("v").between(2.0, 6.0))
+    assert sorted(r.k for r in scan.df.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+
+
 def test_zonemap_empty_range(spark):
     df = spark.createDataFrame(
         [(1, datetime.datetime(2024, 1, 1))], "k long, d timestamp"
@@ -291,3 +313,55 @@ def test_ahash_and_neardup_pairs(spark, tmp_path):
     )
     pairs = image_neardup_pairs(hashes, id_col="i", max_hamming=2).collect()
     assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_image_neardup_blocking_complete_for_hamming_2(spark):
+    import pytest
+
+    from python_tool_setup_spark.llm.multimodal import image_neardup_pairs
+
+    # One bit flipped in EACH 32-bit half: neither half agrees, so
+    # half-equality blocking would miss this pair; the 3-band blocking
+    # must find it (pigeonhole completeness for hamming <= 2).
+    hi, lo = 0x12345678, 0x0ABCDEF0
+    hashes = spark.createDataFrame(
+        [
+            (1, hi, lo),
+            (2, hi ^ (1 << 5), lo ^ (1 << 30)),  # hamming 2, split halves
+            (3, hi ^ 0xFF, lo ^ 0xFF00),  # hamming 16 -> filtered out
+        ],
+        "i long, hi long, lo long",
+    )
+    pairs = image_neardup_pairs(hashes, id_col="i", max_hamming=2).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 2)]
+    # exhaustive: EVERY weight-2 flip pattern across the 64 bits is found
+    import random
+
+    rng = random.Random(7)
+    rows = [(0, hi, lo)]
+    for n in range(1, 33):
+        b1, b2 = rng.sample(range(64), 2)
+        h2, l2 = hi, lo
+        for b in (b1, b2):
+            if b < 32:
+                h2 ^= 1 << b
+            else:
+                l2 ^= 1 << (b - 32)
+        rows.append((n, h2, l2))
+    got = image_neardup_pairs(
+        spark.createDataFrame(rows, "i long, hi long, lo long"), id_col="i"
+    )
+    assert got.filter(F.col("a_id") == 0).count() == 32
+    with pytest.raises(ValueError, match="complete only"):
+        image_neardup_pairs(hashes, id_col="i", max_hamming=3)
+
+
+def test_binned_interval_join_rejects_outer(spark):
+    import pytest
+
+    from python_tool_setup_spark.operators.asof import binned_interval_join
+
+    pts = spark.createDataFrame([(5,)], "p long")
+    ivs = spark.createDataFrame([(0, 9)], "s long, e long")
+    with pytest.raises(ValueError, match="only how='inner'"):
+        binned_interval_join(pts, ivs, "p", "s", "e", bin_width=4, how="left")

@@ -145,6 +145,20 @@ def test_merge_apply_cdc_latest_change_wins(spark):
     assert [(r.k, r.v) for r in out] == [(1, "a2")]
 
 
+def test_merge_apply_cdc_rejects_unknown_op(spark):
+    import pytest
+
+    from python_tool_setup_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    # a typo'd op must raise, not behave as a silent delete
+    log = spark.createDataFrame(
+        [(1, "update", "a2")], "k long, _op string, v string"
+    )
+    with pytest.raises(ValueError, match="unknown op 'update'"):
+        merge_apply_cdc(target, log, ["k"])
+
+
 def test_deletion_vector_roundtrip(spark, tmp_path):
     from python_tool_setup_spark.operators.deletevec import (
         build_deletion_vector,

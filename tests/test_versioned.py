@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.ingestion.versioned import (
+    clean_orphans,
     list_versions,
     read_version,
     snapshot_diff,
@@ -32,6 +33,27 @@ def test_write_read_versions_and_vacuum(spark, tmp_path):
         read_version(spark, path, 0)
     # next write continues the version sequence, not reusing ids
     assert write_version(spark, v0, path) == 2
+
+
+def test_clean_orphans_removes_real_crash_layout(spark, tmp_path):
+    # A writer that crashes between snapshot and manifest swap leaves a
+    # dir in the REAL 'v=<N>' layout (what _version_dir writes); orphan
+    # cleanup must remove exactly that, keep referenced versions, and
+    # ignore unrelated dirs.
+    path = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_version(spark, v0, path)
+    write_version(spark, v0.filter(F.col("k") == 1), path)
+    # crashed writer: snapshot written, manifest never swapped
+    v0.limit(1).write.parquet(path + "/v=7")
+    # unrelated sidecar dir must be untouched
+    v0.limit(1).write.parquet(path + "/notes")
+    assert clean_orphans(spark, path) == ["v=7"]
+    assert list_versions(spark, path) == [0, 1]
+    assert _rows(read_version(spark, path, 0)) == [(1, "a"), (2, "b")]
+    assert _rows(read_version(spark, path, 1)) == [(1, "a")]
+    # idempotent: second run finds nothing
+    assert clean_orphans(spark, path) == []
 
 
 def test_snapshot_diff_change_types(spark):
