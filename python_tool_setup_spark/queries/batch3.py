@@ -11,7 +11,6 @@ selection.
 from __future__ import annotations
 
 import datetime
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,6 +19,7 @@ from python_tool_setup_spark.operators.graph import pagerank, pagerank_oracle_sq
 from python_tool_setup_spark.operators.zonemap import build_zone_map, pruned_read
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,7 +69,7 @@ def q116_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     layout = _ZONED.get(sf_dir)
     if layout is None:
-        layout = tempfile.mkdtemp(prefix="zonemap_") + "/lineitem"
+        layout = staging_dir("zonemap_") + "/lineitem"
         # one task per month -> exactly one file per month directory
         (
             li.withColumn(
@@ -575,7 +575,6 @@ def q124_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q125_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from python_tool_setup_spark.llm.multimodal import (
         ahash64,
@@ -593,7 +592,7 @@ def q125_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    media_dir = tempfile.mkdtemp(prefix="phash_")
+    media_dir = staging_dir("phash_")
     for row in d.collect():  # <=40 tiny fixture files, test staging only
         px = bytearray(row["text"].encode("ascii")[:64])
         with open(os.path.join(media_dir, f"img_{row['doc_id']}.png"), "wb") as f:

@@ -9,7 +9,6 @@ integer aggregates, identical ROUNDs, deterministic orders.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pandas as pd
 
@@ -19,6 +18,7 @@ from pyspark.sql.window import Window
 
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -157,7 +157,7 @@ _CSV_BAD_EVERY = 17
     "good/corrupt partition arithmetically.",
 )
 def q128_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = tempfile.mkdtemp(prefix="badcsv_") + "/data.csv"
+    path = staging_dir("badcsv_") + "/data.csv"
     with open(path, "w") as f:
         for i in range(_CSV_N):
             if i % _CSV_BAD_EVERY == 0:

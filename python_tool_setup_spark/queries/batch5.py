@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -429,7 +430,6 @@ _FED: dict[str, str] = {}
     "migration-in-progress lake actually looks.",
 )
 def q137_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from python_tool_setup_spark.sources.files import read_batch
 
@@ -438,7 +438,7 @@ def q137_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _FED.get(sf_dir)
     if base is None:
-        base = tempfile.mkdtemp(prefix="fed_")
+        base = staging_dir("fed_")
         n.filter(F.col("n_nationkey") % 3 == 0).write.parquet(base + "/p")
         n.filter(F.col("n_nationkey") % 3 == 1).write.option(
             "header", "true"

@@ -1,12 +1,12 @@
 """Streaming-depth gates, batch 6: micro-batch granularity invariance
-under rate limiting (q138), plus a complete-but-unregistered
-transformWithStateInPandas implementation (the container lacks the
-protobuf dependency the API's state protocol needs).
+under rate limiting (q138), plus a transformWithStateInPandas gate
+(q152) that registers itself only where google.protobuf — the state
+server protocol dependency — is importable.
 """
 
 from __future__ import annotations
 
-import tempfile
+import importlib.util
 import uuid
 
 import pandas as pd
@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 
 # ---------------------------------------------------------------- q138
@@ -29,7 +30,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str) -> str:
     micro-batches."""
     path = _CHUNKED.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ratelim_")
+        path = staging_dir("ratelim_")
         ev = load_table(spark, sf_dir, "events")
         hi = ev.agg(F.max("event_id")).collect()[0][0] + 1
         step = (hi + _N_CHUNKS - 1) // _N_CHUNKS
@@ -78,7 +79,7 @@ def q138_rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     name = f"q138_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_q138_")
+    ckpt = staging_dir("ckpt_q138_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -105,14 +106,12 @@ def q138_rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- transformWithState
-# NOT registered as a gate: Spark 4's transformWithStateInPandas
-# requires google.protobuf for its state-server protocol, and protobuf
-# is absent from this container (no installs allowed). The
-# implementation below is complete and becomes a drop-in gate where
-# protobuf exists; q54 (applyInPandasWithState) remains the registered
-# arbitrary-state gate. Guarded oracle, for reference:
-#   SELECT user_id, COUNT(*) n_events, ROUND(SUM(value),2) total_value
-#   FROM events GROUP BY user_id
+# Registered CONDITIONALLY: Spark 4's transformWithStateInPandas
+# requires google.protobuf for its state-server protocol. Where
+# protobuf is importable the gate below registers itself and the
+# driver verifies it against the batch oracle; in this container
+# (protobuf absent, no installs allowed) registration is skipped and
+# q54 (applyInPandasWithState) remains the arbitrary-state gate.
 def transform_with_state_running_totals(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -156,7 +155,37 @@ def transform_with_state_running_totals(
             timeMode="None",
         )
     )
-    return _drain(out, "update")
+    drained = _drain(out, "update")
+    # update-mode sink keeps one row per (key, batch); the running
+    # totals are cumulative, so the final state per key is the row
+    # with the highest event count
+    from python_tool_setup_spark.operators.relational import dedup_by_keys
+
+    return dedup_by_keys(drained, ["user_id"], [F.col("n_events").desc()])
+
+
+def _has_protobuf() -> bool:
+    try:  # find_spec raises if the parent 'google' package is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+if _has_protobuf():  # pragma: no cover
+    register(
+        "q152_transform_with_state",
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
+        doc="Spark 4 transformWithStateInPandas running totals "
+        "(ValueState per user), drained availableNow and reduced to "
+        "final state per key. Registers only where google.protobuf "
+        "(the state-server protocol dependency) is importable.",
+    )(transform_with_state_running_totals)
 
 
 # ---------------------------------------------------------------- q140
@@ -413,7 +442,6 @@ _DV_BASE: dict[str, str] = {}
     "delete.",
 )
 def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from python_tool_setup_spark.operators.deletevec import (
         build_deletion_vector,
@@ -422,10 +450,10 @@ def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _DV_BASE.get(sf_dir)
     if base is None:
-        base = tempfile.mkdtemp(prefix="dv_")
+        base = staging_dir("dv_")
         load_table(spark, sf_dir, "lineitem").write.parquet(base + "/t")
         _DV_BASE[sf_dir] = base
-    dv_path = tempfile.mkdtemp(prefix="dv_sidecar_") + "/dv"
+    dv_path = staging_dir("dv_sidecar_") + "/dv"
     dv = build_deletion_vector(
         spark, base + "/t", F.col("l_quantity") > 45
     )
@@ -462,7 +490,6 @@ def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source. Metadata-only work: no data file is ever read.",
 )
 def q146_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from python_tool_setup_spark.ingestion.versioned import (
         clean_orphans,
@@ -472,7 +499,7 @@ def q146_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = load_table(spark, sf_dir, "nation")
-    table = tempfile.mkdtemp(prefix="orphan_") + "/t"
+    table = staging_dir("orphan_") + "/t"
     write_version(spark, n, table)
     write_version(spark, n.filter(F.col("n_nationkey") >= 0), table)
     # simulate a crashed writer: snapshot dir exists (real 'v=<N>'

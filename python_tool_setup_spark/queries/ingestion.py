@@ -8,7 +8,6 @@ correctness gate, not just in unit tests.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +16,7 @@ from python_tool_setup_spark.config import IngestionConfig
 from python_tool_setup_spark.ingestion import make_ingestion
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table, table_path
+from python_tool_setup_spark.staging import staging_dir
 
 
 @register(
@@ -31,7 +31,7 @@ from python_tool_setup_spark.tables import load_table, table_path
     "partitioned parquet target via IngestionPipeline, read back, aggregate.",
 )
 def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = tempfile.mkdtemp(prefix="ingest_rt_")
+    target = staging_dir("ingest_rt_")
     cfg = IngestionConfig(
         source_path=table_path(sf_dir, "orders"),
         source_format="parquet",
@@ -66,8 +66,8 @@ def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an explicit DDL schema (cfg.schema) to avoid the extra scan + drift.",
 )
 def q58_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="csv_src_")
-    target = tempfile.mkdtemp(prefix="csv_tgt_")
+    src = staging_dir("csv_src_")
+    target = staging_dir("csv_tgt_")
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     ).write.mode("overwrite").option("header", "true").csv(src)
@@ -101,8 +101,8 @@ def q58_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with an explicit DDL schema (no inference scan), aggregate readback.",
 )
 def q59_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="json_src_")
-    target = tempfile.mkdtemp(prefix="json_tgt_")
+    src = staging_dir("json_src_")
+    target = staging_dir("json_tgt_")
     load_table(spark, sf_dir, "documents").write.mode("overwrite").json(src)
     cfg = IngestionConfig(
         source_path=src,
@@ -143,13 +143,13 @@ def q59_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this is metadata-only: no rewrite of existing files.",
 )
 def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = tempfile.mkdtemp(prefix="evolve_tgt_")
+    target = staging_dir("evolve_tgt_")
     cust = load_table(spark, sf_dir, "customer")
     for pred, cols in [
         (F.col("c_custkey") % 2 == 0, ["c_custkey", "c_name"]),
         (F.col("c_custkey") % 2 == 1, ["c_custkey", "c_name", "c_acctbal"]),
     ]:
-        src = tempfile.mkdtemp(prefix="evolve_src_")
+        src = staging_dir("evolve_src_")
         cust.filter(pred).select(*cols).write.mode("overwrite").parquet(src)
         make_ingestion(
             spark,
@@ -190,9 +190,9 @@ def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join algebra of whenMatchedUpdateAll/whenNotMatchedInsertAll.",
 )
 def q30_ingest_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = tempfile.mkdtemp(prefix="ingest_merge_")
+    target = staging_dir("ingest_merge_")
     orders = load_table(spark, sf_dir, "orders")
-    src_dir = tempfile.mkdtemp(prefix="merge_src_")
+    src_dir = staging_dir("merge_src_")
 
     orders.filter(F.col("o_orderkey") % 4 != 0).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
@@ -328,8 +328,8 @@ def q86_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate the readback.",
 )
 def q87_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="orc_src_")
-    target = tempfile.mkdtemp(prefix="orc_tgt_")
+    src = staging_dir("orc_src_")
+    target = staging_dir("orc_tgt_")
     load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(src)
     cfg = IngestionConfig(
         source_path=src,
@@ -400,7 +400,7 @@ def q90_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     body = "".join(f"{r['r_regionkey']},{r['r_name']}\n" for r in rows)
-    obj_dir = tempfile.mkdtemp(prefix="obj_")
+    obj_dir = staging_dir("obj_")
     path = f"{obj_dir}/region.csv"
     put_object(spark, path, body)
     assert get_object(spark, path).decode("utf-8") == body
@@ -419,8 +419,8 @@ def q90_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprinted so the round trip is byte-exact, order-insensitive.",
 )
 def q99_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="text_src_")
-    target = tempfile.mkdtemp(prefix="text_tgt_")
+    src = staging_dir("text_src_")
+    target = staging_dir("text_tgt_")
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(src)
     cfg = IngestionConfig(
@@ -487,7 +487,7 @@ def q106_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.sources.custom import register_jsonl_dir
 
     register_jsonl_dir(spark)
-    out = tempfile.mkdtemp(prefix="pysink_")
+    out = staging_dir("pysink_")
     src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 == 0)

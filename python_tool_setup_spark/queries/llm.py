@@ -31,6 +31,7 @@ from python_tool_setup_spark.llm import (
 )
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 # DuckDB equivalents of our tokenizer/shingler, reused across oracles.
 _SQL_TOKS = (
@@ -512,7 +513,6 @@ def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from python_tool_setup_spark.llm.multimodal import (
         read_media,
@@ -520,7 +520,7 @@ def q43_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    media_dir = tempfile.mkdtemp(prefix="media_")
+    media_dir = staging_dir("media_")
     for row in d.select("doc_id", "text").collect():  # 50 small local files
         with open(os.path.join(media_dir, f"doc_{row['doc_id']}.png"), "wb") as f:
             f.write(row["text"].encode("utf-8"))
@@ -549,7 +549,6 @@ def q43_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from python_tool_setup_spark.llm.multimodal import (
         decode_image_stats,
@@ -558,7 +557,7 @@ def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.llm.png import encode_png
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    media_dir = tempfile.mkdtemp(prefix="media_dec_")
+    media_dir = staging_dir("media_dec_")
     for row in d.select("doc_id", "text").collect():  # 20 small local files
         raw = row["text"].encode("utf-8")
         if not raw:
@@ -600,7 +599,6 @@ def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q100_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from python_tool_setup_spark.llm.multimodal import read_media, sample_frames
 
@@ -612,7 +610,7 @@ def q100_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.octet_length("text") == F.length("text"))
         )
     )
-    media_dir = tempfile.mkdtemp(prefix="frames_")
+    media_dir = staging_dir("frames_")
     for row in d.select("doc_id", "text").collect():  # 30 small local files
         with open(os.path.join(media_dir, f"doc_{row['doc_id']}.bin"), "wb") as f:
             f.write(row["text"].encode("utf-8"))

@@ -9,7 +9,6 @@ clustering, salting, bucketing) never changes query results.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +22,7 @@ from python_tool_setup_spark.operators.skew import (
 )
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 # sf_dir -> (orders_table, lineitem_table) built once per corpus
 _BUCKETED: dict[str, tuple[str, str]] = {}
@@ -52,13 +52,13 @@ def q61_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appends), not the operator under test — build it once per corpus
     # and hand each run a cheap local copy to compact
     if sf_dir not in _FRAGMENTED:
-        frag = tempfile.mkdtemp(prefix="compact_src_")
+        frag = staging_dir("compact_src_")
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_extendedprice"
         )
         li.repartition(64).write.mode("overwrite").parquet(frag)
         _FRAGMENTED[sf_dir] = frag
-    target = tempfile.mkdtemp(prefix="compact_") + "/t"
+    target = staging_dir("compact_") + "/t"
     shutil.copytree(_FRAGMENTED[sf_dir], target)
     optimize_layout(spark, path=target)
     return (
@@ -86,7 +86,7 @@ def q61_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skipping effect; results identical to the unclustered source.",
 )
 def q62_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = tempfile.mkdtemp(prefix="zorder_")
+    target = staging_dir("zorder_")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(target)
     optimize_layout(spark, path=target, zorder_by=["o_custkey"])
     return (
@@ -155,7 +155,7 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lt,
             ["o_orderkey"],
             16,
-            location=tempfile.mkdtemp(prefix="bkt_o_"),
+            location=staging_dir("bkt_o_"),
             sort_cols=["o_orderkey"],
         )
         create_bucketed_table(
@@ -166,7 +166,7 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             rt,
             ["o_orderkey"],
             16,
-            location=tempfile.mkdtemp(prefix="bkt_l_"),
+            location=staging_dir("bkt_l_"),
             sort_cols=["o_orderkey"],
         )
         _BUCKETED[sf_dir] = (lt, rt)
@@ -241,13 +241,13 @@ def q89_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucketed layout is the write-once build artifact; the merge
     # under test mutates a cheap local copy of it each run
     if sf_dir not in _BUCKETED_TGT:
-        base = tempfile.mkdtemp(prefix="bmerge_src_") + "/t"
+        base = staging_dir("bmerge_src_") + "/t"
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", F.round("o_totalprice", 2).alias("price")
         )
         write_bucketed_target(orders, base, ["o_orderkey"], num_buckets=16)
         _BUCKETED_TGT[sf_dir] = base
-    target = tempfile.mkdtemp(prefix="bmerge_") + "/t"
+    target = staging_dir("bmerge_") + "/t"
     shutil.copytree(_BUCKETED_TGT[sf_dir], target)
     src = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 11 == 0

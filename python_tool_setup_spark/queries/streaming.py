@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.streaming import streaming_dedup, tumbling_window_agg
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -37,7 +37,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     events = load_table(spark, sf_dir, "events")
     staged = _STAGED_EVENTS.get(sf_dir)
     if staged is None:
-        staged = tempfile.mkdtemp(prefix="events_stream_")
+        staged = staging_dir("events_stream_")
         events.write.mode("overwrite").parquet(staged)
         _STAGED_EVENTS[sf_dir] = staged
     return (
@@ -48,7 +48,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:10]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = staging_dir("ckpt_")
     spark = df.sparkSession
     # Stateful ops allocate one state store PER shuffle partition (a
     # stream-stream join allocates four); at this input size 32
@@ -184,7 +184,7 @@ def q52_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract without staging the full table three times.",
 )
 def q53_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    staged = tempfile.mkdtemp(prefix="late_stream_")
+    staged = staging_dir("late_stream_")
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") % 20 == 0)
@@ -199,7 +199,7 @@ def q53_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(odd & (F.col("ts") < cutoff)),   # batch 2: too late
     ]
     for i, sub_df in enumerate(parts):
-        sub = tempfile.mkdtemp(prefix=f"late_part{i}_")
+        sub = staging_dir(f"late_part{i}_")
         sub_df.coalesce(1).write.mode("overwrite").parquet(sub)
         part = next(
             f for f in os.listdir(sub) if f.startswith("part-") and f.endswith(".parquet")
@@ -240,7 +240,7 @@ def q54_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    staged = tempfile.mkdtemp(prefix="stateful_stream_")
+    staged = staging_dir("stateful_stream_")
     events = load_table(spark, sf_dir, "events")
     # one file -> one micro-batch -> the per-batch emission IS the final
     # per-key count, so the batch oracle matches exactly
@@ -284,8 +284,8 @@ def q65_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.config import IngestionConfig
     from python_tool_setup_spark.ingestion import make_ingestion
 
-    staged = tempfile.mkdtemp(prefix="smerge_src_")
-    target = tempfile.mkdtemp(prefix="smerge_tgt_") + "/t"
+    staged = staging_dir("smerge_src_")
+    target = staging_dir("smerge_tgt_") + "/t"
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
@@ -294,7 +294,7 @@ def q65_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.round(F.col("o_totalprice") + 1000, 2).alias("price")
     )
     for i, sub_df in enumerate([base, updates]):
-        sub = tempfile.mkdtemp(prefix=f"smerge_b{i}_")
+        sub = staging_dir(f"smerge_b{i}_")
         sub_df.coalesce(1).write.mode("overwrite").parquet(sub)
         part = next(
             f for f in os.listdir(sub) if f.startswith("part-") and f.endswith(".parquet")
@@ -311,7 +311,7 @@ def q65_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_mode="merge",
         ingest_mode="stream",
         merge_keys=["o_orderkey"],
-        checkpoint_path=tempfile.mkdtemp(prefix="smerge_ckpt_"),
+        checkpoint_path=staging_dir("smerge_ckpt_"),
     )
     make_ingestion(spark, cfg).run()
     return spark.read.parquet(target)

@@ -5,7 +5,6 @@ deterministic functions of the fixture tables.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +16,7 @@ from python_tool_setup_spark.ingestion.versioned import (
 )
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
+from python_tool_setup_spark.staging import staging_dir
 
 # table_path cache per sf_dir: versions are immutable build artifacts
 _VERSIONED: dict[str, str] = {}
@@ -45,7 +45,7 @@ def _orders_v1(orders: DataFrame) -> DataFrame:
 
 def _build_versions(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _VERSIONED:
-        path = tempfile.mkdtemp(prefix="vtab_") + "/orders_v"
+        path = staging_dir("vtab_") + "/orders_v"
         orders = load_table(spark, sf_dir, "orders")
         write_version(spark, _orders_v0(orders), path)
         write_version(spark, _orders_v1(orders), path)
@@ -137,7 +137,7 @@ def q75_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
 
-    state_dir = tempfile.mkdtemp(prefix="aggstate_") + "/state"
+    state_dir = staging_dir("aggstate_") + "/state"
     partials(li.filter(F.col("l_orderkey") % 2 == 0)).write.parquet(state_dir)
     state = spark.read.parquet(state_dir)
     batch = partials(li.filter(F.col("l_orderkey") % 2 != 0))
