@@ -21,13 +21,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def advise_salt_buckets(
+    big: DataFrame,
+    on: Sequence[str],
+    skew_threshold: float = 4.0,
+    max_buckets: int = 64,
+) -> int:
+    """Pick a salt bucket count from the big side's key histogram:
+    skew factor = hottest-key rows / mean rows per key. Below
+    ``skew_threshold`` the shuffle is safe and the answer is 1 (no
+    salting); above, the hot key needs ~skew-factor-way spreading,
+    capped at ``max_buckets``. One map-side-combined aggregate + a
+    3-scalar collect — safe to point at the full fact table (the same
+    shape as :func:`skew_report`).
+    """
+    keys = list(on)
+    counts = big.groupBy(*keys).agg(F.count(F.lit(1)).alias("__key_rows"))
+    row = counts.agg(
+        F.max("__key_rows").alias("__hot"),
+        F.sum("__key_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    ).collect()[0]
+    if not row["__nkeys"]:
+        return 1
+    skew_factor = row["__hot"] / (row["__total"] / row["__nkeys"])
+    if skew_factor < skew_threshold:
+        return 1
+    import math
+
+    return min(max_buckets, max(2, math.ceil(skew_factor)))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: Sequence[str],
     how: str = "inner",
-    salt_buckets: int = 8,
+    salt_buckets: int | None = 8,
     seed: int = 42,
+    auto: bool = False,
+    skew_threshold: float = 4.0,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over
     ``salt_buckets`` shuffle partitions.
@@ -43,6 +76,12 @@ def salted_join(
     small side exploded ``salt_buckets``-fold, a right/full outer join
     would emit each unmatched small-side row once PER SALT — silently
     wrong. Use a plain ``join`` (or salt the other way around) there.
+
+    With ``auto=True`` the bucket count is measured, not guessed:
+    :func:`advise_salt_buckets` samples the big side's key histogram
+    and salting engages only when the skew factor crosses
+    ``skew_threshold`` (1 bucket -> plain join, zero overhead on
+    well-distributed keys).
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
@@ -52,6 +91,12 @@ def salted_join(
             "(right/full outer would duplicate unmatched small-side rows "
             "salt_buckets times)"
         )
+    if auto:
+        salt_buckets = advise_salt_buckets(
+            big, on, skew_threshold=skew_threshold
+        )
+    if salt_buckets is None or salt_buckets <= 1:
+        return big.join(small, list(on), how)
     keys = list(on)
     salted_big = big.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")

@@ -36,6 +36,30 @@ def test_salted_join_matches_plain_join(spark):
     assert got == expected
 
 
+def test_auto_salted_join_engages_only_on_skew(spark):
+    from python_tool_setup_spark.operators.skew import advise_salt_buckets
+
+    # hot fixture: 90% of rows on key 1 -> advisor must salt
+    hot = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k int, v int"
+    )
+    # uniform fixture: every key equally common -> advisor must not salt
+    uniform = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k int, v int"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "k int, d string"
+    )
+    assert advise_salt_buckets(hot, ["k"]) > 1
+    assert advise_salt_buckets(uniform, ["k"]) == 1
+    for big in (hot, uniform):
+        expected = rows(big.join(small, ["k"]).select("k", "v", "d"))
+        got = rows(
+            salted_join(big, small, ["k"], auto=True).select("k", "v", "d")
+        )
+        assert got == expected
+
+
 def test_salted_join_left_outer(spark):
     big = spark.createDataFrame([(1, 10), (2, 20), (99, 0)], "k int, v int")
     small = spark.createDataFrame([(1, "a"), (2, "b")], "k int, d string")

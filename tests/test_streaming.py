@@ -340,3 +340,28 @@ def test_python_stream_source_resume(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 120
     assert back.select("doc_id").distinct().count() == 120
+
+
+def test_stream_restart_recovery_equals_batch(spark, sf_dir):
+    # kill-after-first-batch + checkpoint resume must reproduce the
+    # batch aggregate exactly (no lost, no double-counted micro-batch)
+    from python_tool_setup_spark.queries.batch7 import (
+        q153_stream_restart_recovery,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    got = {
+        r.event_type: (r.n, r.total_value)
+        for r in q153_stream_restart_recovery(spark, sf_dir).collect()
+    }
+    expect = {
+        r.event_type: (r.n, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expect
