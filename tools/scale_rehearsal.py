@@ -1,0 +1,151 @@
+"""Scale rehearsal: run the headline operators at sf0.1 and at a
+10x-scaled synthetic sf1 (~6M lineitem) and report per-query wall
+time, the scale ratio, and join-strategy flips.
+
+sf1 is staged once under /tmp/sf1_rehearsal by unioning 10
+key-offset copies of every sf0.1 table (referential integrity
+preserved: every key column in every table gets the same per-copy
+offset, so joins land exactly as at sf0.1 but 10x heavier). Text and
+embeddings are perturbed per copy so dedup/ANN don't see 10 exact
+clones of the corpus.
+
+Usage: python tools/scale_rehearsal.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+from python_tool_setup_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1_rehearsal"
+COPIES = 10
+
+# per-table key columns that must shift together per copy
+OFFSETS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+HEADLINE = [
+    "q86_tpch_q5ish",
+    "q36_minhash_lsh_neardup",
+    "q72_dup_clusters",
+    "q41_ann_lsh",
+    "q42_ivf_ann",
+    "q117_pagerank",
+    "q118_bm25_search",
+    "q122_sequence_packing",
+]
+
+
+def key_span(spark: SparkSession, table: str, cols: list[str]) -> int:
+    if not cols:
+        return 0
+    df = spark.read.parquet(f"{SF01}/{table}.parquet")
+    row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+    return max(row[c] for c in cols) + 1
+
+
+def stage_sf1(spark: SparkSession) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for table, cols in OFFSETS.items():
+        dest = f"{SF1}/{table}.parquet"
+        if os.path.exists(dest):
+            continue
+        src = spark.read.parquet(f"{SF01}/{table}.parquet")
+        if not cols:  # tiny dims: keep as-is (region/nation are fixed)
+            src.write.mode("overwrite").parquet(dest)
+            continue
+        span = key_span(spark, table, cols)
+        parts = []
+        for i in range(COPIES):
+            c = src
+            for col in cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+            if table == "documents" and i > 0:
+                # vary the text so exact/near-dup ops see distinct docs
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copy{i}"))
+                )
+            if table == "embeddings" and i > 0:
+                # small deterministic per-copy rotation of one dim
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j, i=i: (
+                            x + (j == F.lit(i % 64)).cast("float") * (0.01 * i)
+                        ).cast("float"),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(f"staged {table}: {n} rows", flush=True)
+
+
+def join_strategies(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        s: plan.count(s)
+        for s in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
+        if plan.count(s)
+    }
+
+
+def main() -> None:
+    spark = get_spark()
+    stage_sf1(spark)
+    from python_tool_setup_spark.queries import all_queries
+
+    qs = all_queries()
+    names = sys.argv[1:] or HEADLINE
+    report = {}
+    for name in names:
+        q = qs[name]
+        entry = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            t0 = time.time()
+            df = q.spark_fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            entry[label] = {"sec": round(dt, 2), "rows": n}
+            try:
+                entry[label]["joins"] = join_strategies(df)
+            except Exception:
+                pass
+            print(f"{name} @ {label}: {dt:.2f}s, {n} rows", flush=True)
+        entry["ratio"] = round(
+            entry["sf1"]["sec"] / max(entry["sf0.1"]["sec"], 1e-9), 2
+        )
+        report[name] = entry
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
