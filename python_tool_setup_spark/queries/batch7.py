@@ -202,3 +202,79 @@ def q155_auto_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------- q156
+@register(
+    "q156_group_exact_k_sample",
+    """
+    SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic exact-k per-group sampling (the reservoir-sample "
+    "shape, made reproducible): every (lang, source) stratum keeps "
+    "exactly k=5 documents ranked by md5(doc_id) — a uniform, "
+    "engine-independent pseudo-random order, so the sample is "
+    "identical on any cluster size and re-run (fraction-based "
+    "sampling q68 cannot promise exact counts). One window per "
+    "stratum; at 100 TB this is a single shuffle on the stratum key, "
+    "and rank-k selection never materializes more than the window "
+    "frame per key.",
+)
+def q156_group_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "lang",
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------- q157
+_RECURSIVE_SQL = """
+    WITH RECURSIVE reach(p_partkey, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS p_partkey, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT c.p_partkey, r.depth + 1
+        FROM part c JOIN reach r
+          ON c.p_partkey IN (r.p_partkey * 2, r.p_partkey * 2 + 1)
+        WHERE c.p_partkey < 1024 AND r.depth < 12
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(p_partkey) AS BIGINT) AS key_sum
+    FROM reach
+    GROUP BY depth
+"""
+
+
+@register(
+    "q157_recursive_cte",
+    _RECURSIVE_SQL,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): BOM-"
+    "style reachability over the implicit binary tree p -> {2p, 2p+1} "
+    "rooted at part 1, bounded to keys < 1024 — per-depth node counts "
+    "and key sums. The IDENTICAL recursive SQL runs on both engines, "
+    "gating Spark's iterative fixpoint execution (each recursion step "
+    "is a joined increment, the union terminates when the frontier "
+    "empties) against DuckDB's. The DataFrame-native equivalent of "
+    "this shape is the pagerank/dup-clusters loop (q117/q72); this "
+    "gate covers the declarative SQL surface for it.",
+)
+def q157_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_SQL)

@@ -31,6 +31,13 @@ _SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # Local-mode JVM heap: without this the driver (== all executors in
+    # local mode) runs on Spark's 1g default and big-side joins die with
+    # notEnoughMemoryToBuildAndBroadcastTable long before the machine is
+    # actually full. Only effective at JVM launch (first get_spark call);
+    # on a real cluster the deployment overrides it.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 

@@ -85,15 +85,18 @@ def stage_sf1(spark: SparkSession) -> None:
                     "text", F.concat(F.col("text"), F.lit(f" copy{i}"))
                 )
             if table == "embeddings" and i > 0:
-                # small deterministic per-copy rotation of one dim
+                # small deterministic per-copy perturbation of one dim
+                # (closure factory: F.transform builds the expression
+                # eagerly, and the lambda must take exactly 2 params)
+                def perturb(copy_idx):
+                    return lambda x, j: (
+                        x
+                        + (j == F.lit(copy_idx % 64)).cast("float")
+                        * (0.01 * copy_idx)
+                    ).cast("float")
+
                 c = c.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, j, i=i: (
-                            x + (j == F.lit(i % 64)).cast("float") * (0.01 * i)
-                        ).cast("float"),
-                    ),
+                    "embedding", F.transform("embedding", perturb(i))
                 )
             parts.append(c)
         out = parts[0]
