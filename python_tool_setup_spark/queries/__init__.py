@@ -84,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         batch5,
         batch6,
         batch7,
+        batch8,
     )
 
     unsampled = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_SAMPLED_R1_R2}
