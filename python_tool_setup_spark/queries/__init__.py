@@ -85,6 +85,7 @@ def all_queries() -> dict[str, Query]:
         batch6,
         batch7,
         batch8,
+        batch9,
     )
 
     unsampled = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_SAMPLED_R1_R2}

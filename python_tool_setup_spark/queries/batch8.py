@@ -199,13 +199,16 @@ def q160_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch LEFT JOIN oracle computes.",
 )
 def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
     src = staging_dir("ssoj_src_")
-    ev.write.mode("append").parquet(src)
-    _time.sleep(1.05)  # file-source orders batches by mtime second
+    # One data batch: the gate proves OUTER-join flush semantics (the
+    # watermark from the sentinel, applied in the closing no-data
+    # micro-batch, evicts + emits every unmatched view); incremental
+    # multi-batch draining is q138/q153's contract. Rate-limiting this
+    # drain just multiplies state-store commits per state partition.
+    ev.coalesce(4).write.mode("append").parquet(src)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     sentinels = spark.createDataFrame(
         [(-1, -1, "view"), (-2, -2, "purchase")],
@@ -222,11 +225,7 @@ def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         1
     ).write.mode("append").parquet(src)
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
     wm = stream.withWatermark("ts", "10 seconds")
     views = wm.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
