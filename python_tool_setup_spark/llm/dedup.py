@@ -567,9 +567,11 @@ def repeated_spans(
     Returns one row per document that contains at least one duplicated
     span: (id, n_dup_spans, dup_tokens, n_tokens, dup_fraction).
     """
+    from python_tool_setup_spark.sources.files import fan_out
+
     L = int(shingle_len)
     toks = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col).alias("__id"),
             F.filter(
                 F.split(F.lower(F.col(text_col)), "[^a-z]+"),

@@ -58,7 +58,9 @@ def bm25_topk(
     # separate doc-keyed length join is ever needed, and the postings
     # index is persisted because three consumers (idf, corpus stats,
     # scoring probe) would otherwise each re-tokenize the corpus.
-    arr = docs.select(
+    from python_tool_setup_spark.sources.files import fan_out
+
+    arr = fan_out(docs).select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),

@@ -418,8 +418,9 @@ def q174_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.llm.text import tokenize
+    from python_tool_setup_spark.sources.files import fan_out
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(tokenize("text").alias("t")).filter(F.size("t") >= 2)
     pairs = toks.select(
         F.explode(

@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise scan parallelism before a CPU-heavy per-row stage.
+
+    A parquet scan yields one task per file split, and a parquet file
+    is splittable only at row-group boundaries — so a single-file (or
+    single-row-group) table feeds tokenize/explode/shingle stages with
+    ONE task no matter how many cores exist, and the hottest stage of
+    the job serializes (measured: the sf0.1 BM25 postings build drops
+    ~4x when spread). When the scan already yields at least the
+    cluster's default parallelism — the normal many-file case at
+    100 TB — this is a NO-OP, so well-laid-out tables never pay a
+    gratuitous shuffle. (The durable fix is layout: keep file sizes
+    near maxPartitionBytes, as PLANS.md §sf1 notes; this guards the
+    pathological-layout case.)"""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_batch(
     spark: SparkSession,
     path: str,
