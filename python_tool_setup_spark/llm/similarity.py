@@ -268,10 +268,19 @@ def ivf_topk(
         )
     )
     q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
-    # nprobe nearest centroids per query (tiny crossJoin: |Q| × cells)
+    # nprobe nearest centroids per query (tiny crossJoin: |Q| × cells),
+    # ranked by TRUE euclidean proximity: argmin |q-c|² == argmax
+    # (q·c - ½|c|²) since |q|² is constant per query. Ranking by raw
+    # dot product alone is NOT the k-means assignment metric — a
+    # query's own cell could drop out of its probe list (caught by the
+    # q185 incremental-update gate at nprobe=2).
     qc = (
         q.crossJoin(centers_df)
-        .withColumn("__d", dot(F.col("__qvec"), F.col("__center")))
+        .withColumn(
+            "__d",
+            dot(F.col("__qvec"), F.col("__center"))
+            - 0.5 * dot(F.col("__center"), F.col("__center")),
+        )
         .withColumn(
             "__r",
             F.row_number().over(
@@ -373,7 +382,7 @@ def ann_recall_report(
     """Quantitative ANN quality gate: per-query recall@k of ``ann``
     against the ``exact`` top-k (both ranked with the same rounded
     cosine + id tie-break, so recall is deterministic), aggregated to a
-    single scalar row ``(n_queries, k, n_recall_ok)``.
+    single scalar row ``(n_queries, k, recall_floor_met)``.
 
     The DuckDB oracle asserts the expected constants. ``recall_floor_met``
     is true when at least 90% of queries recover ``floor * k`` of their

@@ -425,7 +425,7 @@ def _planted_queries(e: DataFrame, n: int = 10, eps: float = 0.01) -> DataFrame:
     "q41_ann_lsh",
     """
     SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS k,
-           CAST(10 AS BIGINT) AS n_recall_ok
+           TRUE AS recall_floor_met
     """,
     doc="Approximate nearest neighbors (L3 scale path): multi-table "
     "random-hyperplane LSH buckets -> candidate equi-join -> exact "
@@ -471,7 +471,7 @@ def _exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_ivf_ann",
     """
     SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS k,
-           CAST(10 AS BIGINT) AS n_recall_ok
+           TRUE AS recall_floor_met
     """,
     doc="IVF ANN (L3): distributed k-means coarse quantizer (pyspark.ml), "
     "nprobe-cell search. Gate = recall@1 report for planted "
