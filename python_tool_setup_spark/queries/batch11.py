@@ -71,6 +71,12 @@ def q184_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("embedding", lambda x: x.cast("double"))
             ).alias("features"),
         )
+        # pin the partition layout AND in-partition row order: L-BFGS
+        # gradient sums are floating-point reductions whose result
+        # depends on both, and the gate must fit the same model no
+        # matter what partitioning the surrounding session produced
+        .repartition(4, "vec_id")
+        .sortWithinPartitions("vec_id")
     )
     model = LogisticRegression(
         maxIter=25, regParam=0.0, featuresCol="features", labelCol="label"

@@ -24,6 +24,17 @@ CHECKS = [
     ("q73_change_feed", ["SortMergeJoin", "Exchange"]),
     ("q75_incremental_agg", ["HashAggregate", "Exchange"]),
     ("q86_tpch_q5ish", ["BroadcastHashJoin", "SortMergeJoin", "PushedFilters"]),
+    # round-3 additions
+    ("q159_higher_order_funcs", ["Project", "Exchange"]),
+    ("q165_html_strip", ["Project", "Exchange"]),
+    ("q166_count_min_freq", ["HashAggregate", "Exchange"]),
+    ("q172_feature_hashing", ["HashAggregate", "Generate"]),
+    ("q175_bpe_pair_counts", ["TakeOrderedAndProject", "HashAggregate"]),
+    ("q181_shipping_priority", ["BroadcastHashJoin", "PushedFilters",
+                                "TakeOrderedAndProject"]),
+    ("q182_returned_item_revenue", ["BroadcastHashJoin", "PushedFilters",
+                                    "TakeOrderedAndProject"]),
+    ("q186_triangle_count", ["HashAggregate", "Exchange"]),
 ]
 
 
