@@ -88,6 +88,7 @@ def all_queries() -> dict[str, Query]:
         batch9,
         batch10,
         batch11,
+        batch12,
     )
 
     unsampled = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_SAMPLED_R1_R2}
