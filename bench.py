@@ -50,19 +50,32 @@ def main() -> None:
     # Full per-query timings for humans (stderr; the driver only keeps
     # a short stdout tail).
     print(json.dumps({"queries_full": timings}), file=sys.stderr)
-    # The driver records the LAST ~2000 chars of stdout; key the final
-    # JSON line by the short qNN prefix and 2-decimal seconds so the
-    # whole line stays well under that cap and parses.
-    # 1-decimal seconds: at 124 queries the line must stay well under
-    # the driver's ~2000-char stdout capture
-    short = {n.split("_", 1)[0]: round(t, 1) for n, t in sorted(timings.items())}
+    # The driver records the LAST ~2000 chars of stdout; a full
+    # 189-entry dict no longer fits, and a head-truncated line parses
+    # as nothing at all. Report the SLOWEST queries (the ones bench
+    # grading cares about) under a hard character budget, with
+    # explicit reported/total counts so the trimming is visible;
+    # errored queries (-1) are always included.
+    short = {n.split("_", 1)[0]: round(t, 1) for n, t in timings.items()}
+    by_cost = sorted(short.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+    reported: dict[str, float] = {}
+    budget = 1700
+    used = 0
+    for k, v in by_cost:
+        entry = len(k) + len(json.dumps(v)) + 4
+        if used + entry > budget:
+            break
+        reported[k] = v
+        used += entry
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": short,
+                "queries": dict(sorted(reported.items())),
+                "n_queries": len(timings),
+                "n_reported": len(reported),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

@@ -81,8 +81,35 @@ def q184_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegression(
         maxIter=25, regParam=0.0, featuresCol="features", labelCol="label"
     ).fit(data)
-    scored = model.transform(data).select(
-        "vec_id", "label", F.col("prediction").alias("pred")
+    # Score with the learned coefficients as plain Catalyst expressions
+    # instead of model.transform: (a) the exported-model path is the
+    # 100 TB inference story — a scan-stage dot product in codegen, no
+    # per-row JVM-ML closure; (b) model.transform serializes the
+    # model's trainingSummary, which drags the SparkSession's
+    # (non-serializable) ObservationManager into the task closure and
+    # crashes in any session where df.observe has run (q134).
+    w = [float(x) for x in model.coefficients]
+    b = float(model.intercept)
+    margin = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.array(*[F.lit(x) for x in w]),
+            lambda xi, wi: xi * wi,
+        ),
+        F.lit(b),
+        lambda acc, x: acc + x,
+    )
+    raw = (
+        e.select("vec_id", "embedding", s.alias("s"))
+        .filter(F.abs(F.col("s")) > _QC_MARGIN)
+        .select(
+            "vec_id",
+            (F.col("s") > 0).cast("double").alias("label"),
+            "embedding",
+        )
+    )
+    scored = raw.select(
+        "vec_id", "label", (margin > 0).cast("double").alias("pred")
     )
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
