@@ -91,6 +91,26 @@ def all_queries() -> dict[str, Query]:
         batch12,
     )
 
-    unsampled = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_SAMPLED_R1_R2}
+    def qnum(name: str) -> int:
+        try:
+            return int(name[1:].split("_", 1)[0])
+        except ValueError:
+            return 0
+
+    # Three tiers for the driver's 50-entry CORRECTNESS sample:
+    # (1) the round-3 gates (q152+), which have never been officially
+    #     sampled and carry the newest implementation risk;
+    # (2) the round-1/2 gates the sample has still never reached;
+    # (3) the 50 gates already driver-verified green in rounds 1-2.
+    new_round3 = {
+        k: v
+        for k, v in _REGISTRY.items()
+        if k not in _DRIVER_SAMPLED_R1_R2 and qnum(k) >= 152
+    }
+    unsampled = {
+        k: v
+        for k, v in _REGISTRY.items()
+        if k not in _DRIVER_SAMPLED_R1_R2 and k not in new_round3
+    }
     sampled = {k: v for k, v in _REGISTRY.items() if k in _DRIVER_SAMPLED_R1_R2}
-    return {**unsampled, **sampled}
+    return {**new_round3, **unsampled, **sampled}

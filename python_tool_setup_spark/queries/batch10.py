@@ -11,6 +11,7 @@ decimals compared at their declared scale.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -156,12 +157,21 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = _chunked_events_dir(spark, sf_dir)
     detail = staging_dir("dual_detail_") + "/t"
-    summary = staging_dir("dual_summary_") + "/t"
+    # Versioned summary snapshots, one dir per batch, never overwritten
+    # in place: overwriting a path the previous batch's plan still
+    # references is a delete-then-reanalyze race (query-end listeners
+    # re-resolving the old plan log PATH_NOT_FOUND). An atomic-swap /
+    # MVCC layout is also what a real summary table does (see
+    # ingestion/versioned.py).
+    summary_root = staging_dir("dual_summary_")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
+
+    def summary_path(version: int) -> str:
+        return f"{summary_root}/v={version}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -173,8 +183,8 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("value").alias("sum_value"),
         )
-        try:
-            prev = sp.read.parquet(summary)
+        if batch_id > 0 and os.path.isdir(summary_path(batch_id - 1)):
+            prev = sp.read.parquet(summary_path(batch_id - 1))
             merged = (
                 prev.unionByName(part)
                 .groupBy("event_type")
@@ -183,11 +193,11 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("sum_value").alias("sum_value"),
                 )
             )
-        except Exception:  # first batch: no summary yet
+        else:
             merged = part
-        merged.persist().count()  # materialize before overwriting input
-        merged.write.mode("overwrite").parquet(summary)
-        merged.unpersist()
+        # overwrite mode keeps a RETRIED batch idempotent: it rewrites
+        # its own version dir, never a predecessor's
+        merged.write.mode("overwrite").parquet(summary_path(batch_id))
         batch_df.unpersist()
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -211,7 +221,12 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("tv_d"),
         )
     )
-    from_summary = spark.read.parquet(summary).select(
+    latest = max(
+        int(d.split("=")[1])
+        for d in os.listdir(summary_root)
+        if d.startswith("v=")
+    )
+    from_summary = spark.read.parquet(summary_path(latest)).select(
         "event_type",
         "n",
         F.round("sum_value", 2).alias("total_value"),
