@@ -89,6 +89,7 @@ def all_queries() -> dict[str, Query]:
         batch10,
         batch11,
         batch12,
+        batch13,
     )
 
     def qnum(name: str) -> int:
