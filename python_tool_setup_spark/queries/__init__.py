@@ -90,6 +90,7 @@ def all_queries() -> dict[str, Query]:
         batch11,
         batch12,
         batch13,
+        batch14,
     )
 
     def qnum(name: str) -> int:
