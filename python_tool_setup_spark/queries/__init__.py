@@ -91,6 +91,7 @@ def all_queries() -> dict[str, Query]:
         batch12,
         batch13,
         batch14,
+        batch15,
     )
 
     def qnum(name: str) -> int:

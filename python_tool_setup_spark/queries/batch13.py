@@ -29,6 +29,7 @@ _GAP_US = 1800 * 1_000_000  # 30-minute session gap, microseconds
     f"""
     WITH t AS (
         SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE user_id % 20 = 0
     ),
     flagged AS (
         SELECT user_id, us,
@@ -55,7 +56,7 @@ _GAP_US = 1800 * 1_000_000  # 30-minute session gap, microseconds
     "30min; when the watermark passes that stamp the state TIMES OUT "
     "and the session is emitted from the hasTimedOut branch — exactly "
     "how production sessionizers close sessions for users who simply "
-    "stop sending events. Events replay in event-time order across 3 "
+    "stop sending events. Events replay in event-time order across "
     "rate-limited micro-batches; a far-future sentinel drives the "
     "watermark past every stamp so each session closes through the "
     "timeout path deterministically, and the result equals the batch "
@@ -66,21 +67,30 @@ def q192_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", F.unix_micros("ts").alias("us")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # 1-in-20 user subset: applyInPandasWithState invokes Python
+        # once per key per batch, so the gate bounds key cardinality
+        # (the timeout SEMANTICS it proves are key-count independent)
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", F.unix_micros("ts").alias("us"))
     )
     lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]
     src = staging_dir("sess_src_")
-    # 3 time-range file drops written oldest-first with distinct
-    # mtimes: the file source replays them in order, so each user's
-    # events arrive in nondecreasing event time across micro-batches
-    # (sessionization is order-sensitive)
-    step = (hi - lo) // 3 + 1
-    for i in range(3):
+    # 2 time-range file drops with explicitly stamped ascending mtimes
+    # (no sleeps): the file source replays oldest-mtime-first, so each
+    # user's events arrive in nondecreasing event time across
+    # micro-batches (sessionization is order-sensitive)
+    step = (hi - lo) // 2 + 1
+    now = time.time()
+    for i in range(2):
         ev.filter(
             (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
         ).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(1.05)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.getmtime(p) >= now:
+                os.utime(p, (now - 40 + i * 10, now - 40 + i * 10))
     sentinel = spark.createDataFrame(
         [(-1,)], "user_id long"
     ).select(
@@ -89,6 +99,10 @@ def q192_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(hi + 40 * 24 * 3600 * 1_000_000).alias("us"),
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if os.path.getmtime(p) >= now:
+            os.utime(p, (now - 5, now - 5))  # sentinel strictly last
 
     def sessionize(key, pdfs, state):
         if state.hasTimedOut:
