@@ -92,6 +92,7 @@ def all_queries() -> dict[str, Query]:
         batch13,
         batch14,
         batch15,
+        batch16,
     )
 
     def qnum(name: str) -> int:
