@@ -93,6 +93,7 @@ def all_queries() -> dict[str, Query]:
         batch14,
         batch15,
         batch16,
+        batch17,
     )
 
     def qnum(name: str) -> int:
