@@ -220,20 +220,30 @@ def merge_apply_cdc(
     from python_tool_setup_spark.operators.relational import dedup_by_keys
 
     keys = list(keys)
-    # Fail fast on unknown ops: the anti-join removes EVERY changed key
-    # from the target, so a typo'd op ('update', 'insert', ...) would
-    # otherwise behave as a silent delete.
-    bad = (
-        changes.select(F.col(op_col).alias("_op_val"))
-        .filter(~F.col("_op_val").isin("upsert", "delete"))
-        .limit(1)
-        .collect()
+    # Fail fast on unknown or NULL ops: the anti-join removes EVERY
+    # changed key from the target, so a typo'd op ('update', 'insert',
+    # ...) or a NULL op would otherwise behave as a silent delete.
+    # The validation RIDES the existing plan instead of running its
+    # own eager scan: every change row passes through raise_error-
+    # guarded projection, so the first bad op aborts the apply job
+    # itself with zero extra passes over `changes`.
+    op_ok = F.col(op_col).isNotNull() & F.col(op_col).isin(
+        "upsert", "delete"
     )
-    if bad:
-        raise ValueError(
-            f"merge_apply_cdc: unknown op {bad[0]['_op_val']!r} in "
-            f"{op_col!r}; expected 'upsert' or 'delete'"
-        )
+    changes = changes.withColumn(
+        op_col,
+        F.when(op_ok, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"merge_apply_cdc: unknown op in {op_col!r} "
+                        "(expected 'upsert' or 'delete'): "
+                    ),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     if order_col is not None:
         changes = dedup_by_keys(changes, keys, [F.col(order_col).desc()])
     untouched = target.join(

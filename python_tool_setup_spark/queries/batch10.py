@@ -239,7 +239,11 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             (
                 (F.col("n") == F.col("n_d"))
-                & (F.col("total_value") == F.col("tv_d"))
+                # the two totals are float64 sums in different orders
+                # (incremental pairwise vs one-pass); compare at the
+                # rounding granularity, not exact equality, or a .005
+                # boundary flips the flag at a new sf/partitioning
+                & (F.abs(F.col("total_value") - F.col("tv_d")) <= 0.011)
             ).alias("sinks_consistent"),
         )
     )
@@ -292,9 +296,9 @@ def q179_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
                AS exact_sum,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
-                AS VARCHAR) AS qty_frac
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
+                AS VARCHAR) AS cents_frac
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact DECIMAL aggregation: money columns cast to "
@@ -310,12 +314,15 @@ def q179_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q180_decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    qty_sum = F.sum(dec("l_quantity"))
+    price_sum = F.sum(dec("l_extendedprice"))
+    # FLOOR on both sides — decimal->bigint CAST truncates in Spark
+    # but rounds half-even in DuckDB, an engine divergence this gate
+    # exists to keep out of money math
     return li.groupBy("l_returnflag").agg(
-        F.sum(dec("l_extendedprice")).cast("string").alias("exact_sum"),
-        (qty_sum - qty_sum.cast("bigint").cast("decimal(38,2)"))
+        price_sum.cast("string").alias("exact_sum"),
+        (price_sum - F.floor(price_sum).cast("decimal(38,2)"))
         .cast("string")
-        .alias("qty_frac"),
+        .alias("cents_frac"),
     )
 
 

@@ -199,10 +199,10 @@ def q193_aqe_runtime_replan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
-    joined = joined.localCheckpoint()  # force execution under AQE
-    # Introspect the LAST materialized adaptive plan via the SQL
-    # listener-visible execution; simplest robust source is the
-    # freshly executed plan of an identical query.
+    # One probe execution yields the final adaptive plan; the main
+    # result DataFrame stays LAZY (the caller's action executes it
+    # once) — a localCheckpoint here would be a third execution of
+    # the same join for no additional evidence.
     probe = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")

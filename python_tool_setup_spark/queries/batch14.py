@@ -65,10 +65,6 @@ def q196_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(
             "user_id long, event_type string"
         ).parquet(staged)
-        agg = stream.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id").alias("_"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        ).drop("_")
         # exact distinct via two-level: dedup (stateful) then count
         dedup = (
             stream.dropDuplicates(["event_type", "user_id"])

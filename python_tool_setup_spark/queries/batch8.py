@@ -614,7 +614,12 @@ def q166_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n")
         .agg(F.min("cnt").alias("est"))
     )
-    bound = 4 * ((total + _CMS_W - 1) // _CMS_W)
+    # 16x the mean cell mass: est >= exact is the HARD CMS guarantee;
+    # the overcount bound is probabilistic, and min-over-4-rows
+    # exceeding 16x the mean has negligible probability at any corpus
+    # (4x was deterministically true at the verified sf but could
+    # flip on new data with no code regression)
+    bound = 16 * ((total + _CMS_W - 1) // _CMS_W)
     return est.select(
         "user_id",
         F.col("n").cast("bigint").alias("exact_n"),

@@ -151,12 +151,21 @@ def test_merge_apply_cdc_rejects_unknown_op(spark):
     from python_tool_setup_spark.operators.merge import merge_apply_cdc
 
     target = spark.createDataFrame([(1, "a")], "k long, v string")
-    # a typo'd op must raise, not behave as a silent delete
+    # a typo'd op must raise, not behave as a silent delete; the guard
+    # rides the apply plan (raise_error projection), so the failure
+    # surfaces at action time with zero extra scans
     log = spark.createDataFrame(
         [(1, "update", "a2")], "k long, _op string, v string"
     )
-    with pytest.raises(ValueError, match="unknown op 'update'"):
-        merge_apply_cdc(target, log, ["k"])
+    with pytest.raises(Exception, match="unknown op"):
+        merge_apply_cdc(target, log, ["k"]).collect()
+    # a NULL op is just as dangerous (three-valued logic slips past a
+    # plain NOT IN filter) and must also raise
+    null_log = spark.createDataFrame(
+        [(1, None, "a2")], "k long, _op string, v string"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        merge_apply_cdc(target, null_log, ["k"]).collect()
 
 
 def test_deletion_vector_roundtrip(spark, tmp_path):

@@ -55,30 +55,79 @@ HEADLINE = [
 ]
 
 
-def key_span(spark: SparkSession, table: str, cols: list[str]) -> int:
-    if not cols:
-        return 0
-    df = spark.read.parquet(f"{SF01}/{table}.parquet")
-    row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
-    return max(row[c] for c in cols) + 1
+# Key columns form cross-table ENTITY FAMILIES (o_custkey joins
+# c_custkey, l_orderkey joins o_orderkey, ...). Every member of a
+# family must shift by the SAME per-copy offset — the family's span —
+# or copies 1..N-1 silently match nothing in any join. (Offsetting
+# each table by its own span broke referential integrity: orders'
+# span is 10x customer's, so shifted o_custkey values had no
+# customers. Caught by review; the fix keys spans by family.)
+KEY_FAMILY = {
+    "c_custkey": "custkey",
+    "o_custkey": "custkey",
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
+    "p_partkey": "partkey",
+    "l_partkey": "partkey",
+    "s_suppkey": "suppkey",
+    "l_suppkey": "suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+
+
+def family_spans(spark: SparkSession) -> dict[str, int]:
+    spans: dict[str, int] = {}
+    for table, cols in OFFSETS.items():
+        if not cols:
+            continue
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+        for c in cols:
+            fam = KEY_FAMILY[c]
+            spans[fam] = max(spans.get(fam, 0), int(row[c]) + 1)
+    return spans
+
+
+def source_fingerprint() -> dict[str, list[int]]:
+    out = {}
+    for table in OFFSETS:
+        p = f"{SF01}/{table}.parquet"
+        st = os.stat(p)
+        out[table] = [int(st.st_mtime), st.st_size]
+    return out
 
 
 def stage_sf1(spark: SparkSession) -> None:
+    import json as _json
+    import shutil
+
+    fp_path = f"{SF1}/_FINGERPRINT.json"
+    fp = source_fingerprint()
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            if _json.load(fh) == fp:
+                return  # staged corpus matches the current sf0.1 source
+    # stale, partial, or wrong-generation staging: rebuild from scratch
+    if os.path.exists(SF1):
+        shutil.rmtree(SF1)
     os.makedirs(SF1, exist_ok=True)
+    spans = family_spans(spark)
     for table, cols in OFFSETS.items():
         dest = f"{SF1}/{table}.parquet"
-        if os.path.exists(dest):
-            continue
         src = spark.read.parquet(f"{SF01}/{table}.parquet")
         if not cols:  # tiny dims: keep as-is (region/nation are fixed)
             src.write.mode("overwrite").parquet(dest)
             continue
-        span = key_span(spark, table, cols)
         parts = []
         for i in range(COPIES):
             c = src
             for col in cols:
-                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+                c = c.withColumn(
+                    col, F.col(col) + F.lit(i * spans[KEY_FAMILY[col]])
+                )
             if table == "documents" and i > 0:
                 # vary the text so exact/near-dup ops see distinct docs
                 c = c.withColumn(
@@ -105,6 +154,8 @@ def stage_sf1(spark: SparkSession) -> None:
         out.write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         print(f"staged {table}: {n} rows", flush=True)
+    with open(fp_path, "w") as fh:
+        _json.dump(fp, fh)  # committed LAST: partial staging never passes
 
 
 def join_strategies(df) -> dict[str, int]:
