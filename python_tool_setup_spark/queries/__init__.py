@@ -94,6 +94,8 @@ def all_queries() -> dict[str, Query]:
         batch15,
         batch16,
         batch17,
+        batch18,
+        batch19,
     )
 
     def qnum(name: str) -> int:
