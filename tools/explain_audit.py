@@ -35,6 +35,11 @@ CHECKS = [
     ("q182_returned_item_revenue", ["BroadcastHashJoin", "PushedFilters",
                                     "TakeOrderedAndProject"]),
     ("q186_triangle_count", ["HashAggregate", "Exchange"]),
+    ("q209_priority_late_ship", ["BroadcastHashJoin", "PushedFilters"]),
+    ("q213_customer_distribution", ["HashAggregate", "Exchange"]),
+    ("q217_large_volume_customers", ["TakeOrderedAndProject",
+                                     "BroadcastHashJoin"]),
+    ("q219_waiting_supplier", ["Window", "HashAggregate", "Exchange"]),
 ]
 
 
