@@ -70,3 +70,36 @@ def top_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def last_to_ship(
+    lines: DataFrame,
+    order_col: str = "l_orderkey",
+    supp_col: str = "l_suppkey",
+    ship_col: str = "l_shipdate",
+) -> DataFrame:
+    """Suppliers that were last to ship in multi-supplier orders.
+
+    The TPC-H Q21 kernel: for each order with >= 2 distinct suppliers,
+    the supplier(s) for which NO other supplier shipped strictly later
+    (ties wait together — 'own latest >= every other supplier's
+    latest'). Equivalent to the official correlated
+    EXISTS / NOT-EXISTS pair, proven by ``tests/test_tpch_props.py``'s
+    brute-force property: reducing to per-(order, supplier) max ship
+    values, a supplier waits iff its max equals the order max (if it
+    were below, the true max belongs to another supplier, violating
+    NOT EXISTS; if equal, every other supplier's lines are <= it).
+
+    One hash aggregate on (order, supplier) + one window over order —
+    O(|lines|) with two key-local shuffles, versus the naive plan's
+    two correlated re-scans of the fact. Returns distinct
+    (order, supplier) pairs.
+    """
+    per = lines.groupBy(order_col, supp_col).agg(F.max(ship_col).alias("__smax"))
+    w = Window.partitionBy(order_col)
+    return (
+        per.withColumn("__omax", F.max("__smax").over(w))
+        .withColumn("__nsupp", F.count("*").over(w))
+        .filter((F.col("__nsupp") >= 2) & (F.col("__smax") == F.col("__omax")))
+        .select(order_col, supp_col)
+    )

@@ -296,21 +296,12 @@ def q218_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(order, supplier).",
 )
 def q219_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from python_tool_setup_spark.operators.relational import last_to_ship
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
-    per = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax")
-    )
-    w = Window.partitionBy("l_orderkey")
-    per2 = per.withColumn("omax", F.max("smax").over(w)).withColumn(
-        "nsupp", F.count("*").over(w)
-    )
-    waits = per2.filter(
-        (F.col("nsupp") >= 2) & (F.col("smax") == F.col("omax"))
-    ).select("l_orderkey", "l_suppkey")
+    waits = last_to_ship(li)
     fo = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
         waits.join(fo, waits["l_orderkey"] == fo["o_orderkey"], "left_semi")
