@@ -96,6 +96,7 @@ def all_queries() -> dict[str, Query]:
         batch17,
         batch18,
         batch19,
+        batch20,
     )
 
     def qnum(name: str) -> int:
