@@ -24,7 +24,7 @@ from python_tool_setup_spark.tables import load_table
 @register(
     "q221_multi_stateful_chain",
     """
-    WITH ev AS (SELECT ts, user_id, value FROM events WHERE user_id % 10 = 0),
+    WITH ev AS (SELECT ts, user_id, value FROM events WHERE user_id % 20 = 0),
     l1 AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) AS w1, user_id,
                COUNT(*) AS n, SUM(value) AS sv
@@ -46,7 +46,9 @@ from python_tool_setup_spark.tables import load_table
     "two jobs with an intermediate sink; now the pre-aggregated "
     "rollup cascade (the 100 TB metrics-pipeline shape: fine windows "
     "-> coarse windows, state bounded per level by the watermark) is "
-    "one pipeline. Replay: one-shard batch then a +48h sentinel row "
+    "one pipeline. Replay: one user shard (user_id % 20 == 0 — the "
+    "chained-emission contract is per-watermark, not per-volume, "
+    "matching q53's shard precedent) then a +48h sentinel row "
     "whose only job is to push the final watermark past every real "
     "window — both levels then emit exactly the closed windows, and "
     "the sentinel's own (never-closed) windows are excluded by "
@@ -58,7 +60,7 @@ def q221_multi_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 10 == 0)
+        .filter(F.col("user_id") % 20 == 0)
         .select("ts", "user_id", "value")
     )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
