@@ -11,6 +11,9 @@ representations can't diverge.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -99,26 +102,23 @@ def all_queries() -> dict[str, Query]:
         batch20,
     )
 
-    def qnum(name: str) -> int:
+    # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
+    # sample (it takes the FIRST 50 registry entries): queries that have
+    # never appeared in any recorded CORRECTNESS_r*.json go first (in
+    # registration order, newest batches last), already-officially-
+    # sampled ones go last.  Each round the driver records 50 more
+    # official rows, so the front of the registry automatically becomes
+    # whatever still lacks driver-verified signal.  Every query remains
+    # registered and locally oracle-verified regardless of position.
+    sampled_ever = set(_DRIVER_SAMPLED_R1_R2)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
-            return int(name[1:].split("_", 1)[0])
-        except ValueError:
-            return 0
+            with open(path) as fh:
+                sampled_ever.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
 
-    # Three tiers for the driver's 50-entry CORRECTNESS sample:
-    # (1) the round-3 gates (q152+), which have never been officially
-    #     sampled and carry the newest implementation risk;
-    # (2) the round-1/2 gates the sample has still never reached;
-    # (3) the 50 gates already driver-verified green in rounds 1-2.
-    new_round3 = {
-        k: v
-        for k, v in _REGISTRY.items()
-        if k not in _DRIVER_SAMPLED_R1_R2 and qnum(k) >= 152
-    }
-    unsampled = {
-        k: v
-        for k, v in _REGISTRY.items()
-        if k not in _DRIVER_SAMPLED_R1_R2 and k not in new_round3
-    }
-    sampled = {k: v for k, v in _REGISTRY.items() if k in _DRIVER_SAMPLED_R1_R2}
-    return {**new_round3, **unsampled, **sampled}
+    fresh = {k: v for k, v in _REGISTRY.items() if k not in sampled_ever}
+    sampled = {k: v for k, v in _REGISTRY.items() if k in sampled_ever}
+    return {**fresh, **sampled}
