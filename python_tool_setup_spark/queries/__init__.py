@@ -100,6 +100,7 @@ def all_queries() -> dict[str, Query]:
         batch18,
         batch19,
         batch20,
+        batch21,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
