@@ -101,6 +101,7 @@ def all_queries() -> dict[str, Query]:
         batch19,
         batch20,
         batch21,
+        batch22,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
