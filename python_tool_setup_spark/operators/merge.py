@@ -216,6 +216,14 @@ def merge_apply_cdc(
     surviving upserts append. O(target + changes) with shuffles only
     on the merge key — CDC volume, not table size, drives the cost of
     a typical incremental apply.
+
+    Op validation is LAZY: unknown or NULL ops abort the apply when
+    the returned plan first executes (Spark raises a
+    ``SparkRuntimeException`` wrapping the USER_RAISED_EXCEPTION from
+    ``raise_error``), not as an eager ``ValueError`` at call time —
+    the guard rides the plan so validation costs zero extra scans.
+    Callers quarantining bad batches must catch around the ACTION
+    (write/collect), not around this call.
     """
     from python_tool_setup_spark.operators.relational import dedup_by_keys
 

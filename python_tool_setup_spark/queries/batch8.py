@@ -549,8 +549,10 @@ _CMS_W = 1024  # counters per row
     "combines ARE the sketch merge, so 100 TB of events folds to a "
     f"{_CMS_D}x{_CMS_W} table no matter the partition count). Probes "
     "the 5 heaviest users: the CMS guarantee est >= exact must hold "
-    "exactly, and the overcount must stay within 4 average cell "
-    "masses — both checked in-query and pinned TRUE by the oracle, "
+    "exactly, and the overcount must stay within 16 average cell "
+    "masses (a loose probabilistic ceiling — collisions are hash- "
+    "dependent, so the hard check is the one-sided bound) — both "
+    "checked in-query and pinned TRUE by the oracle, "
     "with the exact counts computed relationally. Complements q112 "
     "(Misra-Gries heavy hitters): MG answers 'who is heavy', CMS "
     "answers 'how often is key x' for ANY key.",

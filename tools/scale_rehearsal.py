@@ -72,7 +72,10 @@ KEY_FAMILY = {
     "s_suppkey": "suppkey",
     "l_suppkey": "suppkey",
     "event_id": "event_id",
-    "user_id": "user_id",
+    # events.user_id joins customer.c_custkey (q126 stream-static) and
+    # orders.o_custkey (q127 cogroup), so it must shift with the
+    # custkey family or cross-copy events match only copy-0 customers.
+    "user_id": "custkey",
     "doc_id": "doc_id",
     "vec_id": "vec_id",
 }
@@ -96,7 +99,8 @@ def source_fingerprint() -> dict[str, list[int]]:
     for table in OFFSETS:
         p = f"{SF01}/{table}.parquet"
         st = os.stat(p)
-        out[table] = [int(st.st_mtime), st.st_size]
+        # nanosecond mtime: whole seconds alias same-size regenerations
+        out[table] = [st.st_mtime_ns, st.st_size]
     return out
 
 
@@ -107,9 +111,12 @@ def stage_sf1(spark: SparkSession) -> None:
     fp_path = f"{SF1}/_FINGERPRINT.json"
     fp = source_fingerprint()
     if os.path.exists(fp_path):
-        with open(fp_path) as fh:
-            if _json.load(fh) == fp:
-                return  # staged corpus matches the current sf0.1 source
+        try:
+            with open(fp_path) as fh:
+                if _json.load(fh) == fp:
+                    return  # staged corpus matches the current source
+        except (OSError, ValueError):
+            pass  # truncated/corrupt fingerprint -> treat as stale
     # stale, partial, or wrong-generation staging: rebuild from scratch
     if os.path.exists(SF1):
         shutil.rmtree(SF1)
