@@ -102,6 +102,7 @@ def all_queries() -> dict[str, Query]:
         batch20,
         batch21,
         batch22,
+        batch23,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
