@@ -22,6 +22,9 @@ from python_tool_setup_spark.tables import load_table
 
 
 # ---------------------------------------------------------------- q224
+_DPP_STAGED: dict[str, str] = {}
+
+
 @register(
     "q224_dynamic_partition_pruning",
     """
@@ -46,14 +49,19 @@ from python_tool_setup_spark.tables import load_table
     "the oracle recomputes from the flat table.",
 )
 def q224_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    staged = staging_dir("dpp_fact_")
-    (
-        li.select("l_extendedprice", F.year("l_shipdate").alias("l_year"))
-        .write.mode("overwrite")
-        .partitionBy("l_year")
-        .parquet(staged)
-    )
+    staged = _DPP_STAGED.get(sf_dir)
+    if staged is None:
+        # immutable once written -> cache per sf_dir (no in-place
+        # rewrite for older plans to race against)
+        staged = staging_dir("dpp_fact_")
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.select("l_extendedprice", F.year("l_shipdate").alias("l_year"))
+            .write.mode("overwrite")
+            .partitionBy("l_year")
+            .parquet(staged)
+        )
+        _DPP_STAGED[sf_dir] = staged
     fact = spark.read.parquet(staged)
     # Dimension with an attribute the optimizer cannot statically map
     # to fact partitions: flag = y % 100, filtered to the target's flag.
