@@ -85,21 +85,60 @@ def last_to_ship(
     (ties wait together — 'own latest >= every other supplier's
     latest'). Equivalent to the official correlated
     EXISTS / NOT-EXISTS pair, proven by ``tests/test_tpch_props.py``'s
-    brute-force property: reducing to per-(order, supplier) max ship
-    values, a supplier waits iff its max equals the order max (if it
-    were below, the true max belongs to another supplier, violating
-    NOT EXISTS; if equal, every other supplier's lines are <= it).
+    brute-force property (NULL dates included): reducing to
+    per-(order, supplier) max ship values, a supplier waits iff its
+    non-null max equals the order max (if it were below, the true max
+    belongs to another supplier, violating NOT EXISTS; if equal,
+    every other supplier's lines are <= it) — OR it has any
+    NULL-shipdate line, because under three-valued logic
+    ``l3.ship > NULL`` is UNKNOWN for every l3, so that line
+    satisfies the NOT EXISTS vacuously and the supplier waits.
 
     One hash aggregate on (order, supplier) + one window over order —
     O(|lines|) with two key-local shuffles, versus the naive plan's
     two correlated re-scans of the fact. Returns distinct
     (order, supplier) pairs.
     """
-    per = lines.groupBy(order_col, supp_col).agg(F.max(ship_col).alias("__smax"))
+    per = lines.groupBy(order_col, supp_col).agg(
+        F.max(ship_col).alias("__smax"),  # max ignores NULLs
+        F.max(F.col(ship_col).isNull()).alias("__has_null"),
+    )
     w = Window.partitionBy(order_col)
     return (
         per.withColumn("__omax", F.max("__smax").over(w))
         .withColumn("__nsupp", F.count("*").over(w))
-        .filter((F.col("__nsupp") >= 2) & (F.col("__smax") == F.col("__omax")))
+        .filter(
+            (F.col("__nsupp") >= 2)
+            & (
+                F.col("__has_null")
+                | (F.col("__smax") == F.col("__omax"))
+            )
+        )
         .select(order_col, supp_col)
     )
+
+
+def left_join_count_histogram(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    count_col: str = "n",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Count-of-counts over a LEFT join: how many ``left`` rows have 0,
+    1, 2, ... matches in ``right`` (the TPC-H Q13 kernel — q213).
+
+    The zero bucket is the point: filtering ``right`` BEFORE the left
+    join (callers pre-apply any match predicate there) is the outer-
+    join-algebra equivalent of an ON-clause filter, and COUNT over the
+    right key skips NULLs, so unmatched left rows land in bucket 0
+    instead of disappearing. Two shuffles: the join + the re-count
+    over the tiny distinct-count domain.
+    """
+    per = (
+        left.join(right, left[left_key] == right[right_key], "left")
+        .groupBy(left_key)
+        .agg(F.count(right_key).alias(count_col))
+    )
+    return per.groupBy(count_col).agg(F.count("*").alias(dist_col))

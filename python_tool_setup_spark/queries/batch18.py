@@ -350,21 +350,19 @@ def q212_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-agg, the second over a tiny domain).",
 )
 def q213_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.relational import (
+        left_join_count_histogram,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     minp = o.agg(F.min("o_orderpriority").alias("minp"))
     of = (
         o.crossJoin(F.broadcast(minp))
         .filter(F.col("o_orderpriority") != F.col("minp"))
-        .select("o_custkey", "o_orderkey")
+        .select("o_custkey")
     )
-    per_cust = (
-        c.join(of, c["c_custkey"] == of["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
+    return left_join_count_histogram(
+        c.select("c_custkey"), of, "c_custkey", "o_custkey",
+        count_col="c_count", dist_col="custdist",
+    ).orderBy(F.col("custdist").desc(), F.col("c_count").desc())

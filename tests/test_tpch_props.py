@@ -1,8 +1,9 @@
 """Property-based tests for the TPC-H remainder rewrites (batch 18/19):
-the q219 waiting-supplier kernel vs a brute-force correlated
-EXISTS / NOT-EXISTS evaluation, and the q213 ON-clause-filter left
-join vs a direct Python count — the two gates whose Spark plans are
-algebraic rewrites rather than literal transcriptions of the SQL.
+the q219 waiting-supplier kernel (``last_to_ship``) vs a brute-force
+correlated EXISTS / NOT-EXISTS evaluation under full three-valued
+logic (NULL ship dates included), and the q213 count-of-counts kernel
+(``left_join_count_histogram``) vs a direct Python count — both
+testing the PRODUCTION operators the gates call, not replicas.
 """
 
 from __future__ import annotations
@@ -11,9 +12,11 @@ from collections import defaultdict
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.relational import last_to_ship
+from python_tool_setup_spark.operators.relational import (
+    last_to_ship,
+    left_join_count_histogram,
+)
 
 SETTINGS = settings(
     max_examples=10,
@@ -22,12 +25,13 @@ SETTINGS = settings(
 )
 
 # Small key domains force the interesting collisions: multi-supplier
-# orders, shipdate ties at the order max, single-supplier orders.
+# orders, shipdate ties at the order max, single-supplier orders, and
+# NULL ship dates (which satisfy NOT EXISTS vacuously).
 lines_strategy = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=3),   # orderkey
-        st.integers(min_value=0, max_value=3),   # suppkey
-        st.integers(min_value=0, max_value=5),   # shipdate (ordinal)
+        st.integers(min_value=0, max_value=3),                  # orderkey
+        st.integers(min_value=0, max_value=3),                  # suppkey
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # ship
     ),
     min_size=1,
     max_size=25,
@@ -35,9 +39,10 @@ lines_strategy = st.lists(
 
 
 def brute_force_waits(lines):
-    """Literal TPC-H Q21 semantics: distinct (order, supplier) with an
-    l1 line such that EXISTS another-supplier line in the order and
-    NOT EXISTS another-supplier line shipped strictly later than l1."""
+    """Literal TPC-H Q21 semantics under three-valued logic: distinct
+    (order, supplier) with an l1 line such that EXISTS another-supplier
+    line in the order and NOT EXISTS another-supplier line shipped
+    strictly later than l1 (``d2 > NULL`` is UNKNOWN -> no such l3)."""
     by_order = defaultdict(list)
     for o, s, d in lines:
         by_order[o].append((s, d))
@@ -45,7 +50,11 @@ def brute_force_waits(lines):
     for o, rows in by_order.items():
         for s, d in rows:  # l1
             others = [(s2, d2) for s2, d2 in rows if s2 != s]
-            if others and not any(d2 > d for _, d2 in others):
+            later = any(
+                d2 is not None and d is not None and d2 > d
+                for _, d2 in others
+            )
+            if others and not later:
                 waits.add((o, s))
     return waits
 
@@ -75,10 +84,10 @@ orders_strategy = st.lists(
 
 @SETTINGS
 @given(orders=orders_strategy)
-def test_on_clause_left_join_count_distribution(spark, orders):
-    """q213's rewrite: pre-filtering the right side of a LEFT join is
+def test_left_join_count_histogram(spark, orders):
+    """q213's kernel: pre-filtering the right side of a LEFT join is
     equivalent to the filter living in the ON clause — zero-match
-    customers must still appear with count 0."""
+    customers must still appear in bucket 0."""
     customers = list(range(6))
     expected_counts = {c: 0 for c in customers}
     for cust, ok in orders:
@@ -90,19 +99,13 @@ def test_on_clause_left_join_count_distribution(spark, orders):
 
     cdf = spark.createDataFrame([(c,) for c in customers], "c_custkey long")
     odf = spark.createDataFrame(
-        [(i, c, ok) for i, (c, ok) in enumerate(orders)],
-        "o_orderkey long, o_custkey long, ok boolean",
-    )
-    of = odf.filter(F.col("ok")).select("o_custkey", "o_orderkey")
-    per = (
-        cdf.join(of, cdf["c_custkey"] == of["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        [(c,) for c, ok in orders if ok] or [],
+        "o_custkey long",
     )
     got = {
-        r["c_count"]: r["custdist"]
-        for r in per.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-        .collect()
+        r["n"]: r["dist"]
+        for r in left_join_count_histogram(
+            cdf, odf, "c_custkey", "o_custkey"
+        ).collect()
     }
     assert got == dict(expected)
