@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
         batch21,
         batch22,
         batch23,
+        batch24,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
