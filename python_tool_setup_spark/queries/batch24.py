@@ -127,3 +127,80 @@ def q231_small_files_coalesced_scan(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(n_files).cast("bigint").alias("n_files"),
         F.lit(coalesced).alias("scan_coalesced"),
     )
+
+
+# ---------------------------------------------------------------- q232
+_RS_W = 16          # staged image width (pixels, 1 channel)
+_RS_F = 2           # downsample factor
+
+
+@register(
+    "q232_image_resize",
+    f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, ({_RS_W} * (length(text) // {_RS_W})))
+                   AS px
+        FROM documents
+        WHERE doc_id < 20 AND length(text) >= {2 * _RS_W}
+          AND octet_length(encode(text)) = length(text)
+    )
+    SELECT doc_id,
+           CAST({_RS_W} // {_RS_F} AS INT) AS out_width,
+           -- numpy's arr[::f] keeps ceil(h / f) rows
+           CAST(((length(px) // {_RS_W}) + {_RS_F} - 1) // {_RS_F} AS INT)
+               AS out_height,
+           sha256(array_to_string(list_transform(
+               generate_series(0,
+                   ({_RS_W} // {_RS_F})
+                     * (((length(px) // {_RS_W}) + {_RS_F} - 1) // {_RS_F})
+                     - 1),
+               k -> substr(px,
+                   {_RS_F * _RS_W} * (k // ({_RS_W} // {_RS_F}))
+                     + {_RS_F} * (k % ({_RS_W} // {_RS_F})) + 1, 1)), ''))
+               AS resized_sha256
+    FROM d
+    """,
+    doc="Real image RESIZE (L5): ASCII document bytes are encoded as "
+    f"genuine {_RS_W}-wide greyscale PNGs (zlib + filtered scanlines, "
+    "llm/png.py), decoded back inside mapInPandas workers, and "
+    f"nearest-neighbor downsampled {_RS_F}x on both axes with a numpy "
+    "stride view — the thumbnail stage of a multimodal training "
+    "pipeline, shuffle-free at scan parallelism. The oracle "
+    "recomputes the EXACT resized buffer arithmetically: output "
+    "pixel k maps to input byte 2*W*(k // (W/2)) + 2*(k % (W/2)), "
+    "and the sha256 of that arithmetic reconstruction must equal the "
+    "sha256 of the decode->stride->tobytes pipeline (ASCII => "
+    "char == byte). Real codec, real resize math, byte-exact check.",
+)
+def q232_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.multimodal import read_media, resize_nearest
+    from python_tool_setup_spark.llm.png import encode_png
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 20)
+            & (F.length("text") >= 2 * _RS_W)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select("doc_id", "text")
+    )
+    media_dir = staging_dir("media_resize_")
+    for row in d.collect():  # <=20 small local files, gate staging
+        raw = row["text"].encode("utf-8")
+        rows_n = len(raw) // _RS_W
+        with open(
+            os.path.join(media_dir, f"doc_{row['doc_id']}.png"), "wb"
+        ) as f:
+            f.write(
+                encode_png(_RS_W, rows_n, raw[: _RS_W * rows_n], channels=1)
+            )
+    media = read_media(spark, media_dir, glob="*.png")
+    return resize_nearest(media, factor=_RS_F).select(
+        F.regexp_extract("path", r"doc_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "out_width",
+        "out_height",
+        "resized_sha256",
+    )
