@@ -278,3 +278,21 @@ def normalized_dedup(
             F.length("__norm").cast("bigint").alias("norm_len"),
         )
     )
+
+
+def strip_markdown(text_col: Column | str) -> Column:
+    """Markdown -> plain text as a fused JVM expression chain (no UDF):
+    images and links collapse to their anchor text, ATX headers lose
+    the ``#`` prefix, bold/italic star runs and inline backticks lose
+    their markers. Order matters — images before links (the ``!`` form
+    contains the link form), links before emphasis (anchor text may
+    contain ``*``). Whole-stage-codegen regexp_replace chain, so a
+    100 TB corpus cleans at scan speed; the q233 oracle replicates the
+    identical automata in DuckDB for engine parity."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(col, r"!\[([^\]]*)\]\([^)]*\)", r"$1")   # images
+    out = F.regexp_replace(out, r"\[([^\]]*)\]\([^)]*\)", r"$1")    # links
+    out = F.regexp_replace(out, r"(?m)^#{1,6}[ \t]+", "")           # headers
+    out = F.regexp_replace(out, r"\*{1,3}([^*]*)\*{1,3}", r"$1")    # emphasis
+    out = F.regexp_replace(out, r"`([^`]*)`", r"$1")                # code
+    return out

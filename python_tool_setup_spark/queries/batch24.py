@@ -204,3 +204,66 @@ def q232_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         "resized_sha256",
     )
+
+
+# ---------------------------------------------------------------- q233
+@register(
+    "q233_markdown_strip",
+    r"""
+    WITH md AS (
+        SELECT doc_id,
+               '# Title' || chr(10) || '**' || substr(text, 1, 30)
+                 || '** see [' || substr(text, 31, 10)
+                 || '](http://example.com/x) and `'
+                 || substr(text, 41, 15) || '`' AS m
+        FROM documents
+    ),
+    clean AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(m,
+                       '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                       '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                       '(?m)^#{1,6}[ \t]+', '', 'g'),
+                       '\*{1,3}([^*]*)\*{1,3}', '\1', 'g'),
+                       '`([^`]*)`', '\1', 'g') AS plain
+        FROM md
+    )
+    SELECT doc_id, CAST(length(plain) AS BIGINT) AS n_chars,
+           md5(plain) AS plain_md5
+    FROM clean
+    """,
+    doc="Markdown stripping (the web-corpus cleaning step before "
+    "quality scoring / dedup — markdown markers otherwise pollute "
+    "shingles and token counts): images and links collapse to anchor "
+    "text, ATX headers drop their prefix, emphasis and inline-code "
+    "markers vanish — a fused regexp_replace chain that runs inside "
+    "whole-stage codegen at scan speed, no Python. Each document is "
+    "deterministically wrapped in markdown structure in-query (both "
+    "engines build the identical string), then both engines run the "
+    "identical automata; md5 of the cleaned text pins exact parity. "
+    "Complements q165 (HTML strip) and q109 (boilerplate removal).",
+)
+def q233_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.cleaning import strip_markdown
+
+    d = load_table(spark, sf_dir, "documents")
+    md = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# Title"),
+            F.lit("\n"),
+            F.lit("**"),
+            F.substring("text", 1, 30),
+            F.lit("** see ["),
+            F.substring("text", 31, 10),
+            F.lit("](http://example.com/x) and `"),
+            F.substring("text", 41, 15),
+            F.lit("`"),
+        ).alias("m"),
+    )
+    return md.select(
+        "doc_id",
+        F.length(strip_markdown("m")).cast("bigint").alias("n_chars"),
+        F.md5(strip_markdown("m")).alias("plain_md5"),
+    )
