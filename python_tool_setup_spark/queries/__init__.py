@@ -104,6 +104,7 @@ def all_queries() -> dict[str, Query]:
         batch22,
         batch23,
         batch24,
+        batch25,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
