@@ -142,3 +142,36 @@ def left_join_count_histogram(
         .agg(F.count(right_key).alias(count_col))
     )
     return per.groupBy(count_col).agg(F.count("*").alias(dist_col))
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Pareto frontier minimizing ``x`` AND ``y``: rows no other row
+    beats on both dimensions (dominator: <= on both, < on at least
+    one). Duplicated frontier points survive together — neither
+    strictly dominates the other.
+
+    Rewrite of the O(n^2) NOT-EXISTS definition (proven equivalent by
+    ``tests/test_tpch_props.py``'s brute-force property): (1) per-x
+    MIN(y) — one map-side-combined aggregate; (2) prefix-min of those
+    minima over strictly smaller x — a window over the DISTINCT-x
+    domain, so the unpartitioned sort is O(domain), never O(n);
+    (3) broadcast join back: a row survives iff its y equals its x's
+    min and strictly undercuts every smaller x's min. Any dominator
+    either shares the x (then the x-min dominates too) or has smaller
+    x (then that x's min dominates too), so checking the minima
+    suffices.
+    """
+    per_x = df.groupBy(x).agg(F.min(y).alias("__ymin"))
+    w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
+    fronts = per_x.withColumn("__prefix_min", F.min("__ymin").over(w))
+    return (
+        df.join(F.broadcast(fronts), x)
+        .filter(
+            (F.col(y) == F.col("__ymin"))
+            & (
+                F.col("__prefix_min").isNull()
+                | (F.col("__prefix_min") > F.col(y))
+            )
+        )
+        .drop("__ymin", "__prefix_min")
+    )

@@ -227,19 +227,11 @@ def q222_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doubles — bit-identical across engines.",
 )
 def q223_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.relational import skyline_2d
+
     p = load_table(spark, sf_dir, "part")
-    per_size = p.groupBy("p_size").agg(F.min("p_retailprice").alias("smin"))
-    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
-    frontier_sizes = per_size.withColumn("prefix_min", F.min("smin").over(w))
     return (
-        p.join(F.broadcast(frontier_sizes), "p_size")
-        .filter(
-            (F.col("p_retailprice") == F.col("smin"))
-            & (
-                F.col("prefix_min").isNull()
-                | (F.col("prefix_min") > F.col("p_retailprice"))
-            )
-        )
+        skyline_2d(p, "p_size", "p_retailprice")
         .select(
             "p_partkey",
             "p_size",

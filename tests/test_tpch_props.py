@@ -109,3 +109,38 @@ def test_left_join_count_histogram(spark, orders):
         ).collect()
     }
     assert got == dict(expected)
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # x
+        st.integers(min_value=0, max_value=4),   # y
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def brute_force_skyline(points):
+    """Literal NOT-EXISTS domination: p survives iff no q with
+    q.x <= p.x, q.y <= p.y, and (q.x < p.x or q.y < p.y)."""
+    out = []
+    for i, (px, py) in enumerate(points):
+        dominated = any(
+            (qx <= px and qy <= py and (qx < px or qy < py))
+            for j, (qx, qy) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((px, py))
+    return sorted(out)
+
+
+@SETTINGS
+@given(points=points_strategy)
+def test_skyline_2d_matches_brute_force(spark, points):
+    from python_tool_setup_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(points, "x long, y long")
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == brute_force_skyline(points)
