@@ -20,6 +20,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -186,6 +187,56 @@ class JsonlDirDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
         return JsonlDirWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options)
+
 
 def register_jsonl_dir(spark) -> None:
     spark.dataSource.register(JsonlDirDataSource)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the JSONL sink (Spark 4 Python streaming
+    data sink API): every micro-batch, each task stages a uniquely
+    named ``part-<uuid>.jsonl`` and reports it in a commit
+    message; the driver's per-batch ``commit(messages, batchId)``
+    publishes a ``_MANIFEST-<batchId>.json``. Task retries write NEW
+    unique names and only committed names enter a manifest, so the
+    spool is exactly-once at the manifest level — the same two-phase
+    contract as the batch writer, exercised per epoch."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as f:
+            for r in iterator:
+                f.write(_json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(name, n)
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os as _os
+
+        manifest = {m.filename: m.rows for m in messages if m is not None}
+        with open(
+            _os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            f.write(_json.dumps(manifest, sort_keys=True))
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
