@@ -1,9 +1,9 @@
-"""Round-3 gates, batch 25: the pandas-on-Spark API surface (q234) —
-`pyspark.pandas`, the drop-in pandas dialect that compiles to the same
-Catalyst plans, letting pandas-fluent users run on the cluster without
-rewriting to DataFrame verbs. The gate proves the dialect round-trips
-through the engine (groupby/agg/sort in pandas syntax, `.to_spark()`
-back) and matches the relational oracle exactly.
+"""Round-3 gates, batch 25: alternative API surfaces — pandas-on-Spark
+(q234: the drop-in pandas dialect compiling to the same Catalyst
+plans), join strategy hints (q235: BROADCAST/MERGE/SHUFFLE_HASH each
+asserted to yield its physical operator), and the Spark 4 Python
+STREAMING data sink (q236: DataSourceStreamWriter with per-epoch
+two-phase manifest commit, completing the custom-DataSource quartet).
 """
 
 from __future__ import annotations
