@@ -262,8 +262,8 @@ def q233_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("`"),
         ).alias("m"),
     )
-    return md.select(
+    return md.select("doc_id", strip_markdown("m").alias("plain")).select(
         "doc_id",
-        F.length(strip_markdown("m")).cast("bigint").alias("n_chars"),
-        F.md5(strip_markdown("m")).alias("plain_md5"),
+        F.length("plain").cast("bigint").alias("n_chars"),
+        F.md5("plain").alias("plain_md5"),
     )

@@ -102,7 +102,6 @@ def q235_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge": "SortMergeJoin",
         "shuffle_hash": "ShuffledHashJoin",
     }
-    honored = True
     for hint, operator in checks.items():
         probe = li.join(o.hint(hint), li["l_orderkey"] == o["o_orderkey"]).agg(
             F.count(F.lit(1)).alias("n")
@@ -110,7 +109,7 @@ def q235_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.collect()
         plan = probe._jdf.queryExecution().executedPlan().toString()
         assert operator in plan, f"hint {hint!r} not honored: {plan[:300]}"
-        honored = honored and operator in plan
+    # reaching here means every assert above held
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
@@ -120,7 +119,7 @@ def q235_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority", "n", "total",
-            F.lit(honored).alias("all_hints_honored"),
+            F.lit(True).alias("all_hints_honored"),
         )
         .orderBy("o_orderpriority")
     )

@@ -131,6 +131,46 @@ class _JsonlCommit(WriterCommitMessage):
         self.filename, self.rows = filename, rows
 
 
+
+def _stage_jsonl(path: str, rows) -> _JsonlCommit:
+    """Task-side half of the two-phase JSONL sink (shared by the batch
+    and streaming writers): spool rows to a uniquely named file, report
+    it via commit message."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    name = f"part-{_uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(_os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r.asDict()) + "\n")
+            n += 1
+    return _JsonlCommit(name, n)
+
+
+def _publish_manifest(path: str, manifest_name: str, messages) -> None:
+    """Driver-side half: publish the committed-file manifest."""
+    import json as _json
+    import os as _os
+
+    manifest = {m.filename: m.rows for m in messages if m is not None}
+    with open(_os.path.join(path, manifest_name), "w") as f:
+        f.write(_json.dumps(manifest, sort_keys=True))
+
+
+def _discard_staged(path: str, messages) -> None:
+    """Abort path: best-effort removal of staged (uncommitted) files."""
+    import os as _os
+
+    for m in messages:
+        if m is not None:
+            try:
+                _os.remove(_os.path.join(path, m.filename))
+            except OSError:
+                pass
+
+
 class JsonlDirWriter(DataSourceWriter):
     """One JSONL file per task, written to a unique name and reported
     via a commit message — the two-phase shape every distributed sink
@@ -143,37 +183,13 @@ class JsonlDirWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, rows):
-        import json as _json
-        import os as _os
-        import uuid as _uuid
-
-        name = f"part-{_uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(_os.path.join(self.path, name), "w") as f:
-            for r in rows:
-                f.write(_json.dumps(r.asDict()) + "\n")
-                n += 1
-        return _JsonlCommit(name, n)
+        return _stage_jsonl(self.path, rows)
 
     def commit(self, messages):
-        import json as _json
-        import os as _os
-
-        manifest = {
-            m.filename: m.rows for m in messages if m is not None
-        }
-        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            f.write(_json.dumps(manifest, sort_keys=True))
+        _publish_manifest(self.path, "_MANIFEST.json", messages)
 
     def abort(self, messages):
-        import os as _os
-
-        for m in messages:
-            if m is not None:
-                try:
-                    _os.remove(_os.path.join(self.path, m.filename))
-                except OSError:
-                    pass
+        _discard_staged(self.path, messages)
 
 
 class JsonlDirDataSource(DataSource):
@@ -209,34 +225,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json as _json
-        import os as _os
-        import uuid as _uuid
-
-        name = f"part-{_uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(_os.path.join(self.path, name), "w") as f:
-            for r in iterator:
-                f.write(_json.dumps(r.asDict()) + "\n")
-                n += 1
-        return _JsonlCommit(name, n)
+        return _stage_jsonl(self.path, iterator)
 
     def commit(self, messages, batchId):
-        import json as _json
-        import os as _os
-
-        manifest = {m.filename: m.rows for m in messages if m is not None}
-        with open(
-            _os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
-        ) as f:
-            f.write(_json.dumps(manifest, sort_keys=True))
+        _publish_manifest(self.path, f"_MANIFEST-{batchId}.json", messages)
 
     def abort(self, messages, batchId):
-        import os as _os
-
-        for m in messages:
-            if m is not None:
-                try:
-                    _os.remove(_os.path.join(self.path, m.filename))
-                except OSError:
-                    pass
+        _discard_staged(self.path, messages)
