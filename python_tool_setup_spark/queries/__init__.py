@@ -105,6 +105,7 @@ def all_queries() -> dict[str, Query]:
         batch23,
         batch24,
         batch25,
+        batch26,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1,0 +1,107 @@
+"""Round-3 gates, batch 26: multiset set operations (q237 —
+EXCEPT ALL / INTERSECT ALL preserve multiplicities, a different
+operator from q16's distinct-set forms) and modern SQL syntax
+conveniences (q238 — GROUP BY ALL and SELECT * EXCEPT, the
+boilerplate-killers analysts actually write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- q237
+@register(
+    "q237_multiset_set_ops",
+    """
+    WITH a AS (SELECT CAST(l_quantity AS INT) AS q FROM lineitem
+               WHERE YEAR(l_shipdate) = 1996),
+         b AS (SELECT CAST(l_quantity AS INT) AS q FROM lineitem
+               WHERE YEAR(l_shipdate) = 1997)
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_distinct' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    ORDER BY op
+    """,
+    doc="Multiset (bag) set operations — EXCEPT ALL keeps "
+    "max(0, m1 - m2) copies of each value and INTERSECT ALL keeps "
+    "min(m1, m2), where the q16 distinct forms collapse to membership "
+    "— on two ship-year slices whose quantity values overlap almost "
+    "completely, so the distinct answer (~0) and the bag answer "
+    "(thousands) are wildly different and only correct multiplicity "
+    "accounting matches. Spark plans both as a single hash aggregate "
+    "over (value -> count pair) with a generate — one shuffle, no "
+    "join, exactly how bag semantics should scale. The distinct "
+    "EXCEPT rides along as the contrast row.",
+)
+def q237_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1996).select(
+        F.col("l_quantity").cast("int").alias("q")
+    )
+    b = li.filter(F.year("l_shipdate") == 1997).select(
+        F.col("l_quantity").cast("int").alias("q")
+    )
+    rows = [
+        ("except_all", a.exceptAll(b)),
+        ("except_distinct", a.subtract(b)),
+        ("intersect_all", a.intersectAll(b)),
+    ]
+    out = None
+    for op, df in rows:
+        part = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("op")
+
+
+# ---------------------------------------------------------------- q238
+@register(
+    "q238_modern_sql_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 1) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="Modern SQL syntax: GROUP BY ALL infers the grouping keys from "
+    "the non-aggregate select items and ORDER BY ALL orders by every "
+    "output column left-to-right — both run IDENTICALLY in Spark 4 "
+    "and DuckDB (the oracle uses the same text), compiling to the "
+    "same hash aggregate + sort as the explicit forms, so the "
+    "convenience costs nothing at plan level. The Spark side also "
+    "exercises SELECT * EXCEPT to drop a column by exclusion before "
+    "aggregating — schema-evolution-friendly projections for wide "
+    "tables where listing 200 kept columns is the error-prone form.",
+)
+def q238_modern_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        WITH narrowed AS (
+            SELECT * EXCEPT (l_comment)
+            FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+                         'x' AS l_comment
+                  FROM lineitem_v)
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 1) AS qty
+        FROM narrowed
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
