@@ -106,6 +106,7 @@ def all_queries() -> dict[str, Query]:
         batch24,
         batch25,
         batch26,
+        batch27,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
