@@ -14,17 +14,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import shutil
     import tempfile
 
+    warehouse = tempfile.mkdtemp(prefix="spark-wh-")
     spark = get_spark(
         "python_tool_setup_spark-tests",
         master="local[4]",
         extra_conf={
             "spark.sql.shuffle.partitions": "8",
-            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+            "spark.sql.warehouse.dir": warehouse,
         },
     )
     yield spark
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
