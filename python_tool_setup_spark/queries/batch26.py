@@ -105,3 +105,43 @@ def q238_modern_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------- q241
+@register(
+    "q241_distribution_ranks",
+    """
+    SELECT DISTINCT l_returnflag,
+           CAST(l_quantity AS INT) AS qty,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    ORDER BY l_returnflag, qty
+    """,
+    doc="Distribution-rank window functions — PERCENT_RANK ((rank-1)/"
+    "(n-1)) and CUME_DIST (fraction of peers at or below) — the "
+    "relative-standing primitives behind percentile flags and "
+    "curriculum ordering, computed per return-flag partition over "
+    "raw rows and then DISTINCT-ed (both functions are constant "
+    "within a tie group, so the distinct output is well-defined and "
+    "identical in both engines; the division is IEEE-exact on "
+    "identical integer rank/count inputs). One shuffle on the "
+    "partition key; completes the window family alongside ranking "
+    "(q12), analytics (q13), frames (q129/q150), and NTILE (q176).",
+)
+def q241_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("int").alias("qty"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .distinct()
+        .orderBy("l_returnflag", "qty")
+    )
