@@ -107,6 +107,7 @@ def all_queries() -> dict[str, Query]:
         batch25,
         batch26,
         batch27,
+        batch28,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
