@@ -12,6 +12,21 @@ from python_tool_setup_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _session_tmp_root():
+    """Route every test-side tempfile.mkdtemp into one removable root,
+    so a pytest run leaves /tmp exactly as it found it."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pytest-tmp-root-")
+    prev = tempfile.tempdir
+    tempfile.tempdir = root
+    yield
+    tempfile.tempdir = prev
+    shutil.rmtree(root, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def spark():
     import shutil
