@@ -187,3 +187,52 @@ def clean_orphans(spark: SparkSession, table_path: str) -> list[str]:
             delete_path(spark, f"{table_path}/{name}")
             removed.append(name)
     return sorted(removed)
+
+
+def forget_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys: list,
+    fmt: str = "parquet",
+) -> dict:
+    """Right-to-be-forgotten purge: physically remove every row whose
+    ``key_col`` is in ``keys`` from the WHOLE table — current version
+    AND history. Time travel must stop resurrecting the subject, so
+    a tombstone/deletion-vector is not enough:
+
+    1. write a new version excluding the keys (the go-forward truth);
+    2. vacuum every older version (their files embed the subject);
+    3. remove crashed-writer orphans the manifest never referenced.
+
+    Returns an audit dict: every parquet file still under the table
+    is re-scanned for the keys (``files_remaining`` is O(versions x
+    files), the scan is one bounded Spark job), so the caller holds
+    proof of physical absence, not just logical deletion. Cost is one
+    table rewrite — the honest price of physical erasure; at 100 TB
+    run it batched per retention window, exactly like Delta/Iceberg
+    purge jobs.
+    """
+    import os
+
+    latest = read_version(spark, table_path, fmt=fmt)
+    scrubbed = latest.filter(~F.col(key_col).isin(keys))
+    write_version(spark, scrubbed, table_path, fmt=fmt)
+    vacuum_versions(spark, table_path, keep=1)
+    clean_orphans(spark, table_path)
+
+    files = []
+    for root, _dirs, names in os.walk(table_path):
+        files += [
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        ]
+    residual = (
+        spark.read.format(fmt).load(files).filter(F.col(key_col).isin(keys)).count()
+        if files
+        else 0
+    )
+    return {
+        "files_remaining": len(files),
+        "residual_key_rows": residual,
+        "purge_complete": residual == 0 and len(files) > 0,
+    }

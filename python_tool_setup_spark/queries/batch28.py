@@ -108,3 +108,71 @@ def q242_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------- q243
+@register(
+    "q243_right_to_be_forgotten",
+    """
+    WITH ev AS (SELECT user_id FROM events WHERE user_id % 15 = 0),
+    tgt AS (SELECT user_id FROM ev
+            GROUP BY user_id ORDER BY COUNT(*) DESC, user_id LIMIT 1)
+    SELECT (SELECT CAST(user_id AS BIGINT) FROM tgt) AS forgotten_user,
+           CAST(COUNT(*) AS BIGINT) AS remaining_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS remaining_users,
+           CAST(0 AS BIGINT) AS residual_rows,
+           TRUE AS purge_complete
+    FROM ev WHERE user_id <> (SELECT user_id FROM tgt)
+    """,
+    doc="Right-to-be-forgotten (GDPR-style PHYSICAL purge) over a "
+    "versioned table: the busiest user (derived in-query) is erased "
+    "from the current version AND all history — a new scrubbed "
+    "version is committed, every older version is vacuumed (their "
+    "files embed the subject; a tombstone would let time travel "
+    "resurrect them), crashed-writer orphans are swept, and the "
+    "AUDIT re-scans every parquet file still on disk for the "
+    "subject's key, returning proof of physical absence (0 residual "
+    "rows across >0 files). Composes q74 time travel, q145 deletion "
+    "semantics, q146 orphan cleanup into the one legal-compliance "
+    "operation every data platform eventually needs; cost is one "
+    "table rewrite — the honest price of physical erasure.",
+)
+def q243_right_to_be_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        read_version,
+        write_version,
+    )
+    from python_tool_setup_spark.staging import staging_dir
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 15 == 0)
+        .select("user_id", "value")
+    )
+    tgt_row = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(1)
+        .collect()
+    )  # 1-row argmax, bounded
+    target = tgt_row[0]["user_id"]
+
+    table = staging_dir("forget_table_")
+    write_version(spark, ev, table)                      # v0: original
+    write_version(spark, ev.withColumn("value", 2 * F.col("value")), table)
+    audit = forget_keys(spark, table, "user_id", [target])
+    assert audit["purge_complete"], f"purge incomplete: {audit}"
+
+    latest = read_version(spark, table)
+    return latest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("remaining_rows"),
+        F.countDistinct("user_id").alias("remaining_users"),
+    ).select(
+        F.lit(target).cast("bigint").alias("forgotten_user"),
+        "remaining_rows",
+        "remaining_users",
+        F.lit(audit["residual_key_rows"]).cast("bigint").alias("residual_rows"),
+        F.lit(audit["purge_complete"]).alias("purge_complete"),
+    )
