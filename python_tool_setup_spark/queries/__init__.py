@@ -108,6 +108,7 @@ def all_queries() -> dict[str, Query]:
         batch26,
         batch27,
         batch28,
+        batch29,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

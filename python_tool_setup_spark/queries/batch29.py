@@ -1,0 +1,171 @@
+"""Round-3 gates, batch 29: operational lifecycle patterns — TTL
+retention by partition drop (q244: expiring old data must be a
+METADATA operation, directory removals, never a table rewrite) and
+late-arriving dimension reconciliation (q245: facts whose dimension
+key hasn't arrived yet are parked, not dropped, and reconcile
+losslessly when the dimension lands). With q243 (row-level physical
+purge) these cover the three deletion/repair regimes a production
+table lives through.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.staging import staging_dir
+from python_tool_setup_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- q244
+@register(
+    "q244_retention_ttl",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, value FROM events
+        WHERE user_id % 10 = 0
+    ),
+    cutoff AS (SELECT MAX(day) - INTERVAL 7 DAY AS c FROM d)
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 3) AS total,
+           TRUE AS survivors_untouched
+    FROM d WHERE day >= (SELECT c FROM cutoff)
+    GROUP BY day ORDER BY day
+    """,
+    doc="TTL retention by PARTITION DROP: a day-partitioned table "
+    "expires everything older than a 7-day window (cutoff derived "
+    "in-query from max day) by REMOVING partition directories — an "
+    "O(expired partitions) metadata operation; rewriting a 100 TB "
+    "table to expire 1% of it would be the pathological alternative. "
+    "The gate asserts both halves: expired days are physically gone "
+    "(directory listing), and every SURVIVING partition's data files "
+    "are name-identical — retention never rewrote live data. "
+    "Complements q243 (row-level purge: rewrite) and q225 (partition "
+    "restatement: partial overwrite) as the third deletion regime.",
+)
+def q244_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(F.col("ts").cast("date").alias("day"), "value")
+    )
+    staged = staging_dir("ttl_table_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(staged)
+
+    max_day = ev.agg(F.max("day")).collect()[0][0]  # scalar bound, tiny
+    cutoff = max_day - __import__("datetime").timedelta(days=7)
+    part_dirs = sorted(
+        d for d in os.listdir(staged) if d.startswith("day=")
+    )
+    survivors = {
+        d: sorted(os.listdir(os.path.join(staged, d)))
+        for d in part_dirs
+        if d >= f"day={cutoff}"
+    }
+    expired = [d for d in part_dirs if d < f"day={cutoff}"]
+    assert expired, "fixture yielded nothing to expire"
+    for d in expired:  # the TTL job: directory removals only
+        shutil.rmtree(os.path.join(staged, d))
+
+    untouched = all(
+        sorted(os.listdir(os.path.join(staged, d))) == files
+        for d, files in survivors.items()
+    )
+    assert untouched and not any(
+        d in os.listdir(staged) for d in expired
+    ), "retention altered surviving partitions"
+    return (
+        spark.read.parquet(staged)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "total",
+            F.lit(untouched).alias("survivors_untouched"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------- q245
+@register(
+    "q245_late_arriving_dimension",
+    """
+    WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    dim_v1 AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey % 5 <> 0),
+    dim_v2 AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST((SELECT COUNT(*) FROM f JOIN dim_v1
+                 ON o_custkey = c_custkey) AS BIGINT) AS matched_first_pass,
+           CAST((SELECT COUNT(*) FROM f WHERE o_custkey IN
+                 (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0))
+               AS BIGINT) AS parked_rows
+    FROM f JOIN dim_v2 ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Late-arriving dimension reconciliation: 20% of customers are "
+    "missing when facts first land (dim v1), so an inner join would "
+    "silently drop their orders — instead unmatched facts are PARKED "
+    "via an anti-join (a real staging write, the holding pen), and "
+    "when the complete dimension arrives the parked facts reconcile "
+    "and union with the first pass. The gate pins losslessness: the "
+    "final per-segment totals equal a direct join against the full "
+    "dimension (the oracle), and the first-pass/parked row counts "
+    "are reported so the 80/20 split is visible. Both passes are "
+    "broadcast-dim joins; the park-and-retry costs one anti-join and "
+    "a bounded re-join of the parked slice — not a re-scan of the "
+    "fact table.",
+)
+def q245_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_v1 = c.filter(F.col("c_custkey") % 5 != 0)
+
+    matched1 = o.join(F.broadcast(dim_v1), o["o_custkey"] == c["c_custkey"])
+    parked_dir = staging_dir("parked_facts_")
+    o.join(
+        F.broadcast(dim_v1.select("c_custkey")),
+        o["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).write.mode("overwrite").parquet(parked_dir)
+
+    parked = spark.read.parquet(parked_dir)
+    n_matched1 = matched1.count()
+    n_parked = parked.count()
+    reconciled = parked.join(
+        F.broadcast(c), parked["o_custkey"] == c["c_custkey"]
+    )
+    final = matched1.select("o_totalprice", "c_mktsegment").unionAll(
+        reconciled.select("o_totalprice", "c_mktsegment")
+    )
+    return (
+        final.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            "total",
+            F.lit(n_matched1).cast("bigint").alias("matched_first_pass"),
+            F.lit(n_parked).cast("bigint").alias("parked_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
