@@ -169,3 +169,91 @@ def q245_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------- q246
+@register(
+    "q246_bitemporal_query",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0)
+    SELECT 0 AS tx_version,
+           'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY 1, 2
+    UNION ALL
+    SELECT 1, 'tier_' || CAST((user_id + 1) % 3 AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT)
+    FROM u GROUP BY 1, 2
+    ORDER BY tx_version, tier
+    """,
+    doc="Bitemporal query — BOTH time axes at once: transaction time "
+    "('what did the warehouse believe at commit v?') via the "
+    "versioned-table store (q74), and valid time ('which dimension "
+    "row was effective at event time t?') via SCD2 validity "
+    "intervals (q76/q207). The gate commits two transaction versions "
+    "of a tier dimension (v1 restates every assignment — the "
+    "correction-run scenario), then answers the same valid-time "
+    "point query against EACH committed belief, proving time travel "
+    "and as-of composition: read_version(v) -> validity-interval "
+    "filter -> aggregate. The axes are orthogonal in the plan (one "
+    "version read + one interval filter each) — no cross-product of "
+    "histories, which is what makes bitemporal audits affordable at "
+    "scale. Oracle reconstructs both beliefs relationally.",
+)
+def q246_bitemporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.ingestion.versioned import (
+        read_version,
+        write_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    mids = ev.groupBy("user_id").agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+    )
+
+    def scd2(tier_shift: int) -> DataFrame:
+        lo = F.lit(-(2**63) + 1)
+        hi = F.lit(2**63 - 1)
+        tier = F.concat(
+            F.lit("tier_"),
+            ((F.col("user_id") + tier_shift) % 3).cast("string"),
+        )
+        early = mids.select(
+            "user_id", "first_us", tier.alias("tier"),
+            lo.alias("from_us"), F.col("mid_us").alias("to_us"),
+        )
+        late = mids.select(
+            "user_id", "first_us",
+            F.concat(
+                F.lit("tier_"),
+                ((F.col("user_id") + tier_shift + 1) % 3).cast("string"),
+            ).alias("tier"),
+            F.col("mid_us").alias("from_us"), hi.alias("to_us"),
+        )
+        return early.unionAll(late)
+
+    table = staging_dir("bitemporal_")
+    write_version(spark, scd2(0), table)   # tx v0: original belief
+    write_version(spark, scd2(1), table)   # tx v1: corrected belief
+
+    out = None
+    for v in (0, 1):
+        hist = read_version(spark, table, version=v)
+        # valid-time point query: the tier effective at each user's
+        # FIRST event (falls in the early interval by construction)
+        asof = hist.filter(
+            (F.col("from_us") <= F.col("first_us"))
+            & (F.col("first_us") < F.col("to_us"))
+        )
+        agg = (
+            asof.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(v).alias("tx_version"), "tier", "n_users")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("tx_version", "tier")
