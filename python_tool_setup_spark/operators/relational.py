@@ -148,24 +148,38 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Pareto frontier minimizing ``x`` AND ``y``: rows no other row
     beats on both dimensions (dominator: <= on both, < on at least
     one). Duplicated frontier points survive together — neither
-    strictly dominates the other.
+    strictly dominates the other. Three-valued logic on NULLs: a row
+    with a NULL coordinate can neither dominate nor be dominated
+    (every comparison is UNKNOWN), so NULL-coordinate rows all
+    survive and are excluded from judging the rest — matching the
+    literal NOT-EXISTS definition.
 
-    Rewrite of the O(n^2) NOT-EXISTS definition (proven equivalent by
-    ``tests/test_tpch_props.py``'s brute-force property): (1) per-x
-    MIN(y) — one map-side-combined aggregate; (2) prefix-min of those
-    minima over strictly smaller x — a window over the DISTINCT-x
-    domain, so the unpartitioned sort is O(domain), never O(n);
-    (3) broadcast join back: a row survives iff its y equals its x's
-    min and strictly undercuts every smaller x's min. Any dominator
-    either shares the x (then the x-min dominates too) or has smaller
-    x (then that x's min dominates too), so checking the minima
-    suffices.
+    Rewrite of the O(n^2) NOT-EXISTS form (proven equivalent by
+    ``tests/test_tpch_props.py``'s brute-force property, NULLs
+    included): (1) per-x MIN(y) — one map-side-combined aggregate;
+    (2) prefix-min of those minima over strictly smaller x — a
+    window over the DISTINCT-x domain; (3) join back: a row survives
+    iff its y equals its x's min and strictly undercuts every
+    smaller x's min. Any dominator either shares the x (then the
+    x-min dominates too) or has smaller x (then that x's min
+    dominates too), so checking the minima suffices.
+
+    PRECONDITION: the distinct-``x`` domain must be bounded (q223
+    uses p_size, ~50 values) — the per-x table is broadcast and its
+    prefix-min window is unpartitioned, so a near-unique continuous
+    ``x`` must be quantized first (bucketize, then skyline the
+    buckets and refine within the shortlist). ``__ymin`` /
+    ``__prefix_min`` are reserved column names (same convention as
+    ``dedup_by_keys``'s ``__rn``).
     """
-    per_x = df.groupBy(x).agg(F.min(y).alias("__ymin"))
+    has_null = F.col(x).isNull() | F.col(y).isNull()
+    null_rows = df.filter(has_null)
+    clean = df.filter(~has_null)
+    per_x = clean.groupBy(x).agg(F.min(y).alias("__ymin"))
     w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
     fronts = per_x.withColumn("__prefix_min", F.min("__ymin").over(w))
-    return (
-        df.join(F.broadcast(fronts), x)
+    survivors = (
+        clean.join(F.broadcast(fronts), x)
         .filter(
             (F.col(y) == F.col("__ymin"))
             & (
@@ -175,3 +189,4 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
         )
         .drop("__ymin", "__prefix_min")
     )
+    return survivors.unionByName(null_rows)

@@ -113,8 +113,8 @@ def test_left_join_count_histogram(spark, orders):
 
 points_strategy = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=4),   # x
-        st.integers(min_value=0, max_value=4),   # y
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # x
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # y
     ),
     min_size=1,
     max_size=20,
@@ -122,18 +122,22 @@ points_strategy = st.lists(
 
 
 def brute_force_skyline(points):
-    """Literal NOT-EXISTS domination: p survives iff no q with
-    q.x <= p.x, q.y <= p.y, and (q.x < p.x or q.y < p.y)."""
+    """Literal NOT-EXISTS domination under three-valued logic: p
+    survives iff no q with q.x <= p.x, q.y <= p.y, and (q.x < p.x or
+    q.y < p.y) — any comparison involving NULL is UNKNOWN, so a NULL
+    coordinate on either side means q does not dominate p."""
+    def dominates(q, p):
+        qx, qy = q
+        px, py = p
+        if None in (qx, qy, px, py):
+            return False
+        return qx <= px and qy <= py and (qx < px or qy < py)
+
     out = []
-    for i, (px, py) in enumerate(points):
-        dominated = any(
-            (qx <= px and qy <= py and (qx < px or qy < py))
-            for j, (qx, qy) in enumerate(points)
-            if j != i
-        )
-        if not dominated:
-            out.append((px, py))
-    return sorted(out)
+    for i, p in enumerate(points):
+        if not any(dominates(q, p) for j, q in enumerate(points) if j != i):
+            out.append(p)
+    return sorted(out, key=lambda t: (t[0] is None, -1 if t[0] is None else t[0], t[1] is None, -1 if t[1] is None else t[1]))
 
 
 @SETTINGS
@@ -142,5 +146,8 @@ def test_skyline_2d_matches_brute_force(spark, points):
     from python_tool_setup_spark.operators.relational import skyline_2d
 
     df = spark.createDataFrame(points, "x long, y long")
-    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    got = sorted(
+        ((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()),
+        key=lambda t: (t[0] is None, -1 if t[0] is None else t[0], t[1] is None, -1 if t[1] is None else t[1]),
+    )
     assert got == brute_force_skyline(points)
