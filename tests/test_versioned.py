@@ -79,3 +79,59 @@ def test_snapshot_diff_change_types(spark):
 def test_snapshot_diff_identical_is_empty(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     assert snapshot_diff(df, df.select("k", "v"), ["k"]).count() == 0
+
+
+def test_forget_keys_purges_history(spark, tmp_path):
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, owner long"
+    )
+    write_version(spark, df, table)
+    write_version(spark, df, table)  # history that embeds the subject
+    audit = forget_keys(spark, table, "owner", [1])
+
+    assert audit["purge_complete"]
+    assert audit["residual_key_rows"] == 0
+    assert audit["files_remaining"] > 0
+    # only the scrubbed version remains -> time travel cannot resurrect
+    assert len(list_versions(spark, table)) == 1
+    remaining = read_version(spark, table)
+    assert remaining.filter("owner = 1").count() == 0
+    assert remaining.count() == 20
+
+
+def test_forget_keys_empty_keys_is_noop_rewrite(spark, tmp_path):
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    write_version(spark, df, table)
+    audit = forget_keys(spark, table, "id", [])
+    assert audit["purge_complete"] and audit["residual_key_rows"] == 0
+    assert read_version(spark, table).count() == 10
+
+
+def test_forget_keys_all_rows(spark, tmp_path):
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    write_version(spark, df, table)
+    audit = forget_keys(spark, table, "id", [1, 2])
+    assert audit["residual_key_rows"] == 0
+    assert read_version(spark, table).count() == 0
