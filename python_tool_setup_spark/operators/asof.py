@@ -29,15 +29,28 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key (ties: the right
-    row sorts first, so equality matches). Left rows with no earlier
-    right row keep nulls (LEFT ASOF semantics).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: ``direction="backward"`` (default) takes the greatest
+    ``right_ts <= left_ts`` (the quote in force at event time);
+    ``direction="forward"`` takes the smallest ``right_ts >= left_ts``
+    (the next arrival after the event — the time-to-next-action
+    shape). Equal timestamps match in both directions. Left rows with
+    no candidate keep nulls (LEFT ASOF semantics).
 
-    Implementation: union with a side tag, window ``last(..., ignorenulls)``
-    ordered by (ts, side) partitioned by key, then keep left rows.
+    Implementation: union with a side tag, then one key-partitioned
+    time-ordered window — ``last(ignorenulls)`` over the preceding
+    frame (backward) or ``first(ignorenulls)`` over the following
+    frame (forward); either way one shuffle on the key, the same cost
+    class as an equi-join.
+
+    If right timestamps can repeat within a key, pre-deduplicate the
+    right side (e.g. ``dedup_by_keys``) — ties at the SAME timestamp
+    have no defined winner.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -60,14 +73,29 @@ def asof_join(
     ).select(*l_tag.columns)  # align column order for unionByName safety
 
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right(0) sorts before left(1) at equal ts -> equality matches
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = [
+            F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols
+        ]
+    else:
+        # left(1) sorts before right(0) at equal ts -> equality matches
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = [
+            F.first(v, ignorenulls=True).over(w).alias(v) for v in value_cols
+        ]
     carried = unioned.select(
         *[c for c in unioned.columns if c not in value_cols],
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+        *carry,
     )
     return carried.filter(F.col("__side") == 1).drop("__ts", "__side")
 

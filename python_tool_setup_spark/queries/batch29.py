@@ -257,3 +257,73 @@ def q246_bitemporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionAll(agg)
     return out.orderBy("tx_version", "tier")
+
+
+# ---------------------------------------------------------------- q247
+@register(
+    "q247_asof_join_forward",
+    """
+    WITH e AS (SELECT event_id, user_id, ts, value, event_type
+               FROM events WHERE user_id % 20 = 0),
+    lt AS (SELECT MIN(event_type) AS t FROM e),
+    rt AS (SELECT MAX(event_type) AS t FROM e),
+    l AS (SELECT event_id, user_id, ts, value FROM e, lt
+          WHERE event_type = lt.t),
+    r AS (SELECT user_id, ts AS rts, MIN(value) AS rvalue
+          FROM e, rt WHERE event_type = rt.t GROUP BY user_id, ts)
+    SELECT l.event_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           STRFTIME(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           ROUND((SELECT rvalue FROM r
+                  WHERE r.user_id = l.user_id
+                    AND r.rts = (SELECT MIN(rts) FROM r w
+                                 WHERE w.user_id = l.user_id
+                                   AND w.rts >= l.ts)), 3) AS next_value
+    FROM l ORDER BY event_id
+    """,
+    doc="FORWARD as-of join — for each event of the first type, the "
+    "value of the user's NEXT event of the last type at-or-after it "
+    "(the time-to-next-action / next-quote shape; q22 covers the "
+    "backward direction). The operator's union + key-partitioned "
+    "window with first(ignorenulls) over the FOLLOWING frame costs "
+    "one shuffle on user_id — same class as an equi-join, never a "
+    "per-row subquery scan. The oracle is deliberately formulated "
+    "the OTHER way (correlated MIN-timestamp subqueries), so the "
+    "window rewrite is checked against an independent derivation, "
+    "not a mirror of itself; the right side is pre-deduplicated per "
+    "(user, ts) as the operator's tie contract requires.",
+)
+def q247_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    lt = e.agg(F.min("event_type").alias("t"))
+    rt = e.agg(F.max("event_type").alias("t"))
+    left = (
+        e.crossJoin(F.broadcast(lt))
+        .filter(F.col("event_type") == F.col("t"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    right = (
+        e.crossJoin(F.broadcast(rt))
+        .filter(F.col("event_type") == F.col("t"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("rvalue"))
+    )
+    joined = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rvalue"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("rvalue_right", 3).alias("next_value"),
+    ).orderBy("event_id")
