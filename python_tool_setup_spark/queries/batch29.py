@@ -327,3 +327,69 @@ def q247_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("rvalue_right", 3).alias("next_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- q248
+@register(
+    "q248_udtf_table_argument",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 3) AS total,
+           ROUND(MAX(value) - MIN(value), 3) AS value_range
+    FROM events
+    WHERE user_id % 25 = 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Python UDTF with a TABLE argument (Spark 4): the function is "
+    "invoked as `stats(TABLE(events) PARTITION BY user_id)` — the "
+    "engine shuffles the table BY THE DECLARED KEY and streams each "
+    "partition's rows through one UDTF instance (eval per row, "
+    "terminate emits), so arbitrary per-group Python logic gets "
+    "distributed execution with no manual groupBy plumbing — the "
+    "relational spelling of applyInPandas for row-streaming "
+    "algorithms that never hold the group in memory. Completes the "
+    "UDTF family: q57 (lateral correlated), q202 (polymorphic "
+    "analyze). The gate's per-user stats are pinned by the plain "
+    "GROUP BY oracle.",
+)
+def q248_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n bigint, total double, value_range double")
+    class PerUserStats:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.total = 0.0
+            self.vmin = None
+            self.vmax = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            v = row["value"]
+            self.total += v
+            self.vmin = v if self.vmin is None else min(self.vmin, v)
+            self.vmax = v if self.vmax is None else max(self.vmax, v)
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (
+                    self.uid,
+                    self.n,
+                    round(self.total, 3),
+                    round(self.vmax - self.vmin, 3),
+                )
+
+    spark.udtf.register("q248_per_user_stats", PerUserStats)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    ).select("user_id", "value").createOrReplaceTempView("q248_ev")
+    return spark.sql(
+        """
+        SELECT user_id, n, total, value_range
+        FROM q248_per_user_stats(TABLE(q248_ev) PARTITION BY user_id)
+        ORDER BY user_id
+        """
+    )
