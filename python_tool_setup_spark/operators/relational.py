@@ -172,21 +172,29 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     ``__prefix_min`` are reserved column names (same convention as
     ``dedup_by_keys``'s ``__rn``).
     """
-    has_null = F.col(x).isNull() | F.col(y).isNull()
-    null_rows = df.filter(has_null)
-    clean = df.filter(~has_null)
-    per_x = clean.groupBy(x).agg(F.min(y).alias("__ymin"))
+    # NULL-x groups are excluded from the minima table (they would
+    # sort NULLS-FIRST into the prefix window and poison it); MIN(y)
+    # ignores NULL y, so null-y rows never lower a group's minimum.
+    per_x = df.filter(F.col(x).isNotNull()).groupBy(x).agg(
+        F.min(y).alias("__ymin")
+    )
     w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
     fronts = per_x.withColumn("__prefix_min", F.min("__ymin").over(w))
-    survivors = (
-        clean.join(F.broadcast(fronts), x)
+    # Single pass: LEFT join keeps NULL-x rows (null keys never match)
+    # and the has_null arm keeps every NULL-coordinate row; non-null
+    # rows survive on the minima test.
+    has_null = F.col(x).isNull() | F.col(y).isNull()
+    return (
+        df.join(F.broadcast(fronts), x, "left")
         .filter(
-            (F.col(y) == F.col("__ymin"))
-            & (
-                F.col("__prefix_min").isNull()
-                | (F.col("__prefix_min") > F.col(y))
+            has_null
+            | (
+                (F.col(y) == F.col("__ymin"))
+                & (
+                    F.col("__prefix_min").isNull()
+                    | (F.col("__prefix_min") > F.col(y))
+                )
             )
         )
         .drop("__ymin", "__prefix_min")
     )
-    return survivors.unionByName(null_rows)

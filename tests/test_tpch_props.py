@@ -121,6 +121,14 @@ points_strategy = st.lists(
 )
 
 
+def _nulls_last_key(t):
+    """Shared deterministic ordering for possibly-None 2-tuples."""
+    return (
+        t[0] is None, t[0] if t[0] is not None else 0,
+        t[1] is None, t[1] if t[1] is not None else 0,
+    )
+
+
 def brute_force_skyline(points):
     """Literal NOT-EXISTS domination under three-valued logic: p
     survives iff no q with q.x <= p.x, q.y <= p.y, and (q.x < p.x or
@@ -137,7 +145,7 @@ def brute_force_skyline(points):
     for i, p in enumerate(points):
         if not any(dominates(q, p) for j, q in enumerate(points) if j != i):
             out.append(p)
-    return sorted(out, key=lambda t: (t[0] is None, -1 if t[0] is None else t[0], t[1] is None, -1 if t[1] is None else t[1]))
+    return sorted(out, key=_nulls_last_key)
 
 
 @SETTINGS
@@ -148,6 +156,6 @@ def test_skyline_2d_matches_brute_force(spark, points):
     df = spark.createDataFrame(points, "x long, y long")
     got = sorted(
         ((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()),
-        key=lambda t: (t[0] is None, -1 if t[0] is None else t[0], t[1] is None, -1 if t[1] is None else t[1]),
+        key=_nulls_last_key,
     )
     assert got == brute_force_skyline(points)
