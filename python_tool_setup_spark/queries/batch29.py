@@ -393,3 +393,45 @@ def q248_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+# ---------------------------------------------------------------- q249
+@register(
+    "q249_sql_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators): the same "
+    "filter -> aggregate -> having -> order pipeline written in "
+    "linear dataflow order — `FROM t |> WHERE ... |> AGGREGATE ... "
+    "GROUP BY ... |> WHERE ... |> ORDER BY` — instead of SQL's "
+    "inside-out clause nesting. Each pipe stage compiles to exactly "
+    "the operator the classic form produces (the plan is identical: "
+    "pushed filter, partial+final hash aggregate, sort), so the "
+    "readability is free. The oracle is the classic spelling of the "
+    "same query, pinning semantic equivalence between the notations.",
+)
+def q249_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q249_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q249_lineitem
+        |> WHERE l_quantity > 25
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n > 100
+        |> SELECT l_returnflag, n, revenue
+        |> ORDER BY l_returnflag
+        """
+    )
