@@ -435,3 +435,41 @@ def q249_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------- q250
+@register(
+    "q250_lateral_column_alias",
+    """
+    SELECT o_orderpriority,
+           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           ROUND(ROUND(AVG(o_totalprice), 2) * 1.1, 2) AS with_uplift,
+           ROUND(ROUND(ROUND(AVG(o_totalprice), 2) * 1.1, 2)
+                 - ROUND(AVG(o_totalprice), 2), 2) AS uplift_amount
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Lateral column aliases: a SELECT item referencing an alias "
+    "defined EARLIER IN THE SAME SELECT LIST (avg_price -> "
+    "with_uplift -> uplift_amount), so derived-metric chains read "
+    "top-to-bottom instead of re-nesting the whole expression at "
+    "each step — on wide metric queries the classic spelling "
+    "duplicates every base expression once per derivation level (the "
+    "oracle shows the expanded form). Catalyst inlines the aliases "
+    "at analysis, so the plan is the same single hash aggregate — "
+    "readability, zero cost.",
+)
+def q250_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q250_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(AVG(o_totalprice), 2) AS avg_price,
+               ROUND(avg_price * 1.1, 2) AS with_uplift,
+               ROUND(with_uplift - avg_price, 2) AS uplift_amount
+        FROM q250_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
