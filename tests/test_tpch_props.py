@@ -159,3 +159,65 @@ def test_skyline_2d_matches_brute_force(spark, points):
         key=_nulls_last_key,
     )
     assert got == brute_force_skyline(points)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # right: (key, ts, value); ts deduped per key below
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@SETTINGS
+@given(data=asof_strategy)
+def test_asof_join_both_directions_match_brute_force(spark, data):
+    from python_tool_setup_spark.operators.asof import asof_join
+
+    left_rows, right_raw = data
+    # enforce the operator's tie contract: unique right ts per key
+    right_rows = list({(k, t): v for k, t, v in right_raw}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, lts long",
+    )
+    rdf = spark.createDataFrame(
+        right_rows or [], "k long, rts long, v long"
+    )
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["v_right"]
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+                right_cols=["v"], direction=direction,
+            ).collect()
+        }
+        expected = {}
+        for i, (k, t) in enumerate(left_rows):
+            cands = [
+                (rt, v) for rk, rt, v in right_rows
+                if rk == k
+                and (rt <= t if direction == "backward" else rt >= t)
+            ]
+            if cands:
+                pick = max(cands) if direction == "backward" else min(cands)
+                expected[i] = pick[1]
+            else:
+                expected[i] = None
+        assert got == expected, f"{direction}: {got} != {expected}"
