@@ -109,6 +109,7 @@ def all_queries() -> dict[str, Query]:
         batch27,
         batch28,
         batch29,
+        batch30,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
