@@ -121,3 +121,65 @@ def q251_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "unit")
         .limit(_TOP_UNITS)
     )
+
+
+# ---------------------------------------------------------------- q252
+@register(
+    "q252_mixture_schedule",
+    """
+    WITH lang_pick AS (SELECT MIN(lang) AS l FROM documents),
+    a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+        FROM documents, lang_pick WHERE lang = l
+    ),
+    b AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+        FROM documents, lang_pick WHERE lang <> l
+    ),
+    sched AS (
+        SELECT ((rk - 1) // 2) * 3 + ((rk - 1) % 2) AS pos,
+               doc_id, 'primary' AS src
+        FROM a
+        UNION ALL
+        SELECT (rk - 1) * 3 + 2, doc_id, 'secondary' FROM b
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, doc_id, src
+    FROM sched WHERE pos < 30 ORDER BY pos
+    """,
+    doc="Deterministic mixture SCHEDULE — the ordering half of data "
+    "mixing (q71 fixes the WEIGHTS; this fixes the ORDER): a 2:1 "
+    "interleave of the primary language against the rest, computed "
+    "arithmetically from per-source ranks (primary rank r occupies "
+    "global slots block*3+{0,1}, secondary fills slot block*3+2) — "
+    "NO global sort or driver loop, just rank windows per source and "
+    "closed-form positions, so a 100 TB mixture schedule "
+    "materializes as a column expression and any worker can compute "
+    "its slice independently. Reproducibility is the point: the "
+    "schedule is a pure function of (doc_id order, weights), so "
+    "training runs replay byte-identically. The first 30 slots are "
+    "pinned (the pattern P P S P P S ... is visible in the output).",
+)
+def q252_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lp = d.agg(F.min("lang").alias("l"))
+    tagged = d.crossJoin(F.broadcast(lp)).select(
+        "doc_id", (F.col("lang") == F.col("l")).alias("is_primary")
+    )
+    wa = Window.partitionBy("is_primary").orderBy("doc_id")
+    ranked = tagged.withColumn("rk", F.row_number().over(wa))
+    sched = ranked.select(
+        F.when(
+            F.col("is_primary"),
+            ((F.col("rk") - 1) / 2).cast("long") * 3 + (F.col("rk") - 1) % 2,
+        )
+        .otherwise((F.col("rk") - 1) * 3 + 2)
+        .cast("bigint")
+        .alias("pos"),
+        "doc_id",
+        F.when(F.col("is_primary"), "primary")
+        .otherwise("secondary")
+        .alias("src"),
+    )
+    return sched.filter(F.col("pos") < 30).orderBy("pos")
