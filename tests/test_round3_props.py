@@ -114,3 +114,65 @@ def test_bpe_pair_counts_match_naive(spark, docs):
         }
     )
     assert got == expected
+
+
+def test_mixture_schedule_positions_bijective(spark):
+    """q252 invariant: schedule positions are unique, and the covered
+    prefix [0, 3*min(blocks)) has no gaps — every block is P P S."""
+    from pyspark.sql import Window
+
+    rows = [(i, "en" if i % 3 != 0 else "de") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    from pyspark.sql import functions as F
+
+    lp = d.agg(F.min("lang").alias("l"))
+    tagged = d.crossJoin(F.broadcast(lp)).select(
+        "doc_id", (F.col("lang") == F.col("l")).alias("is_primary")
+    )
+    ranked = tagged.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("is_primary").orderBy("doc_id"))
+    )
+    sched = ranked.select(
+        F.when(
+            F.col("is_primary"),
+            ((F.col("rk") - 1) / 2).cast("long") * 3 + (F.col("rk") - 1) % 2,
+        )
+        .otherwise((F.col("rk") - 1) * 3 + 2)
+        .cast("bigint")
+        .alias("pos"),
+        "is_primary",
+    )
+    got = sorted((r["pos"], r["is_primary"]) for r in sched.collect())
+    positions = [p for p, _ in got]
+    assert len(positions) == len(set(positions)), "positions collide"
+    n_primary = sum(1 for _, p in got if p)
+    n_secondary = len(got) - n_primary
+    covered = 3 * min(n_primary // 2, n_secondary)
+    prefix = [t for t in got if t[0] < covered]
+    assert [p for p, _ in prefix] == list(range(covered)), "gap in prefix"
+    for p, is_primary in prefix:
+        assert is_primary == (p % 3 != 2), f"slot {p} wrong source"
+
+
+def test_resize_nearest_non_divisible_height(spark, tmp_path):
+    """ceil semantics: a 16x5 image downsampled 2x keeps 3 rows, and
+    the resized bytes equal the even-index stride of the original."""
+    import hashlib
+
+    from python_tool_setup_spark.llm.multimodal import read_media, resize_nearest
+    from python_tool_setup_spark.llm.png import encode_png
+
+    w, h = 16, 5
+    pixels = bytes(range(w * h))
+    p = tmp_path / "img.png"
+    p.write_bytes(encode_png(w, h, pixels, channels=1))
+    out = resize_nearest(
+        read_media(spark, str(tmp_path), glob="*.png"), factor=2
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["out_width"], row["out_height"]) == (8, 3)
+    expected = bytes(
+        pixels[y * w + x] for y in range(0, h, 2) for x in range(0, w, 2)
+    )
+    assert row["resized_sha256"] == hashlib.sha256(expected).hexdigest()
