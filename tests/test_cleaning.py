@@ -73,3 +73,26 @@ def test_repetition_score_flags_boilerplate(spark):
     got = {r["id"]: r["max_ngram_ratio"] for r in
            repetition_score(df, "id").collect()}
     assert got[1] > 0.45 and got[2] < 0.02
+
+
+def test_strip_markdown_forms(spark):
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.llm.cleaning import strip_markdown
+
+    cases = [
+        ("# Header\nbody", "Header\nbody"),
+        ("## Deep header line", "Deep header line"),
+        ("a **bold** b", "a bold b"),
+        ("a *it* and ***strong*** b", "a it and strong b"),
+        ("see [anchor](http://x/y) here", "see anchor here"),
+        ("img ![alt text](http://x/i.png) end", "img alt text end"),
+        ("code `x = 1` end", "code x = 1 end"),
+        ("plain text stays", "plain text stays"),
+        # image form must win over link form (the ! prefix)
+        ("![a](u) [b](v)", "a b"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, expected string")
+    out = df.select("expected", strip_markdown("raw").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], f"{r['got']!r} != {r['expected']!r}"
