@@ -1,11 +1,13 @@
-"""Round-3 gates, batch 24: physical-layout I/O levers — globally
-sorted table write via range repartitioning (q230: per-file min/max
-ranges become DISJOINT, which is what makes footer-stats skipping and
-zone maps actually prune), and small-files read coalescing (q231:
-Spark's scan packs many tiny files into few tasks, the read-side
-answer to the small-files problem). Together with q61 (compaction),
-q62/q80 (clustering), q116 (zone-map skipping), and q199 (codecs)
-this completes the storage-layout story.
+"""Round-3 gates, batch 24: physical-layout I/O levers and scan-speed
+media/text processing — globally sorted table write via range
+repartitioning (q230: per-file min/max ranges become DISJOINT, which
+is what makes footer-stats skipping and zone maps actually prune),
+small-files read coalescing (q231: the scan packs many tiny files
+into few tasks), real image resize on decoded PNG pixels (q232,
+byte-exact arithmetic oracle), and markdown stripping (q233, fused
+codegen regexp chain). With q61 (compaction), q62/q80 (clustering),
+q116 (zone-map skipping), and q199 (codecs) this completes the
+storage-layout story.
 """
 
 from __future__ import annotations

@@ -1,8 +1,9 @@
-"""Round-3 gates, batch 26: multiset set operations (q237 —
-EXCEPT ALL / INTERSECT ALL preserve multiplicities, a different
-operator from q16's distinct-set forms) and modern SQL syntax
-conveniences (q238 — GROUP BY ALL and SELECT * EXCEPT, the
-boilerplate-killers analysts actually write).
+"""Round-3 gates, batch 26: SQL-semantics completions — multiset set
+operations (q237: EXCEPT ALL / INTERSECT ALL preserve multiplicities,
+a different operator from q16's distinct-set forms), modern syntax
+conveniences (q238: GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT),
+and distribution-rank window functions (q241: PERCENT_RANK /
+CUME_DIST, completing the window family).
 """
 
 from __future__ import annotations

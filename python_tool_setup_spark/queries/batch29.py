@@ -1,11 +1,12 @@
-"""Round-3 gates, batch 29: operational lifecycle patterns — TTL
-retention by partition drop (q244: expiring old data must be a
-METADATA operation, directory removals, never a table rewrite) and
-late-arriving dimension reconciliation (q245: facts whose dimension
-key hasn't arrived yet are parked, not dropped, and reconcile
-losslessly when the dimension lands). With q243 (row-level physical
-purge) these cover the three deletion/repair regimes a production
-table lives through.
+"""Round-3 gates, batch 29: operational lifecycle + final API
+surfaces — TTL retention by partition drop (q244: expiry is METADATA
+work, never a rewrite), late-arriving dimension reconciliation (q245:
+unmatched facts park and reconcile losslessly), bitemporal querying
+(q246: transaction-time versions x valid-time SCD2), FORWARD as-of
+join (q247), UDTF with TABLE arguments (q248), SQL pipe syntax
+(q249), and lateral column aliases (q250). With q243 (row-level
+physical purge) the deletion/repair regimes of a production table are
+fully covered.
 """
 
 from __future__ import annotations

@@ -1,10 +1,10 @@
-"""Round-3 gates, batch 30: BPE merge APPLICATION (q251) — the other
-half of tokenizer training: q175 counts the pairs (the train step);
-this derives the top-K merge rules and applies them corpus-wide with
-greedy leftmost-first semantics, producing the merged-unit vocabulary.
-Pure string expressions on both engines (spaced representation with
-boundary padding), so tokenization runs at scan speed with the merge
-table as five scalar rules — no Python in the loop.
+"""Round-3 gates, batch 30: tokenizer-pipeline closure — BPE merge
+APPLICATION (q251: q175 counts the pairs, this derives the top-K
+merge rules and applies them corpus-wide with greedy leftmost-first
+semantics via boundary-padded replace — pure string expressions, no
+Python in the loop) and the deterministic mixture SCHEDULE (q252:
+closed-form interleave positions from per-source ranks — the
+reproducible training order that q71's mixture weights feed).
 """
 
 from __future__ import annotations
