@@ -183,3 +183,218 @@ def q252_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src"),
     )
     return sched.filter(F.col("pos") < 30).orderBy("pos")
+
+
+# ---------------------------------------------------------------- q253
+@register(
+    "q253_stream_stream_full_outer",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 12 = 0),
+    a AS (SELECT * FROM ev WHERE event_type = 'view'),
+    b AS (SELECT * FROM ev WHERE event_type = 'purchase')
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id
+    FROM a FULL JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    doc="Stream-stream FULL OUTER join — completes the stream-join "
+    "matrix (q66 inner, q161 left-outer): views and purchases within "
+    "a 30-minute window, where BOTH unmatched sides must flush — "
+    "views that converted to nothing AND purchases with no "
+    "attributable view. Both state stores hold their side until the "
+    "watermark (advanced past every real event by one far-future "
+    "sentinel per side, filtered from the output) proves no partner "
+    "can arrive, then emit with NULLs. The time-bound join condition "
+    "constrains state on both sides, so memory stays "
+    "O(watermark-window), not O(stream). One user shard (the flush "
+    "contract is per-watermark, not per-volume).",
+)
+def q253_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from python_tool_setup_spark.staging import staging_dir
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 12 == 0)
+    src = staging_dir("ssfo_src_")
+    ev.coalesce(4).write.mode("append").parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
+    sentinels = spark.createDataFrame(
+        [(-1, -1, "view"), (-2, -2, "purchase")],
+        "event_id long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinels.select([f.name for f in ev.schema.fields]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    wm = stream.withWatermark("ts", "10 seconds")
+    views = wm.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    name = f"q253_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", staging_dir("ckpt_ssfo_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        # drop the flush sentinels from the answer
+        .filter(
+            (F.coalesce("v_user", "p_user") >= 0)
+        )
+        .select(
+            F.coalesce("v_user", "p_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------- q254
+@register(
+    "q254_dim_refresh_between_batches",
+    """
+    WITH ev AS (SELECT event_id, user_id, value FROM events
+                WHERE user_id % 14 = 0)
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 3) AS total
+    FROM (
+        SELECT 'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier, value
+        FROM ev WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 'tier_' || CAST((user_id + 1) % 3 AS VARCHAR), value
+        FROM ev WHERE event_id % 2 = 1
+    )
+    GROUP BY tier ORDER BY tier
+    """,
+    doc="Dimension refresh BETWEEN micro-batch drains (the dynamic "
+    "broadcast-refresh pattern q126's static join cannot express): "
+    "the enrichment dimension is a VERSIONED table re-resolved to "
+    "its latest committed version INSIDE foreachBatch, so each "
+    "micro-batch joins the dimension as of ITS OWN processing time. "
+    "The gate drains half the events against dim v0, commits a "
+    "restated v1 (every tier reassigned), then RESUMES from the "
+    "checkpoint and drains the rest against v1 — the spool "
+    "(idempotent per-batch parquet appends) must equal "
+    "first-half x v0 union second-half x v1, which is exactly what "
+    "the oracle states. Composes q74 versioning + q153 "
+    "checkpoint-resume + foreachBatch enrichment; at 100 TB this is "
+    "how slowly-changing reference data follows a live stream "
+    "without restarting it.",
+)
+def q254_dim_refresh_between_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from python_tool_setup_spark.ingestion.versioned import (
+        read_version,
+        write_version,
+    )
+    from python_tool_setup_spark.staging import staging_dir
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 14 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    users = ev.select("user_id").distinct()
+
+    def dim(shift: int) -> DataFrame:
+        return users.select(
+            "user_id",
+            F.concat(
+                F.lit("tier_"), ((F.col("user_id") + shift) % 3).cast("string")
+            ).alias("tier"),
+        )
+
+    dim_table = staging_dir("dim_refresh_")
+    write_version(spark, dim(0), dim_table)  # v0: initial belief
+
+    src = staging_dir("dimref_src_")
+    ckpt = staging_dir("dimref_ckpt_")
+    spool = staging_dir("dimref_spool_")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ]
+
+    def enrich(batch_df, batch_id):
+        # re-resolve the dimension to its LATEST committed version at
+        # each batch's own processing time — the refresh pattern
+        d = read_version(batch_df.sparkSession, dim_table)
+        (
+            batch_df.join(F.broadcast(d), "user_id")
+            .select("tier", "value")
+            .write.mode("append")
+            .parquet(spool)
+        )
+
+    def drain(part_df):
+        sub = staging_dir("dimref_part_")
+        part_df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(sub, part),
+            os.path.join(src, f"{uuid.uuid4().hex}.parquet"),
+        )
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(halves[0])                      # first half joins dim v0
+    write_version(spark, dim(1), dim_table)  # the refresh lands
+    drain(halves[1])                      # resumed drain joins dim v1
+
+    return (
+        spark.read.parquet(spool)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .orderBy("tier")
+    )
