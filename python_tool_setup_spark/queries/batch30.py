@@ -398,3 +398,71 @@ def q254_dim_refresh_between_batches(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------- q255
+@register(
+    "q255_linear_attribution",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 6 = 0),
+    p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+          FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS vid, user_id, ts AS vts
+          FROM ev WHERE event_type = 'view'),
+    touches AS (
+        SELECT p.pid, p.value, v.vid,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND v.vts >= p.pts - INTERVAL 6 HOUR AND v.vts <= p.pts
+    )
+    SELECT CAST(vid % 24 AS BIGINT) AS touch_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(SUM(value / n_touch), 3) AS credited_value
+    FROM touches
+    GROUP BY vid % 24 ORDER BY touch_bucket
+    """,
+    doc="Linear multi-touch attribution (the credit-assignment "
+    "operator funnels/retention don't cover): every purchase's value "
+    "is split EQUALLY across the user's view touches in the "
+    "preceding 30 minutes — an equi-join on user with a time-window "
+    "residual (one shuffle, the q23 range-join shape), then a "
+    "per-purchase window count to derive each touch's 1/n share; "
+    "credit conservation is structural (each purchase's shares sum "
+    "to its value). Credited value rolls up per touch bucket. At "
+    "100 TB the join prunes by the equi-key first and the window "
+    "rides the same partitioning — no per-purchase re-scan; the "
+    "division is IEEE-identical on both engines (same value, same "
+    "integer count).",
+)
+def q255_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 6 == 0)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    touches = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("vts") <= F.col("pts")),
+    ).withColumn("n_touch", F.count("*").over(Window.partitionBy("pid")))
+    return (
+        touches.groupBy((F.col("vid") % 24).cast("bigint").alias("touch_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum(F.col("value") / F.col("n_touch")), 3).alias(
+                "credited_value"
+            ),
+        )
+        .orderBy("touch_bucket")
+    )
