@@ -216,16 +216,25 @@ def forget_keys(
     import os
 
     latest = read_version(spark, table_path, fmt=fmt)
-    scrubbed = latest.filter(~F.col(key_col).isin(keys))
+    # Null-safe keep predicate: a bare ~isin(keys) is NULL (dropped by
+    # filter) for NULL-keyed rows, silently purging rows nobody asked
+    # to forget. NULL never equals a subject key, so it is always kept.
+    scrubbed = latest.filter(
+        F.col(key_col).isNull() | ~F.col(key_col).isin(keys)
+    )
     write_version(spark, scrubbed, table_path, fmt=fmt)
     vacuum_versions(spark, table_path, keep=1)
     clean_orphans(spark, table_path)
 
+    # Audit every data file of the configured format, not just parquet
+    # (fmt is caller-chosen; a hardcoded .parquet suffix would scan
+    # nothing for orc/json/csv and report a vacuous purge_complete).
+    ext = {"parquet": ".parquet", "orc": ".orc", "json": ".json", "csv": ".csv"}.get(
+        fmt, f".{fmt}"
+    )
     files = []
     for root, _dirs, names in os.walk(table_path):
-        files += [
-            os.path.join(root, f) for f in names if f.endswith(".parquet")
-        ]
+        files += [os.path.join(root, f) for f in names if f.endswith(ext)]
     residual = (
         spark.read.format(fmt).load(files).filter(F.col(key_col).isin(keys)).count()
         if files

@@ -126,20 +126,28 @@ def left_join_count_histogram(
     count_col: str = "n",
     dist_col: str = "dist",
 ) -> DataFrame:
-    """Count-of-counts over a LEFT join: how many ``left`` rows have 0,
-    1, 2, ... matches in ``right`` (the TPC-H Q13 kernel — q213).
+    """Count-of-counts over a LEFT join: how many distinct ``left``
+    KEYS have 0, 1, 2, ... matches in ``right`` (the TPC-H Q13 kernel
+    — q213).
+
+    Precondition: ``left_key`` is unique in ``left`` (true for Q13's
+    custkey, and for any primary-key left side) — the groupBy
+    collapses duplicate left-key rows, so with a non-unique key the
+    histogram counts keys, not rows.
 
     The zero bucket is the point: filtering ``right`` BEFORE the left
     join (callers pre-apply any match predicate there) is the outer-
     join-algebra equivalent of an ON-clause filter, and COUNT over the
     right key skips NULLs, so unmatched left rows land in bucket 0
     instead of disappearing. Two shuffles: the join + the re-count
-    over the tiny distinct-count domain.
+    over the tiny distinct-count domain. Sides are aliased so
+    ``left_key == right_key`` is unambiguous.
     """
+    l, r = left.alias("__l"), right.alias("__r")
     per = (
-        left.join(right, left[left_key] == right[right_key], "left")
-        .groupBy(left_key)
-        .agg(F.count(right_key).alias(count_col))
+        l.join(r, F.col(f"__l.{left_key}") == F.col(f"__r.{right_key}"), "left")
+        .groupBy(F.col(f"__l.{left_key}"))
+        .agg(F.count(F.col(f"__r.{right_key}")).alias(count_col))
     )
     return per.groupBy(count_col).agg(F.count("*").alias(dist_col))
 

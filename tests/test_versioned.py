@@ -122,6 +122,56 @@ def test_forget_keys_empty_keys_is_noop_rewrite(spark, tmp_path):
     assert read_version(spark, table).count() == 10
 
 
+def test_forget_keys_keeps_null_keyed_rows(spark, tmp_path):
+    # Regression (round-4 ADVICE): ~isin(keys) is NULL for NULL keys,
+    # so filter() silently dropped NULL-keyed rows during a purge —
+    # unrequested data loss the isin-based audit could not see. The
+    # null-safe keep predicate must retain them, for both non-empty
+    # and empty key lists.
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, owner string"
+    )
+    write_version(spark, df, table)
+    audit = forget_keys(spark, table, "owner", ["a"])
+    assert audit["purge_complete"]
+    remaining = read_version(spark, table)
+    assert remaining.filter("owner IS NULL").count() == 2
+    assert remaining.count() == 3
+
+    table2 = str(tmp_path / "t2")
+    write_version(spark, df, table2)
+    forget_keys(spark, table2, "owner", [])
+    assert read_version(spark, table2).count() == 4
+
+
+def test_forget_keys_audit_follows_fmt(spark, tmp_path):
+    # Regression (round-4 ADVICE): the physical-absence audit used a
+    # hardcoded .parquet suffix, so for any other fmt it scanned zero
+    # files and reported residual 0 / purge_complete False. With the
+    # extension derived from fmt, an orc table gets a real audit.
+    from python_tool_setup_spark.ingestion.versioned import (
+        forget_keys,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, owner string")
+    write_version(spark, df, table, fmt="orc")
+    audit = forget_keys(spark, table, "owner", ["a"], fmt="orc")
+    assert audit["files_remaining"] > 0
+    assert audit["residual_key_rows"] == 0
+    assert audit["purge_complete"]
+    assert read_version(spark, table, fmt="orc").count() == 1
+
+
 def test_forget_keys_all_rows(spark, tmp_path):
     from python_tool_setup_spark.ingestion.versioned import (
         forget_keys,
