@@ -37,7 +37,7 @@ def main() -> None:
     # Warm the JVM/scan path once so t0 queries don't pay session startup.
     force(queries["q01_pricing_summary"].spark_fn(spark, sf_dir).limit(1))
 
-    for name in sorted(queries):
+    for i, name in enumerate(sorted(queries)):
         t0 = time.time()
         try:
             force(queries[name].spark_fn(spark, sf_dir))
@@ -45,6 +45,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Session hygiene: a 253-gate single-JVM run accumulates cached
+        # relations and GC pressure that inflated late streaming gates
+        # 2-3x in round 3 (driver bench) while the same gates run 2-4x
+        # faster in a fresh session (PLANS.md variance table). Dropping
+        # caches per gate and nudging the JVM every 25 gates keeps the
+        # per-gate numbers close to their isolated cost.
+        spark.catalog.clearCache()
+        if (i + 1) % 25 == 0:
+            spark._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query timings for humans (stderr; the driver only keeps
