@@ -110,6 +110,7 @@ def all_queries() -> dict[str, Query]:
         batch28,
         batch29,
         batch30,
+        batch31,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

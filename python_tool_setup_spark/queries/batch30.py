@@ -212,6 +212,23 @@ def q252_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract is per-watermark, not per-volume).",
 )
 def q253_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return full_outer_stream_join_drain(spark, sf_dir)
+
+
+def full_outer_stream_join_drain(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The q253 drain, parameterized by micro-batch chopping.
+
+    ``max_files_per_trigger`` rate-limits the availableNow drain so the
+    SAME input is consumed in a different number of micro-batches; the
+    chopping-invariance property test (tests/test_streaming_invariance
+    .py) asserts the result set is identical under several values —
+    the watermark/flush contract may not depend on how the source
+    happens to be chopped into batches.
+    """
     import uuid
 
     from python_tool_setup_spark.staging import staging_dir
@@ -235,7 +252,10 @@ def q253_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         1
     ).write.mode("append").parquet(src)
 
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    reader = spark.readStream.schema(ev.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src)
     wm = stream.withWatermark("ts", "10 seconds")
     views = wm.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
