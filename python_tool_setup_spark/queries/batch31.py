@@ -110,3 +110,206 @@ def q256_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("one_to_one", F.col("n_out") == F.col("n_src_rows"))
     )
+
+
+# ---------------------------------------------------------------- q257
+_DSIR_B = 64  # hashed n-gram feature buckets
+_DSIR_K = 50  # docs selected
+
+
+@register(
+    "q257_dsir_importance_resampling",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, tok
+        FROM documents,
+             UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+        WHERE tok <> ''
+    ),
+    bucketed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B}
+                   AS b
+        FROM toks
+    ),
+    tgt AS (
+        SELECT b, COUNT(*) AS c_t FROM bucketed WHERE lang = 'en' GROUP BY b
+    ),
+    src AS (
+        SELECT b, COUNT(*) AS c_s FROM bucketed GROUP BY b
+    ),
+    w AS (
+        SELECT src.b,
+               CAST(ROUND(1e6 * (
+                   ln((COALESCE(c_t, 0) + 1.0)
+                      / ((SELECT SUM(c_t) FROM tgt) + {_DSIR_B}))
+                 - ln((c_s + 1.0)
+                      / ((SELECT SUM(c_s) FROM src) + {_DSIR_B}))
+               )) AS BIGINT) AS wt
+        FROM src LEFT JOIN tgt USING (b)
+    ),
+    doc_scores AS (
+        SELECT d.doc_id, d.lang,
+               SUM(d.n * w.wt) AS score
+        FROM (SELECT doc_id, lang, b, COUNT(*) AS n
+              FROM bucketed GROUP BY doc_id, lang, b) d
+        JOIN w USING (b)
+        GROUP BY d.doc_id, d.lang
+    ),
+    selected AS (
+        SELECT * FROM doc_scores
+        ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM selected GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): documents are "
+    "scored by hashed-unigram importance weights — log-ratio of a "
+    "TARGET distribution (here: the corpus's English slice) to the "
+    "raw SOURCE distribution over 64 md5-hashed token buckets, "
+    "add-one smoothed — and the top-50 by score are selected. "
+    "Engine-exact by construction: bucket ids come from the md5 "
+    "convention every split gate uses, and the per-bucket log-ratios "
+    "are quantized to integer micro-nats BEFORE the per-doc "
+    "weighted sum, so doc scores are pure integer arithmetic "
+    "(no FP summation-order divergence between engines). Plan shape "
+    "at 100 TB: one explode->groupBy for per-doc bucket counts, the "
+    "64-row weight table built from two bucket aggregates and "
+    "broadcast to the scoring join, one top-k — no all-pairs, no "
+    "driver collect; the weight table is bounded metadata exactly "
+    "like a BPE merge table (q175).",
+)
+def q257_dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    # per-bucket target/source counts: <=64 rows each, the totals ride
+    # an empty-frame window over that tiny relation (no collect)
+    src = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    wall = Window.partitionBy()
+    weights = (
+        src.join(tgt, "b", "left")
+        .na.fill({"c_t": 0})
+        .withColumn("t_tot", F.sum("c_t").over(wall))
+        .withColumn("s_tot", F.sum("c_s").over(wall))
+        .select(
+            "b",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log((F.col("c_t") + 1.0) / (F.col("t_tot") + _DSIR_B))
+                    - F.log((F.col("c_s") + 1.0) / (F.col("s_tot") + _DSIR_B))
+                )
+            )
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    doc_scores = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("wt")).alias("score"))
+    )
+    selected = doc_scores.orderBy(F.col("score").desc(), "doc_id").limit(_DSIR_K)
+    return (
+        selected.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- q258
+_BUDGET_TOKENS = 5000  # per-source token budget
+
+
+@register(
+    "q258_token_budget_assembly",
+    f"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               len(string_split(trim(text), ' ')) AS toks,
+               n_chars
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(toks) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_toks
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_taken,
+           CAST(SUM(toks) AS BIGINT) AS tokens_taken
+    FROM ranked
+    WHERE cum_toks <= {_BUDGET_TOKENS}
+    GROUP BY source ORDER BY source
+    """,
+    doc="Token-budgeted corpus assembly: every source contributes its "
+    "best documents (quality proxy: n_chars, doc_id tiebreak) "
+    "greedily until a fixed per-source token budget is exhausted — "
+    "the mixture-construction step that turns 'sample 30% web, 30% "
+    "code' (q252's schedule) into an actual bounded corpus. One "
+    "window (running token sum per source, deterministic total "
+    "order) and a filter; all integer arithmetic, so both engines "
+    "agree exactly. At 100 TB the window partitions by source — "
+    "each source's ordering is its own shuffle partition set, no "
+    "global sort, and the budget cutoff prunes everything past the "
+    "budget before any downstream stage.",
+)
+def q258_token_budget_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("toks"),
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_toks", F.sum("toks").over(w))
+    return (
+        ranked.filter(F.col("cum_toks") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_taken"),
+            F.sum("toks").cast("bigint").alias("tokens_taken"),
+        )
+        .orderBy("source")
+    )

@@ -183,8 +183,10 @@ def q160_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.event_id AS view_id,
            b.event_id AS purchase_id,
            STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type = 'view') a
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view' AND user_id % 10 = 0) a
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase' AND user_id % 10 = 0) b
       ON a.user_id = b.user_id
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
     """,
@@ -201,7 +203,11 @@ def q160_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    ev = load_table(spark, sf_dir, "events")
+    # 1-in-10 user shard: the flush contract (watermark evicts + emits
+    # every unmatched view with NULLs) is per-watermark, not
+    # per-volume, so the proof is key-count independent — same reason
+    # q192/q253 shard. Caps staging write + state volume at sf0.1.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     src = staging_dir("ssoj_src_")
     # One data batch: the gate proves OUTER-join flush semantics (the
     # watermark from the sentinel, applied in the closing no-data

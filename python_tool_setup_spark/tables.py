@@ -9,6 +9,7 @@ path Spark can read, so nothing here assumes single files.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session memo of fixture DataFrames. Building a parquet reader
+# costs a driver-side footer/schema read (~80 ms); a 253-gate bench run
+# does it ~500 times for the same ten immutable fixture files, which is
+# ~40 s of pure re-listing. DataFrames are immutable logical plans, so
+# handing the same object to every caller is safe; keying the memo
+# weakly on the session keeps stopped sessions collectable (tests spin
+# sessions up and down). Fixture files never change during a run — any
+# gate that writes data writes to its own staging dir, never here.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan — Catalyst handles
     column pruning / predicate pushdown from whatever the caller selects.
@@ -46,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exactly via integer division (same truncation DuckDB applies), and
     NTZ casts wall-clock-preserving under the UTC session zone.
     """
+    try:
+        memo = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        memo = {}
+    key = (sf_dir, name)
+    if key in memo:
+        return memo[key]
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,8 +76,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    memo[key] = df
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
