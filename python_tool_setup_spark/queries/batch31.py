@@ -313,3 +313,95 @@ def q258_token_budget_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- q259
+@register(
+    "q259_cross_split_leakage",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zz qq' FROM documents
+        WHERE doc_id < 150
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 10000 < 1000
+                    THEN 'val' ELSE 'train' END AS split
+        FROM base
+    ),
+    shingled AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   generate_series(1, GREATEST(LEN(toks) - 4, 1)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM base)
+    ),
+    pairs AS (
+        SELECT * FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                         / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN split sa ON p.id_a = sa.doc_id
+    JOIN split sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+    doc="Cross-split leakage audit (eval hygiene): after the md5 "
+    "train/val assignment (q95's engine-independent convention), "
+    "near-duplicate pairs that STRADDLE the split boundary are "
+    "exactly the documents whose eval loss is contaminated by a "
+    "training twin — the within-corpus counterpart of q164's "
+    "external-benchmark contamination. Candidates come from the "
+    "same MinHash-LSH banding as q36 (no all-pairs; the oracle "
+    "computes ALL >=0.5 pairs exactly — planted ~0.97 similarity "
+    "makes LSH misses ~1e-15), then each pair joins its two split "
+    "labels and only boundary-crossing pairs survive. At 100 TB "
+    "this runs as one LSH pass over the corpus plus two broadcast "
+    "joins against the split assignment (a pure projection, q95), "
+    "and its output feeds q95's split REPAIR: move one twin, or "
+    "drop it from val.",
+)
+def q259_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.llm.dedup import minhash_lsh_pairs
+    from python_tool_setup_spark.llm.pipeline import train_val_test_split
+
+    corpus = _docs_with_copies(spark, sf_dir, limit=150)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5,
+    )
+    splits = train_val_test_split(
+        corpus.select("doc_id"), "doc_id", val_frac=0.10, test_frac=0.0
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def _docs_with_copies(spark, sf_dir, limit, mutate=" zz qq"):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    copies = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(mutate))
+    )
+    return d.unionByName(copies)
