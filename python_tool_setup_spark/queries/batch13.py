@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
-from python_tool_setup_spark.staging import staging_dir
+from python_tool_setup_spark.staging import local_rows_df, staging_dir
 from python_tool_setup_spark.tables import load_table
 
 _GAP_US = 1800 * 1_000_000  # 30-minute session gap, microseconds
@@ -91,14 +91,12 @@ def q192_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = os.path.join(src, f)
             if os.path.getmtime(p) >= now:
                 os.utime(p, (now - 40 + i * 10, now - 40 + i * 10))
-    sentinel = spark.createDataFrame(
-        [(-1,)], "user_id long"
-    ).select(
+    sentinel = local_rows_df(spark, [(-1,)], "user_id long").select(
         "user_id",
         F.timestamp_micros(F.lit(hi + 40 * 24 * 3600 * 1_000_000)).alias("ts"),
         F.lit(hi + 40 * 24 * 3600 * 1_000_000).alias("us"),
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    sentinel.write.mode("append").parquet(src)  # already 1 partition
     for f in os.listdir(src):
         p = os.path.join(src, f)
         if os.path.getmtime(p) >= now:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
-from python_tool_setup_spark.staging import staging_dir
+from python_tool_setup_spark.staging import local_rows_df, staging_dir
 from python_tool_setup_spark.tables import load_table
 
 
@@ -64,8 +64,8 @@ def q221_multi_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ts", "user_id", "value")
     )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
-    sentinel = spark.createDataFrame(
-        [(max_ts, -1, 0.0)], ev.schema
+    sentinel = local_rows_df(
+        spark, [(max_ts, -1, 0.0)], ev.schema
     ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 48 HOURS"))
     staged = staging_dir("chain_stream_")
     for i, part_df in enumerate([ev, sentinel]):
@@ -79,11 +79,13 @@ def q221_multi_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(staged, f"{i:02d}.parquet")
         shutil.copyfile(os.path.join(sub, part), dst)
         os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-    )
+    # No rate limit: data + sentinel land in one micro-batch; the
+    # chained emission the gate proves happens in the CLOSING batch
+    # (watermark computed at end-of-batch flushes both stateful
+    # levels), identically under any chopping — q138/q253's
+    # invariance tests pin that. One fewer trigger ≈ 2s less
+    # orchestration per bench run.
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
     l1 = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")

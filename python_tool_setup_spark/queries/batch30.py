@@ -231,13 +231,14 @@ def full_outer_stream_join_drain(
     """
     import uuid
 
-    from python_tool_setup_spark.staging import staging_dir
+    from python_tool_setup_spark.staging import local_rows_df, staging_dir
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 12 == 0)
     src = staging_dir("ssfo_src_")
     ev.coalesce(4).write.mode("append").parquet(src)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar bound, tiny
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows_df(
+        spark,
         [(-1, -1, "view"), (-2, -2, "purchase")],
         "event_id long, user_id long, event_type string",
     ).select(
@@ -248,9 +249,9 @@ def full_outer_stream_join_drain(
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     )
-    sentinels.select([f.name for f in ev.schema.fields]).coalesce(
-        1
-    ).write.mode("append").parquet(src)
+    sentinels.select(
+        [f.name for f in ev.schema.fields]
+    ).write.mode("append").parquet(src)  # already 1 partition
 
     reader = spark.readStream.schema(ev.schema)
     if max_files_per_trigger is not None:
@@ -347,7 +348,7 @@ def q254_dim_refresh_between_batches(spark: SparkSession, sf_dir: str) -> DataFr
         read_version,
         write_version,
     )
-    from python_tool_setup_spark.staging import staging_dir
+    from python_tool_setup_spark.staging import local_rows_df, staging_dir
 
     ev = (
         load_table(spark, sf_dir, "events")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
-from python_tool_setup_spark.staging import staging_dir
+from python_tool_setup_spark.staging import local_rows_df, staging_dir
 from python_tool_setup_spark.tables import load_table
 
 
@@ -216,7 +216,8 @@ def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # drain just multiplies state-store commits per state partition.
     ev.coalesce(4).write.mode("append").parquet(src)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    sentinels = spark.createDataFrame(
+    sentinels = local_rows_df(
+        spark,
         [(-1, -1, "view"), (-2, -2, "purchase")],
         "event_id long, user_id long, event_type string",
     ).select(
@@ -227,9 +228,9 @@ def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     )
-    sentinels.select([f.name for f in ev.schema.fields]).coalesce(
-        1
-    ).write.mode("append").parquet(src)
+    sentinels.select(
+        [f.name for f in ev.schema.fields]
+    ).write.mode("append").parquet(src)  # already 1 partition
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
     wm = stream.withWatermark("ts", "10 seconds")

@@ -33,3 +33,21 @@ def staging_dir(prefix: str) -> str:
     """A fresh directory under the session staging root. Drop-in for
     ``tempfile.mkdtemp(prefix=...)`` at gate-fixture call sites."""
     return tempfile.mkdtemp(prefix=prefix, dir=staging_root())
+
+
+def local_rows_df(spark, rows: list, schema: str):
+    """Single-partition DataFrame from driver-local rows (sentinels,
+    tiny planted fixtures).
+
+    ``spark.createDataFrame(rows, ...)`` pickles the rows across
+    ``defaultParallelism`` Python partitions; a later ``coalesce(1)``
+    (the natural "write one file" idiom) then runs ONE task that pays
+    one sequential Python-worker round-trip PER parent partition —
+    ~4 s for a 2-row sentinel on local[32], measured. Parallelizing to
+    one slice up front makes the same write ~0.3 s and needs no
+    coalesce. Gate/staging plumbing only — production data never
+    originates driver-side.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
