@@ -111,6 +111,7 @@ def all_queries() -> dict[str, Query]:
         batch29,
         batch30,
         batch31,
+        batch32,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
