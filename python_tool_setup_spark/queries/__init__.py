@@ -112,6 +112,7 @@ def all_queries() -> dict[str, Query]:
         batch30,
         batch31,
         batch32,
+        batch33,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

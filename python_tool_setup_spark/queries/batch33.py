@@ -1,0 +1,209 @@
+"""Round-4 gates, batch 33: exactly-once foreachBatch spooling (q263
+— the batchId-keyed idempotent writer q254's at-least-once note points
+at), per-key EWMA smoothing (q264 — closed-form, power-of-two decay so
+both engines agree), and CUSUM change-point detection over the event
+timeline (q265 — the classic drift alarm, in its prefix-sum closed
+form so it's two windows, not a recursive loop).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.staging import staging_dir
+from python_tool_setup_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- q263
+@register(
+    "q263_idempotent_spool",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 25 = 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 3) AS sum_value
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    doc="EXACTLY-ONCE foreachBatch spooling (the upgrade q254's "
+    "at-least-once appends document as missing): each micro-batch "
+    "writes its rows to a spool directory KEYED BY batch_id "
+    "(.../batch_id=<N>/) with per-directory overwrite, and the gate "
+    "simulates Spark's batch-retry contract by running every batch's "
+    "writer TWICE — a blind append would double every row; the "
+    "batchId-keyed overwrite makes the retry a no-op, which is "
+    "exactly how production foreachBatch sinks achieve effective "
+    "exactly-once on top of at-least-once delivery. The spool is "
+    "then read back and aggregated; the oracle computes the same "
+    "aggregate from the raw shard, so ANY duplicated or lost row "
+    "fails the hash. Two-file drop (maxFilesPerTrigger=1) forces "
+    "multiple batches so the batch_id keying is actually exercised.",
+)
+def q263_idempotent_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    src = staging_dir("spool_src_")
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    half = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= half).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > half).write.mode("append").parquet(src)
+
+    spool = staging_dir("spool_out_")
+
+    def write_batch(batch_df, batch_id):
+        # batchId-keyed overwrite: retry-safe (idempotent) by path
+        dest = os.path.join(spool, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(dest)
+
+    def spool_twice(batch_df, batch_id):
+        write_batch(batch_df, batch_id)
+        write_batch(batch_df, batch_id)  # simulated Spark retry
+
+    (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(spool_twice)
+        .option("checkpointLocation", staging_dir("ckpt_spool_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = spark.read.option("basePath", spool).parquet(spool)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- q264
+_EWMA_MIN_EVENTS = 5
+
+
+@register(
+    "q264_ewma_smoothing",
+    f"""
+    WITH ev AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE user_id % 40 = 0
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(value * CASE WHEN rn = 1 THEN POWER(0.5, n - 1)
+                                  ELSE POWER(0.5, n - rn + 1) END), 6)
+               AS ewma
+    FROM ev GROUP BY user_id HAVING MAX(n) >= {_EWMA_MIN_EVENTS}
+    ORDER BY user_id
+    """,
+    doc="Per-key EWMA (exponentially-weighted moving average, "
+    "alpha = 0.5) of event values — the streaming-metrics smoother, "
+    "computed in CLOSED FORM instead of the recursive definition: "
+    "e_n = sum_i w_i v_i with w_1 = 0.5^(n-1), w_i = 0.5^(n-i+1) — "
+    "one rank window and one weighted sum, no per-row recursion, so "
+    "at 100 TB it's a per-key window ride on the event-time "
+    "partitioning. alpha = 0.5 is deliberate: every weight is a "
+    "power of two, each product v_i * 2^-k is EXACT in binary FP, "
+    "and the final sum rounds at 6dp identically on both engines. "
+    "Ordering ties broken by event_id so the weight assignment is "
+    "total.",
+)
+def q264_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.5), F.col("n") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("n") - F.col("rn") + 1))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value") * weight), 6).alias("ewma"),
+        )
+        .filter(F.col("n_events") >= _EWMA_MIN_EVENTS)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- q265
+@register(
+    "q265_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    tgt AS (SELECT CAST(ROUND(1000.0 * AVG(x)) AS BIGINT) AS t FROM daily),
+    pre AS (
+        SELECT day, x,
+               SUM(1000 * x - (SELECT t FROM tgt))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    ),
+    cu AS (
+        SELECT day, x,
+               s - MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cusum_milli
+        FROM pre
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS change_day,
+           CAST(x AS BIGINT) AS day_count,
+           CAST(cusum_milli AS BIGINT) AS cusum_milli
+    FROM cu ORDER BY cusum_milli DESC, day LIMIT 1
+    """,
+    doc="CUSUM change-point detection over the daily event volume — "
+    "the classic monitoring alarm for 'did the firehose shift?'. The "
+    "textbook definition is recursive (C_t = max(0, C_{t-1} + x_t - "
+    "target)); the gate uses the equivalent PREFIX-SUM closed form "
+    "C_t = S_t - min_{j<=t} S_j (S = running sum of deviations), "
+    "which is two cumulative windows over the tiny daily aggregate — "
+    "no recursion, no driver loop, and the same shape works on a "
+    "100 TB event table because the windows run over days, not "
+    "events. Deviations are held in integer milli-units (target = "
+    "round(1000*mean)) so both engines agree exactly; the output "
+    "pins the argmax day (deterministic day tie-break).",
+)
+def q265_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wall = Window.partitionBy()
+    target = F.round(F.lit(1000.0) * F.avg("x").over(wall)).cast("long")
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.withColumn("t", target).withColumn(
+        "s", F.sum(F.lit(1000) * F.col("x") - F.col("t")).over(wcum)
+    )
+    cu = pre.withColumn("cusum_milli", F.col("s") - F.min("s").over(wcum))
+    return (
+        cu.orderBy(F.col("cusum_milli").desc(), "day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("x").cast("bigint").alias("day_count"),
+            F.col("cusum_milli").cast("bigint").alias("cusum_milli"),
+        )
+    )
