@@ -207,3 +207,108 @@ def q265_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cusum_milli").cast("bigint").alias("cusum_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------- q266
+_SCENE_FRAME = 256  # bytes per frame
+_SCENE_REP = 2  # frames per planted scene
+
+
+@register(
+    "q266_scene_change_detection",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 25 AND length(text) >= {_SCENE_FRAME}
+          AND octet_length(encode(text)) = length(text)
+    ),
+    staged AS (
+        -- the gate stages each doc as a fake video whose byte stream
+        -- repeats every {_SCENE_FRAME}-byte slice {_SCENE_REP}x (one
+        -- 'scene' per slice); rebuild the identical stream here
+        SELECT doc_id,
+               string_agg(repeat(substr(text, s * {_SCENE_FRAME} + 1,
+                                        {_SCENE_FRAME}), {_SCENE_REP}),
+                          '' ORDER BY s) AS stream
+        FROM d, UNNEST(generate_series(0,
+            CAST(CEIL(length(text) / {_SCENE_FRAME}.0) AS INT) - 1)) AS t(s)
+        GROUP BY doc_id
+    ),
+    frames AS (
+        SELECT doc_id, i,
+               substr(stream, i * {_SCENE_FRAME} + 1, {_SCENE_FRAME}) AS fr
+        FROM staged, UNNEST(generate_series(0,
+            CAST(CEIL(length(stream) / {_SCENE_FRAME}.0) AS INT) - 1)) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id,
+               (i > 0 AND fr <> LAG(fr) OVER
+                   (PARTITION BY doc_id ORDER BY i)) AS changed
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE changed) AS BIGINT) AS n_scene_changes
+    FROM marked
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Scene-change detection over video-shaped binary columns (L5): "
+    "each staged media file is frame-sampled (q100's 1->N mapInPandas "
+    "plumbing, fake decoder over byte strides), and a scene boundary "
+    "is any frame whose digest differs from its predecessor — the "
+    "keyframe-selection primitive video training pipelines run before "
+    "sampling. The fixture plants ground truth by repeating every "
+    f"{_SCENE_FRAME}-byte slice {_SCENE_REP}x (consecutive frames "
+    "within a scene are byte-identical), and the oracle rebuilds the "
+    "identical byte stream relationally and counts LAG-inequalities — "
+    "so the boundary count is value-checked, not asserted. Real "
+    "decoders slot in behind the same mapInPandas signature "
+    "(NotImplementedError boundary, llm/multimodal.py). Plan: frames "
+    "explode in the scan-side Arrow batch, the lag rides one "
+    "per-file window — at 100 TB each video's frames stay in one "
+    "partition and nothing global sorts.",
+)
+def q266_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from python_tool_setup_spark.llm.multimodal import read_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 25)
+        & (F.length("text") >= _SCENE_FRAME)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    media_dir = staging_dir("scenes_")
+    for row in d.select("doc_id", "text").collect():  # <=25 small files
+        raw = row["text"].encode("utf-8")
+        stream = b"".join(
+            raw[off : off + _SCENE_FRAME] * _SCENE_REP
+            for off in range(0, len(raw), _SCENE_FRAME)
+        )
+        with open(os.path.join(media_dir, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(stream)
+    frames = sample_frames(
+        read_media(spark, media_dir, glob="*.bin"), every_n_bytes=_SCENE_FRAME
+    ).select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "frame_index",
+        "frame_digest",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    marked = frames.withColumn(
+        "changed",
+        (F.col("frame_index") > 0)
+        & (F.col("frame_digest") != F.lag("frame_digest").over(w)),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(F.col("changed").cast("long"))
+            .cast("bigint")
+            .alias("n_scene_changes"),
+        )
+        .orderBy("doc_id")
+    )
