@@ -312,3 +312,52 @@ def q266_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- q267
+@register(
+    "q267_xml_source",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Native XML file source (Spark 4 built-in spark-xml, completing "
+    "the S13 format matrix beside csv/json/parquet/orc/text/binary): "
+    "an orders shard is written as XML documents (one <order> row tag "
+    "per record) via the built-in XML WRITER, read back with "
+    "spark.read.format('xml').option('rowTag', ...) with an explicit "
+    "schema, and aggregated; the oracle computes the same aggregate "
+    "relationally from the parquet fixture, so the XML round-trip is "
+    "value-exact (status strings, prices to 2dp). Schema given "
+    "explicitly — the inference pass is skipped exactly as the "
+    "reference's production guidance prescribes (framework.py:32).",
+)
+def q267_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.staging import staging_dir as _sd
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    xml_dir = _sd("xml_src_")
+    o.write.format("xml").option("rowTag", "order").mode("overwrite").save(
+        xml_dir
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(xml_dir)
+    )
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
