@@ -201,6 +201,101 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_probe(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe new arrivals against an existing
+    corpus without re-pairing the corpus with itself.
+
+    Returns (new_id, existing_id, jaccard) with jaccard >= threshold —
+    only cross-side pairs, never existing×existing or new×new. This is
+    the arrival-batch shape of MinHash dedup at scale: the existing
+    side's signatures/band buckets are computed once (in production:
+    stored alongside the corpus, exactly like q185's frozen IVF
+    quantizer), and each new batch computes only its OWN signatures
+    and equi-joins the band index — cost O(|new| + matched buckets),
+    independent of corpus size beyond the index scan. Degenerate
+    existing-side buckets are capped (same guard as minhash_lsh_pairs)
+    so a boilerplate bucket can't go quadratic.
+    """
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            shingles(text_col, shingle_size).alias("__sh"),
+            minhash_signature(text_col, num_hashes, shingle_size).alias(
+                "__sig"
+            ),
+        )
+
+    def banded(base: DataFrame) -> DataFrame:
+        return base.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(
+                                F.slice(
+                                    F.col("__sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("__id", "bb.band", "bb.bucket")
+
+    ex_base, new_base = prep(existing), prep(new)
+    ex_bands = banded(ex_base)
+    # cap hot buckets on the (large) existing side
+    wcnt = Window.partitionBy("band", "bucket")
+    ex_bands = ex_bands.withColumn("__n", F.count(F.lit(1)).over(wcnt)).filter(
+        F.col("__n") <= max_bucket
+    )
+    cand = (
+        banded(new_base)
+        .withColumnRenamed("__id", "new_id")
+        .join(
+            ex_bands.withColumnRenamed("__id", "existing_id"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+    sh_n = new_base.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n"))
+    sh_e = ex_base.select(
+        F.col("__id").alias("existing_id"), F.col("__sh").alias("sh_e")
+    )
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_e, "existing_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_e"))
+                / F.size(F.array_union("sh_n", "sh_e")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "existing_id", "jaccard")
+    )
+
+
 # -------------------------------------------------------- SimHash (L2) ----
 def simhash(text: Column | str, num_bits: int = 64, shingle_size: int = 2) -> Column:
     """64-bit SimHash over word shingles, pure built-ins: per bit i,

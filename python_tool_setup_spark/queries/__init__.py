@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         batch31,
         batch32,
         batch33,
+        batch34,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
