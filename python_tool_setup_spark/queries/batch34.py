@@ -297,3 +297,76 @@ def q270_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_N_EPOCHS = 3
+_EPOCH_HEAD = 8
+
+
+# ---------------------------------------------------------------- q271
+@register(
+    "q271_epoch_shuffle",
+    f"""
+    WITH epochs AS (
+        SELECT e.epoch, d.doc_id,
+               CAST(('0x' || substr(md5(e.epoch || '#' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS shuffle_key
+        FROM documents d,
+             UNNEST(generate_series(0, {_N_EPOCHS - 1})) AS e(epoch)
+    ),
+    ranked AS (
+        SELECT epoch, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY epoch
+                    ORDER BY shuffle_key, doc_id) AS pos
+        FROM epochs
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(pos AS INT) AS pos,
+           doc_id
+    FROM ranked WHERE pos <= {_EPOCH_HEAD}
+    ORDER BY epoch, pos
+    """,
+    doc="Deterministic multi-epoch shuffle — the training-order "
+    "primitive multi-epoch runs need: epoch e's permutation orders "
+    "docs by md5(epoch # doc_id) (doc_id tiebreak), so every epoch "
+    "is a complete, reproducible permutation that differs from every "
+    "other epoch, any worker can compute its own slice from "
+    "(epoch, doc_id) alone — no materialized shuffle table, no "
+    "driver-side RNG state — and a crashed run resumes mid-epoch "
+    "byte-identically. The gate pins the first "
+    f"{_EPOCH_HEAD} positions of {_N_EPOCHS} epochs; the md5 "
+    "convention is q95's, so both engines derive identical keys. At "
+    "100 TB the 'shuffle' is a column expression + per-epoch sort "
+    "that Spark executes as range-partitioned order — and consumers "
+    "that only need approximate mixing skip the sort and hash-"
+    "partition on the key directly.",
+)
+def q271_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.crossJoin(
+        F.broadcast(
+            spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+        )
+    ).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("epoch"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        epochs.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= _EPOCH_HEAD)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
