@@ -114,6 +114,7 @@ def all_queries() -> dict[str, Query]:
         batch32,
         batch33,
         batch34,
+        batch35,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
