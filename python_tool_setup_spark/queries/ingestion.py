@@ -460,7 +460,7 @@ def q101_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.read.format("synthetic_docs")
         .option("rows", "500")
-        .option("partitions", "4")
+        .option("partitions", "2")  # each input split cold-starts a Python worker
         .load()
     )
     return df.groupBy("bucket").agg(
