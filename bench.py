@@ -49,10 +49,10 @@ def main() -> None:
         # relations and GC pressure that inflated late streaming gates
         # 2-3x in round 3 (driver bench) while the same gates run 2-4x
         # faster in a fresh session (PLANS.md variance table). Dropping
-        # caches per gate and nudging the JVM every 25 gates keeps the
+        # caches per gate and nudging the JVM every 40 gates keeps the
         # per-gate numbers close to their isolated cost.
         spark.catalog.clearCache()
-        if (i + 1) % 25 == 0:
+        if (i + 1) % 40 == 0:
             spark._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

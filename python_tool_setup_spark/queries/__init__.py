@@ -115,6 +115,7 @@ def all_queries() -> dict[str, Query]:
         batch33,
         batch34,
         batch35,
+        batch36,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -103,7 +103,7 @@ def q177_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             agg.writeStream.foreachBatch(sink)
@@ -201,7 +201,7 @@ def q178_foreachbatch_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.unpersist()
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             stream.writeStream.foreachBatch(sink)

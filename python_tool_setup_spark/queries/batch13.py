@@ -29,7 +29,7 @@ _GAP_US = 1800 * 1_000_000  # 30-minute session gap, microseconds
     f"""
     WITH t AS (
         SELECT user_id, epoch_us(ts) AS us FROM events
-        WHERE user_id % 20 = 0
+        WHERE user_id % 40 = 0
     ),
     flagged AS (
         SELECT user_id, us,
@@ -69,10 +69,10 @@ def q192_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_table(spark, sf_dir, "events")
-        # 1-in-20 user subset: applyInPandasWithState invokes Python
+        # 1-in-40 user subset: applyInPandasWithState invokes Python
         # once per key per batch, so the gate bounds key cardinality
         # (the timeout SEMANTICS it proves are key-count independent)
-        .filter(F.col("user_id") % 20 == 0)
+        .filter(F.col("user_id") % 40 == 0)
         .select("user_id", "ts", F.unix_micros("ts").alias("us"))
     )
     lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]

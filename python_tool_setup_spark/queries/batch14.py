@@ -60,7 +60,7 @@ def q196_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"q196_{uuid.uuid4().hex[:8]}"
     spark.conf.set(conf_key, rocks)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         stream = spark.readStream.schema(
             "user_id long, event_type string"

@@ -277,7 +277,7 @@ def full_outer_stream_join_drain(
     )
     name = f"q253_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.format("memory")

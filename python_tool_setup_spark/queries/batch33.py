@@ -22,7 +22,7 @@ from python_tool_setup_spark.tables import load_table
 @register(
     "q263_idempotent_spool",
     """
-    WITH ev AS (SELECT * FROM events WHERE user_id % 25 = 0)
+    WITH ev AS (SELECT * FROM events WHERE user_id % 50 = 0)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 3) AS sum_value
@@ -45,7 +45,7 @@ from python_tool_setup_spark.tables import load_table
 def q263_idempotent_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 25 == 0)
+        .filter(F.col("user_id") % 50 == 0)
         .select("event_id", "ts", "event_type", "value")
     )
     src = staging_dir("spool_src_")

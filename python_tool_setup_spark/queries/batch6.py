@@ -81,7 +81,7 @@ def q138_rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q138_{uuid.uuid4().hex[:8]}"
     ckpt = staging_dir("ckpt_q138_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             agg.writeStream.format("memory")

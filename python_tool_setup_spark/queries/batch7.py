@@ -71,7 +71,7 @@ def q153_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # run 1: stop as soon as the first non-empty batch commits —
         # a mid-drain crash with 3 of 4 files still unread

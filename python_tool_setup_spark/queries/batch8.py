@@ -253,7 +253,7 @@ def q161_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = f"q161_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.format("memory")

@@ -55,7 +55,7 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     # partitions is pure overhead. Each run gets a fresh checkpoint, so
     # re-binding the state partition count is safe.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             df.writeStream.format("memory")
