@@ -155,6 +155,64 @@ def snapshot_diff(
     )
 
 
+def publish_tables(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    fmt: str = "parquet",
+) -> int:
+    """MULTI-table atomic publish: write a new snapshot of every table
+    in ``tables``, then commit ONE root manifest referencing all of
+    them — readers resolving through :func:`read_published` see either
+    the complete old set or the complete new set, never a mix (the
+    cross-table consistency single-table manifests can't give: with
+    per-table commits a reader can observe table A at v1 joined to
+    table B still at v0).
+
+    Layout: ``root/<name>/v=<N>`` snapshots (reusing the single-table
+    version dirs) + ``root/_PUBLISH.json`` holding
+    ``{"version": N, "tables": {name: snapshot_version}}``. Snapshot
+    writes happen first; the root-manifest swap is the commit point —
+    a writer crash before it leaves invisible orphans only.
+    Returns the new publish version.
+    """
+    pub_path = f"{root.rstrip('/')}/_PUBLISH.json"
+    try:
+        current = json.loads(get_object(spark, pub_path))
+    except Exception:  # noqa: BLE001 — first publish
+        current = {"version": -1, "tables": {}}
+    refs = {}
+    for name, df in tables.items():
+        refs[name] = write_version(spark, df, f"{root.rstrip('/')}/{name}", fmt=fmt)
+    new_v = current["version"] + 1
+    put_object(
+        spark, pub_path, json.dumps({"version": new_v, "tables": refs})
+    )
+    return new_v
+
+
+def read_published(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    publish_version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read table ``name`` as of a multi-table publish (default:
+    latest). All tables read at the same ``publish_version`` are
+    mutually consistent by construction."""
+    pub_path = f"{root.rstrip('/')}/_PUBLISH.json"
+    manifest = json.loads(get_object(spark, pub_path))
+    if publish_version is not None and manifest["version"] != publish_version:
+        raise ValueError(
+            f"publish version {publish_version} is not current "
+            f"({manifest['version']}); snapshot pinning requires keeping "
+            "historical manifests (single-table time travel: read_version)"
+        )
+    v = manifest["tables"][name]
+    return read_version(spark, f"{root.rstrip('/')}/{name}", v, fmt=fmt)
+
+
 def clean_orphans(spark: SparkSession, table_path: str) -> list[str]:
     """Remove version directories the manifest does not reference —
     the leftovers of writers that crashed between snapshot and commit

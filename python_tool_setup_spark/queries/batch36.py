@@ -195,3 +195,85 @@ def q276_ml_brp_lsh_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _BRP_EPS)
         .select("id_a", "id_b", "dist")
     )
+
+
+# ---------------------------------------------------------------- q277
+@register(
+    "q277_multi_table_publish",
+    """
+    WITH o AS (
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    ),
+    l AS (
+        SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM o) AS orders_rows,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM l) AS lineitem_rows,
+           'v1' AS pub_tag,
+           TRUE AS consistent
+    """,
+    doc="MULTI-table ATOMIC publish (ingestion/versioned.py::"
+    "publish_tables / read_published — the cross-table consistency "
+    "single-table manifests cannot give): two derived tables "
+    "(order-status and returnflag summaries) are snapshotted and "
+    "committed under ONE root manifest, twice — publish v0 carries "
+    "half-shard aggregates tagged 'v0', publish v1 restates BOTH "
+    "tables over the full inputs tagged 'v1'. Readers resolve every "
+    "table through the same manifest, so after v1 both tables MUST "
+    "carry the same tag — a reader can never join orders@v1 to "
+    "lineitem@v0 (the torn-publish anomaly per-table commits allow). "
+    "The gate reads both tables back, checks the tags agree (the "
+    "consistency boolean), and reports the restated row counts, "
+    "which the oracle states from the raw inputs. Snapshot writes "
+    "precede the root-manifest swap, so a crash mid-publish leaves "
+    "invisible orphans, never a torn set — the same commit-point "
+    "discipline as single-table write_version, lifted to N tables.",
+)
+def q277_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.ingestion.versioned import (
+        publish_tables,
+        read_published,
+    )
+    from python_tool_setup_spark.staging import staging_dir
+
+    root = staging_dir("pub_root_")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def summaries(shard: bool, tag: str):
+        of = o.filter(F.col("o_orderkey") % 2 == 0) if shard else o
+        lf = li.filter(F.col("l_orderkey") % 2 == 0) if shard else li
+        return {
+            "orders_summary": of.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("pub", F.lit(tag)),
+            "lineitem_summary": lf.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("pub", F.lit(tag)),
+        }
+
+    v0 = publish_tables(spark, root, summaries(True, "v0"))
+    v1 = publish_tables(spark, root, summaries(False, "v1"))
+    assert (v0, v1) == (0, 1)
+    os_ = read_published(spark, root, "orders_summary")
+    ls_ = read_published(spark, root, "lineitem_summary")
+    tags = os_.select("pub").unionByName(ls_.select("pub")).distinct()
+    return (
+        os_.agg(F.sum("n").cast("bigint").alias("orders_rows"))
+        .crossJoin(
+            F.broadcast(
+                ls_.agg(F.sum("n").cast("bigint").alias("lineitem_rows"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tags.agg(
+                    F.max("pub").alias("pub_tag"),
+                    (F.count(F.lit(1)) == 1).alias("consistent"),
+                )
+            )
+        )
+        .select("orders_rows", "lineitem_rows", "pub_tag", "consistent")
+    )
