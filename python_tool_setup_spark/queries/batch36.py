@@ -277,3 +277,80 @@ def q277_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("orders_rows", "lineitem_rows", "pub_tag", "consistent")
     )
+
+
+# ---------------------------------------------------------------- q278
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@register(
+    "q278_column_profile",
+    """
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+    doc="Column-profile report (the Deequ/Great-Expectations metrics "
+    "pass run before trusting any new table): per column — row count, "
+    "null count, exact distinct cardinality, min/max rendered as "
+    "strings so heterogeneous column types share one report schema. "
+    "One aggregate statement computes every column's metrics in a "
+    "single pass over the table (Catalyst plans the multi-distinct "
+    "via Expand — still one scan); at 100 TB the exact distincts "
+    "swap for approx_count_distinct/HLL (q67/q160's accuracy-gated "
+    "sketch path) while the report shape stays identical. "
+    "Complements q75/q78 expectations (which ENFORCE) by MEASURING, "
+    "and q88 table-level stats by going per-column.",
+)
+def q278_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )
