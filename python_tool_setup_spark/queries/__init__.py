@@ -116,6 +116,7 @@ def all_queries() -> dict[str, Query]:
         batch34,
         batch35,
         batch36,
+        batch37,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
