@@ -117,6 +117,7 @@ def all_queries() -> dict[str, Query]:
         batch35,
         batch36,
         batch37,
+        batch38,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
