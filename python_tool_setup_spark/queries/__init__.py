@@ -118,6 +118,7 @@ def all_queries() -> dict[str, Query]:
         batch36,
         batch37,
         batch38,
+        batch39,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
