@@ -162,3 +162,87 @@ def bloom_semi_join(
     mask = bloom_bitmask(keys, probe_key, num_bits, num_hashes)
     pre = bloom_prefilter(probe, probe_key, mask, num_bits, num_hashes)
     return pre.join(keys, on=probe_key, how="left_semi")
+
+
+def build_file_bloom(
+    spark,
+    path: str,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+) -> dict[str, list[int]]:
+    """Per-FILE bloom filters over ``key_col`` — the point-lookup
+    complement of the zone map (operators/zonemap.py): min/max stats
+    prune RANGE predicates but are useless when every file's range
+    overlaps (high-cardinality keys scattered across files); a per-file
+    bloom answers 'can key X be in this file?' instead.
+
+    One distributed pass groups hashed bit positions by
+    (_metadata.file_path, word) and bit_ORs them; only the sparse
+    (file, word, mask) rows reach the driver (bounded: files x
+    num_bits/64 words — at real scale this table is PERSISTED next to
+    the data like Parquet bloom metadata, not collected; the dict form
+    is the bounded-fixture convenience).
+    """
+    src = spark.read.parquet(path)
+    pos = src.select(
+        F.col("_metadata.file_path").alias("file"),
+        F.explode(
+            F.array(*_positions(F.col(key_col), num_bits, num_hashes))
+        ).alias("p"),
+    )
+    rows = (
+        pos.select(
+            "file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    num_words = (num_bits + 63) // 64
+    index: dict[str, list[int]] = {}
+    for r in rows:
+        index.setdefault(r["file"], [0] * num_words)[r["w"]] |= r["mask"]
+    return index
+
+
+def bloom_pruned_point_read(
+    spark,
+    index: dict[str, list[int]],
+    key_col: str,
+    value,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+):
+    """Point lookup through the file-bloom index: keep only files whose
+    bloom has ALL k bits of ``value`` set (sound: a bloom never drops a
+    file containing the key; false positives only add reads), then
+    re-apply the exact predicate. Returns (df, files_read,
+    files_total). The probe's bit positions come from one 1-row Spark
+    job so they use the IDENTICAL hash expressions as the build."""
+    probe = (
+        spark.range(1)
+        .select(
+            F.array(
+                *_positions(
+                    F.lit(value).cast("long"), num_bits, num_hashes
+                )
+            ).alias("ps")
+        )
+        .collect()[0]["ps"]
+    )
+    keep = [
+        f
+        for f, mask in index.items()
+        if all((mask[p // 64] >> (p % 64)) & 1 for p in probe)
+    ]
+    if keep:
+        df = spark.read.parquet(*keep).filter(F.col(key_col) == value)
+    else:  # no file can contain the key
+        some = next(iter(index))
+        df = spark.read.parquet(some).filter(F.lit(False))
+    return df, len(keep), len(index)

@@ -119,6 +119,7 @@ def all_queries() -> dict[str, Query]:
         batch37,
         batch38,
         batch39,
+        batch40,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
