@@ -120,6 +120,7 @@ def all_queries() -> dict[str, Query]:
         batch38,
         batch39,
         batch40,
+        batch41,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
