@@ -121,6 +121,7 @@ def all_queries() -> dict[str, Query]:
         batch39,
         batch40,
         batch41,
+        batch42,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
