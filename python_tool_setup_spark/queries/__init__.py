@@ -122,6 +122,7 @@ def all_queries() -> dict[str, Query]:
         batch40,
         batch41,
         batch42,
+        batch43,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
