@@ -123,6 +123,7 @@ def all_queries() -> dict[str, Query]:
         batch41,
         batch42,
         batch43,
+        batch44,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1,0 +1,105 @@
+"""Round-4 batch-44 properties: the grid radius join vs planted
+geometry and brute force; Welch t vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _hav_m(lat1, lon1, lat2, lon2):
+    rad = math.pi / 180.0
+    s1 = math.sin(((lat2 - lat1) * rad) / 2)
+    s2 = math.sin(((lon2 - lon1) * rad) / 2)
+    a = s1 * s1 + math.cos(lat1 * rad) * math.cos(lat2 * rad) * (s2 * s2)
+    return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+
+def test_radius_join_planted_neighbors(spark):
+    """Planted clusters: pairs inside R all found (including across a
+    cell boundary), far pairs absent, each pair reported once."""
+    from python_tool_setup_spark.operators.geo import radius_join_mm
+    from python_tool_setup_spark.staging import local_rows_df
+
+    # ~0.009 deg ~= 1 km of latitude; R=1500 m. Points 1/2 are
+    # ~1.0 km apart straddling ~0.0136-deg cell rows; 3 is isolated;
+    # 4/5 are ~111 m apart in one cell.
+    pts = [
+        (1, 46.000, 8.000),
+        (2, 46.009, 8.000),
+        (3, 46.500, 8.500),
+        (4, 45.200, 7.300),
+        (5, 45.201, 7.300),
+    ]
+    df = local_rows_df(
+        spark, pts, "id bigint, lat double, lon double"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["dist_mm"]
+        for r in radius_join_mm(df, 1500.0, min_cos_lat=0.68).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}
+    for (i, j), mm in got.items():
+        a = pts[i - 1]
+        b = pts[j - 1]
+        ref = _hav_m(a[1], a[2], b[1], b[2])
+        assert abs(mm - round(ref * 1000)) <= 1
+
+
+def test_radius_join_matches_brute_force(spark):
+    """On real derived points the grid join equals all-pairs + filter."""
+    from python_tool_setup_spark.queries.batch44 import q292_geo_radius_join
+
+    got = {
+        (r["id1"], r["id2"]): r["dist_mm"]
+        for r in q292_geo_radius_join(spark, SF_DIR).collect()
+    }
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    from python_tool_setup_spark.queries.batch44 import _hash_coord
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(45.0) + _hash_coord("lat", F.col("c_custkey"))).alias("lat"),
+        (F.lit(7.0) + _hash_coord("lon", F.col("c_custkey"))).alias("lon"),
+    ).collect()
+    brute = {}
+    for i, a in enumerate(pts):
+        for b in pts[i + 1 :]:
+            mm = round(_hav_m(a["lat"], a["lon"], b["lat"], b["lon"]) * 1000)
+            if mm <= 2000000:
+                k = (min(a["id"], b["id"]), max(a["id"], b["id"]))
+                brute[k] = mm
+    assert set(got) == set(brute)
+    for k, mm in got.items():
+        assert abs(mm - brute[k]) <= 1  # <=1 ulp trig wobble in the last mm
+
+
+def test_welch_t_matches_python_reference(spark):
+    from python_tool_setup_spark.queries.batch44 import q293_welch_ttest
+
+    row = q293_welch_ttest(spark, SF_DIR).collect()[0]
+    xs = [
+        (r["o_orderkey"], round(r["o_totalprice"] * 100))
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    ]
+    a = [x for k, x in xs if k % 2 == 0]
+    b = [x for k, x in xs if k % 2 == 1]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+
+    def mv(v):
+        n = len(v)
+        m = sum(v) / n
+        var = (sum(x * x for x in v) - sum(v) ** 2 / n) / (n - 1)
+        return m, var
+
+    ma, va = mv(a)
+    mb, vb = mv(b)
+    sa, sb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sa + sb)
+    df = (sa + sb) ** 2 / (sa * sa / (len(a) - 1) + sb * sb / (len(b) - 1))
+    assert abs(row["t_micro"] - round(t * 1e6)) <= 2
+    assert abs(row["df_micro"] - round(df * 1e6)) <= 2
+    assert abs(row["mean_diff_microcents"] - round((ma - mb) * 1e6)) <= 2
