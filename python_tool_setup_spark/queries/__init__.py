@@ -124,6 +124,7 @@ def all_queries() -> dict[str, Query]:
         batch42,
         batch43,
         batch44,
+        batch45,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

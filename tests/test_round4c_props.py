@@ -103,3 +103,32 @@ def test_welch_t_matches_python_reference(spark):
     assert abs(row["t_micro"] - round(t * 1e6)) <= 2
     assert abs(row["df_micro"] - round(df * 1e6)) <= 2
     assert abs(row["mean_diff_microcents"] - round((ma - mb) * 1e6)) <= 2
+
+
+def test_mutual_information_identities(spark):
+    from python_tool_setup_spark.queries.batch45 import q294_mutual_information
+
+    r = q294_mutual_information(spark, SF_DIR).collect()[0]
+    mi, hx, hy, hj = r["mi_nano"], r["h_x_nano"], r["h_y_nano"], r["h_joint_nano"]
+    tol = r["n_cells"] + 10  # per-term rounding, <=0.5 nano each
+    assert mi >= -tol
+    assert mi <= min(hx, hy) + tol
+    assert abs((hx + hy - mi) - hj) <= 3 * tol  # H(X,Y) = H(X)+H(Y)-I
+    assert 0 < hx and 0 < hy
+
+
+def test_rrf_fusion_rank_semantics(spark):
+    from python_tool_setup_spark.queries.batch45 import q295_rrf_fusion
+
+    rows = q295_rrf_fusion(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["rrf_nano"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["r_a"] is not None or r["r_b"] is not None
+        expect = 0.0
+        if r["r_a"] is not None:
+            expect += 1.0 / (60 + r["r_a"])
+        if r["r_b"] is not None:
+            expect += 1.0 / (60 + r["r_b"])
+        assert abs(r["rrf_nano"] - round(expect * 1e9)) <= 1
