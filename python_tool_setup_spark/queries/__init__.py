@@ -125,6 +125,7 @@ def all_queries() -> dict[str, Query]:
         batch43,
         batch44,
         batch45,
+        batch46,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -132,3 +132,53 @@ def test_rrf_fusion_rank_semantics(spark):
         if r["r_b"] is not None:
             expect += 1.0 / (60 + r["r_b"])
         assert abs(r["rrf_nano"] - round(expect * 1e9)) <= 1
+
+
+def test_basket_pairs_support_and_lift(spark):
+    from python_tool_setup_spark.queries.batch46 import q296_basket_pairs
+
+    rows = q296_basket_pairs(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    from collections import Counter
+
+    pair_c: Counter = Counter()
+    item_c: Counter = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        item_c.update(s)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                pair_c[(x, y)] += 1
+    expect = {k: v for k, v in pair_c.items() if v >= 3}
+    got = {(r["x"], r["y"]): r for r in rows}
+    assert set(got) == set(expect)
+    for (x, y), r in got.items():
+        assert r["sxy"] == expect[(x, y)]
+        assert r["nx"] == item_c[x] and r["ny"] == item_c[y]
+        lift = r["sxy"] * n_orders / (r["nx"] * r["ny"])
+        assert abs(r["lift_micro"] - round(lift * 1e6)) <= 1
+
+
+def test_top_bigram_repetition_reference(spark):
+    from python_tool_setup_spark.queries.batch46 import (
+        q297_top_bigram_repetition,
+    )
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in q297_top_bigram_repetition(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(rows) == {d["doc_id"] for d in docs if len(d["text"].split(" ")) >= 2}
+    for d in docs[:50]:
+        words = d["text"].split(" ")
+        if len(words) < 2:
+            continue
+        c = Counter(" ".join(p) for p in zip(words, words[1:]))
+        top_bg, top_n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = rows[d["doc_id"]]
+        assert (r["top_bigram"], r["top_n"]) == (top_bg, top_n)
+        assert r["n_bigrams"] == len(words) - 1
+        assert r["flagged"] == (top_n / (len(words) - 1) > 0.05)
