@@ -126,6 +126,7 @@ def all_queries() -> dict[str, Query]:
         batch44,
         batch45,
         batch46,
+        batch47,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -182,3 +182,50 @@ def test_top_bigram_repetition_reference(spark):
         assert (r["top_bigram"], r["top_n"]) == (top_bg, top_n)
         assert r["n_bigrams"] == len(words) - 1
         assert r["flagged"] == (top_n / (len(words) - 1) > 0.05)
+
+
+def test_correlation_matrix_vs_numpy(spark):
+    import numpy as np
+
+    from python_tool_setup_spark.queries.batch47 import q298_correlation_matrix
+
+    got = {
+        (r["col_x"], r["col_y"]): r["corr_micro"]
+        for r in q298_correlation_matrix(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    cols = {
+        "qty": np.round(li["l_quantity"] * 100),
+        "price": np.round(li["l_extendedprice"] * 100),
+        "disc": np.round(li["l_discount"] * 100),
+        "tax": np.round(li["l_tax"] * 100),
+    }
+    assert len(got) == 6
+    for (a, b), micro in got.items():
+        ref = np.corrcoef(cols[a], cols[b])[0, 1]
+        assert abs(micro / 1e6 - ref) < 1e-4
+        assert -1_000_001 <= micro <= 1_000_001
+
+
+def test_benford_audit_reference(spark):
+    import math
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch47 import q299_benford_audit
+
+    rows = q299_benford_audit(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = Counter(str(round(r["o_totalprice"] * 100))[0] for r in o if r["o_totalprice"] > 0)
+    total = sum(c.values())
+    assert {r["digit"] for r in rows} == {int(d) for d in c}
+    chi_total = rows[0]["chi2_total_micro"]
+    acc = 0
+    for r in rows:
+        assert r["n_obs"] == c[str(r["digit"])]
+        p = math.log10(1 + 1 / r["digit"])
+        assert abs(r["p_benford_nano"] - round(p * 1e9)) <= 1
+        term = (r["n_obs"] - total * p) ** 2 / (total * p)
+        assert abs(r["chi2_term_micro"] - round(term * 1e6)) <= 1
+        acc += r["chi2_term_micro"]
+        assert r["chi2_total_micro"] == chi_total
+    assert chi_total == acc
