@@ -127,6 +127,8 @@ def all_queries() -> dict[str, Query]:
         batch45,
         batch46,
         batch47,
+        batch48,
+        batch49,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

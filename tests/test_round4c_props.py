@@ -229,3 +229,72 @@ def test_benford_audit_reference(spark):
         acc += r["chi2_term_micro"]
         assert r["chi2_total_micro"] == chi_total
     assert chi_total == acc
+
+
+def test_distinct_n_diversity_reference(spark):
+    from python_tool_setup_spark.queries.batch48 import q300_distinct_n_diversity
+
+    rows = {r["source"]: r for r in q300_distinct_n_diversity(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d["text"].split(" "))
+    for src, texts in by_src.items():
+        unis = [w for t in texts for w in t]
+        bis = [" ".join(p) for t in texts for p in zip(t, t[1:])]
+        r = rows[src]
+        assert (r["n1_total"], r["n1_distinct"]) == (len(unis), len(set(unis)))
+        assert (r["n2_total"], r["n2_distinct"]) == (len(bis), len(set(bis)))
+
+
+def test_zipf_fit_vs_numpy(spark):
+    import numpy as np
+
+    from python_tool_setup_spark.queries.batch48 import q301_zipf_fit
+
+    r = q301_zipf_fit(spark, SF_DIR).collect()[0]
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    c = Counter(w for d in docs for w in d["text"].split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: r["n_ranks"]]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array([n for _, n in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 1e-3
+    assert abs(r["intercept_micro"] / 1e6 - intercept) < 1e-3
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(r["r2_micro"] / 1e6 - corr * corr) < 1e-3
+    assert r["slope_micro"] < 0  # frequency falls with rank
+
+
+def test_exact_auc_vs_reference(spark):
+    from python_tool_setup_spark.queries.batch49 import q302_exact_auc
+
+    r = q302_exact_auc(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pos = sorted(d["n_chars"] for d in docs if "data" in d["text"])
+    neg = sorted(d["n_chars"] for d in docs if "data" not in d["text"])
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    # brute-force pair counting: wins + half-ties
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r["auc_micro"] - round(auc * 1e6)) <= 1
+    assert abs(r["gini_micro"] - (2 * auc - 1) * 1e6) <= 2
+
+
+def test_key_skew_gini_vs_reference(spark):
+    from python_tool_setup_spark.queries.batch49 import q303_key_skew_gini
+
+    r = q303_key_skew_gini(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from collections import Counter
+
+    sizes = sorted(Counter(e["user_id"] for e in ev).values())
+    n = len(sizes)
+    total = sum(sizes)
+    gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(sizes)) / (n * total)
+    assert (r["n_keys"], r["n_events"], r["max_size"]) == (n, total, max(sizes))
+    assert abs(r["gini_micro"] - round(gini * 1e6)) <= 1
+    assert abs(r["max_share_micro"] - round(max(sizes) / total * 1e6)) <= 1
