@@ -129,6 +129,7 @@ def all_queries() -> dict[str, Query]:
         batch47,
         batch48,
         batch49,
+        batch50,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

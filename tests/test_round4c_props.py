@@ -298,3 +298,60 @@ def test_key_skew_gini_vs_reference(spark):
     assert (r["n_keys"], r["n_events"], r["max_size"]) == (n, total, max(sizes))
     assert abs(r["gini_micro"] - round(gini * 1e6)) <= 1
     assert abs(r["max_share_micro"] - round(max(sizes) / total * 1e6)) <= 1
+
+
+def test_item_item_cf_reference(spark):
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch50 import q304_item_item_cf
+
+    rows = q304_item_item_cf(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_c: Counter = Counter()
+    item_c: Counter = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        item_c.update(s)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                pair_c[(x, y)] += 1
+    import math
+
+    nbrs: dict = {}
+    for (x, y), sxy in pair_c.items():
+        if sxy < 2:
+            continue
+        for it, nb in ((x, y), (y, x)):
+            cos = round(sxy / math.sqrt(item_c[it] * item_c[nb]) * 1e6)
+            nbrs.setdefault(it, []).append((-cos, nb, sxy))
+    expect = {}
+    for it, lst in nbrs.items():
+        for rk, (negcos, nb, sxy) in enumerate(sorted(lst)[:3], 1):
+            expect[(it, rk)] = (nb, sxy, -negcos)
+    got = {(r["item"], r["rk"]): (r["neighbor"], r["co_count"], r["cos_micro"]) for r in rows}
+    assert set(got) == set(expect)
+    for k, (nb, sxy, cos) in got.items():
+        enb, esxy, ecos = expect[k]
+        assert (nb, sxy) == (enb, esxy)
+        assert abs(cos - ecos) <= 1
+
+
+def test_cohens_kappa_reference(spark):
+    from python_tool_setup_spark.queries.batch50 import q305_cohens_kappa
+
+    r = q305_cohens_kappa(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pairs = [(1 if d["lang"] == "en" else 0, 1 if "the" in d["text"] else 0) for d in docs]
+    t = len(pairs)
+    ag = sum(1 for a, b in pairs if a == b)
+    a1 = sum(a for a, _ in pairs)
+    b1 = sum(b for _, b in pairs)
+    po = ag / t
+    pe = (a1 * b1 + (t - a1) * (t - b1)) / (t * t)
+    kappa = (po - pe) / (1 - pe)
+    assert (r["n_docs"], r["n_agree"]) == (t, ag)
+    assert abs(r["kappa_micro"] - round(kappa * 1e6)) <= 1
+    assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
