@@ -130,6 +130,7 @@ def all_queries() -> dict[str, Query]:
         batch48,
         batch49,
         batch50,
+        batch51,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -355,3 +355,53 @@ def test_cohens_kappa_reference(spark):
     assert (r["n_docs"], r["n_agree"]) == (t, ag)
     assert abs(r["kappa_micro"] - round(kappa * 1e6)) <= 1
     assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
+
+
+def test_token_waterfill_invariants(spark):
+    from python_tool_setup_spark.queries.batch51 import _BUDGET, q306_token_waterfill
+
+    rows = q306_token_waterfill(spark, SF_DIR).collect()
+    total = sum(r["tokens"] for r in rows)
+    alloc = sum(r["allocated"] for r in rows)
+    assert alloc == min(_BUDGET, total)
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    for r in uncapped:
+        assert r["allocated"] == r["tokens"]
+    for r in capped:
+        assert r["allocated"] < r["tokens"]
+    if capped:
+        # equal-share property: capped allocations differ by at most 1
+        vals = sorted(r["allocated"] for r in capped)
+        assert vals[-1] - vals[0] <= 1
+        # no uncapped source is larger than a capped one's allocation
+        assert all(
+            u["tokens"] <= vals[0] + 1 for u in uncapped
+        )
+
+
+def test_weighted_sample_wor_reference(spark):
+    import hashlib
+    import math
+
+    from python_tool_setup_spark.queries.batch51 import q307_weighted_sample_wor
+
+    rows = q307_weighted_sample_wor(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    keyed = []
+    for d in docs:
+        if d["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(f"aes|{d['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = ((h % 1000000) + 1.0) / 1000001.0
+        keyed.append(
+            (round(math.log(u) / d["n_chars"] * 1e9), d["doc_id"], d["n_chars"])
+        )
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = keyed[:50]
+    assert len(rows) == min(50, len(keyed))
+    for rk, (r, (lnk, did, w)) in enumerate(zip(rows, expect), 1):
+        assert r["doc_id"] == did
+        assert r["w"] == w
+        assert abs(r["lnkey_nano"] - lnk) <= 1
+        assert r["rk"] == rk
