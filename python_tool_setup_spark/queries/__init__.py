@@ -131,6 +131,7 @@ def all_queries() -> dict[str, Query]:
         batch49,
         batch50,
         batch51,
+        batch52,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

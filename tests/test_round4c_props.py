@@ -405,3 +405,49 @@ def test_weighted_sample_wor_reference(spark):
         assert r["w"] == w
         assert abs(r["lnkey_nano"] - lnk) <= 1
         assert r["rk"] == rk
+
+
+def test_calibration_ece_reference(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch52 import q308_calibration_ece
+
+    rows = q308_calibration_ece(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bins: dict = {}
+    for d in docs:
+        p = 1.0 / (1.0 + math.exp(-(d["n_chars"] - 250.0) / 50.0))
+        pm = round(p * 1e6)
+        b = min(9, pm // 100000)
+        n, np_, sp = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + (1 if "data" in d["text"] else 0), sp + pm)
+    total = sum(n for n, _, _ in bins.values())
+    numer = sum(abs(np_ * 10**6 - sp) for _, np_, sp in bins.values())
+    ece = round(numer / total)
+    assert {r["bin"] for r in rows} == set(bins)
+    for r in rows:
+        n, np_, sp = bins[r["bin"]]
+        assert (r["n"], r["n_pos"]) == (n, np_)
+        assert abs(r["conf_micro"] - round(sp / n)) <= 1
+        assert abs(r["acc_micro"] - round(np_ * 1e6 / n)) <= 1
+        assert abs(r["ece_micro"] - ece) <= 1
+
+
+def test_average_precision_reference(spark):
+    from python_tool_setup_spark.queries.batch52 import q309_average_precision
+
+    r = q309_average_precision(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    order = sorted(docs, key=lambda d: (-d["n_chars"], d["doc_id"]))
+    cum = 0
+    terms = []
+    for k, d in enumerate(order, 1):
+        if "data" in d["text"]:
+            cum += 1
+            terms.append(round(cum / k * 1e9))
+    assert (r["n_docs"], r["n_pos"]) == (len(order), len(terms))
+    assert r["sum_term_nano"] == sum(terms)
+    assert abs(r["ap_micro"] - round(sum(terms) / (len(terms) * 1000.0))) <= 1
+    # AP of a positively-correlated ranker beats the base rate
+    base = len(terms) / len(order)
+    assert r["ap_micro"] / 1e6 >= base * 0.5
