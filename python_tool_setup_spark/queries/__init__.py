@@ -132,6 +132,7 @@ def all_queries() -> dict[str, Query]:
         batch50,
         batch51,
         batch52,
+        batch53,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -451,3 +451,85 @@ def test_average_precision_reference(spark):
     # AP of a positively-correlated ranker beats the base rate
     base = len(terms) / len(order)
     assert r["ap_micro"] / 1e6 >= base * 0.5
+
+
+def test_ndcg_reference(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch53 import q310_ndcg_at_k
+
+    r = q310_ndcg_at_k(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    gains = {
+        d["doc_id"]: 2 ** min(3, d["text"].count("data")) - 1 for d in docs
+    }
+    by_len = sorted(docs, key=lambda d: (-d["n_chars"], d["doc_id"]))[:20]
+    dcg = sum(
+        round(gains[d["doc_id"]] / math.log2(k + 1) * 1e9)
+        for k, d in enumerate(by_len, 1)
+    )
+    ideal = sorted(docs, key=lambda d: (-gains[d["doc_id"]], d["doc_id"]))[:20]
+    idcg = sum(
+        round(gains[d["doc_id"]] / math.log2(k + 1) * 1e9)
+        for k, d in enumerate(ideal, 1)
+    )
+    assert abs(r["dcg_nano"] - dcg) <= 20
+    assert abs(r["idcg_nano"] - idcg) <= 20
+    assert abs(r["ndcg_micro"] - round(dcg / idcg * 1e6)) <= 2
+    assert 0 < r["ndcg_micro"] <= 1_000_000
+
+
+def test_multiclass_f1_reference(spark):
+    import hashlib
+
+    from python_tool_setup_spark.queries.batch53 import q311_multiclass_f1
+
+    rows = {r["class"]: r for r in q311_multiclass_f1(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pairs = []
+    for d in docs:
+        h = int(hashlib.md5(f"noise|{d['doc_id']}".encode()).hexdigest()[:15], 16)
+        pred = "en" if h % 4 == 0 else d["lang"]
+        pairs.append((d["lang"], pred))
+    classes = {a for a, _ in pairs}
+    assert set(rows) == classes
+    f1s = []
+    for c in classes:
+        tp = sum(1 for a, p in pairs if a == c and p == c)
+        fp = sum(1 for a, p in pairs if p == c and a != c)
+        fn = sum(1 for a, p in pairs if a == c and p != c)
+        r = rows[c]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        f1 = round(2 * tp / (2 * tp + fp + fn) * 1e6)
+        assert abs(r["f1_micro_units"] - f1) <= 1
+        f1s.append(r["f1_micro_units"])
+    any_r = next(iter(rows.values()))
+    assert abs(any_r["macro_f1_micro"] - round(sum(f1s) / len(f1s))) <= 1
+    acc = sum(1 for a, p in pairs if a == p) / len(pairs)
+    assert abs(any_r["micro_f1_micro"] - round(acc * 1e6)) <= 1
+
+
+def test_source_vocab_jaccard_reference(spark):
+    from python_tool_setup_spark.queries.batch53 import q312_source_vocab_jaccard
+
+    rows = q312_source_vocab_jaccard(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    vocab: dict = {}
+    for d in docs:
+        vocab.setdefault(d["source"], set()).update(d["text"].split(" "))
+    got = {(r["s1"], r["s2"]): r for r in rows}
+    srcs = sorted(vocab)
+    expect_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert (r["n_inter"], r["n1"], r["n2"]) == (
+            inter,
+            len(vocab[a]),
+            len(vocab[b]),
+        )
+        assert abs(r["jaccard_micro"] - round(inter / union * 1e6)) <= 1
