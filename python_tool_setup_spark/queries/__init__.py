@@ -133,6 +133,7 @@ def all_queries() -> dict[str, Query]:
         batch51,
         batch52,
         batch53,
+        batch54,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

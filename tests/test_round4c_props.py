@@ -533,3 +533,32 @@ def test_source_vocab_jaccard_reference(spark):
             len(vocab[b]),
         )
         assert abs(r["jaccard_micro"] - round(inter / union * 1e6)) <= 1
+
+
+def test_state_store_reader_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries.batch54 import (
+        q313_state_store_reader,
+        q314_state_metadata,
+    )
+
+    got = {
+        r["event_type"]: (r["total_cents"], r["n"])
+        for r in q313_state_store_reader(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expect = {
+        r["event_type"]: (r["tc"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("tc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == expect
+    md = q314_state_metadata(spark, SF_DIR).collect()
+    assert len(md) == 1
+    assert md[0]["operator_name"] == "stateStoreSave"
+    assert md[0]["num_partitions"] == 4
