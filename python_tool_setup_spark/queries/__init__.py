@@ -134,6 +134,7 @@ def all_queries() -> dict[str, Query]:
         batch52,
         batch53,
         batch54,
+        batch55,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -562,3 +562,65 @@ def test_state_store_reader_matches_batch(spark):
     assert len(md) == 1
     assert md[0]["operator_name"] == "stateStoreSave"
     assert md[0]["num_partitions"] == 4
+
+
+def test_cuped_reference(spark):
+    import datetime
+
+    from python_tool_setup_spark.queries.batch55 import q315_cuped_adjustment
+
+    r = q315_cuped_adjustment(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    mid = datetime.datetime(2024, 1, 16)
+    users: dict = {}
+    for e in ev:
+        x, y = users.get(e["user_id"], (0, 0))
+        if e["ts"] < mid:
+            x += 1
+        else:
+            y += 1
+        users[e["user_id"]] = (x, y)
+    xs = [x for x, _ in users.values()]
+    ys = [y for _, y in users.values()]
+    n = len(users)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in users.values())
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = [(x, y) for u, (x, y) in users.items() if u % 2 == 0]
+    b = [(x, y) for u, (x, y) in users.items() if u % 2 == 1]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert abs(r["theta_micro"] - round(theta * 1e6)) <= 1
+    adj = lambda grp: sum(y for _, y in grp) / len(grp) - theta * (
+        sum(x for x, _ in grp) / len(grp) - sx / n
+    )
+    assert abs(r["adj_diff_micro"] - round((adj(a) - adj(b)) * 1e6)) <= 2
+    corr2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r["var_ratio_micro"] - round((1 - corr2) * 1e6)) <= 2
+    # variance reduction means the ratio is strictly below 1
+    assert r["var_ratio_micro"] < 1_000_000
+
+
+def test_weighted_median_reference(spark):
+    from python_tool_setup_spark.queries.batch55 import q316_weighted_median
+
+    rows = {r["l_returnflag"]: r for r in q316_weighted_median(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_extendedprice"] * 100), int(r["l_quantity"]))
+        )
+    for g, pairs in groups.items():
+        pairs.sort()
+        tw = sum(w for _, w in pairs)
+        cum = 0
+        med = None
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= tw:
+                med = v
+                break
+        assert rows[g]["wmedian_cents"] == med
+        assert rows[g]["total_weight"] == tw
