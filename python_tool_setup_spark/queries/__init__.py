@@ -135,6 +135,7 @@ def all_queries() -> dict[str, Query]:
         batch53,
         batch54,
         batch55,
+        batch56,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

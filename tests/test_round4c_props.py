@@ -624,3 +624,44 @@ def test_weighted_median_reference(spark):
                 break
         assert rows[g]["wmedian_cents"] == med
         assert rows[g]["total_weight"] == tw
+
+
+def test_k_anonymity_reference(spark):
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch56 import q317_k_anonymity_audit
+
+    r = q317_k_anonymity_audit(spark, SF_DIR).collect()[0]
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    classes: dict = {}
+    for row in c:
+        k = (row["c_nationkey"], row["c_mktsegment"])
+        n, sens = classes.get(k, (0, set()))
+        sens.add("neg" if row["c_acctbal"] < 0 else "pos")
+        classes[k] = (n + 1, sens)
+    sizes = [n for n, _ in classes.values()]
+    ldivs = [len(s) for _, s in classes.values()]
+    assert r["n_classes"] == len(classes)
+    assert r["k_anonymity"] == min(sizes)
+    assert r["classes_below_k"] == sum(1 for n in sizes if n < 5)
+    assert r["rows_at_risk"] == sum(n for n in sizes if n < 5)
+    assert r["l_diversity"] == min(ldivs)
+    assert r["homogeneous_classes"] == sum(1 for l in ldivs if l < 2)
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    import hashlib
+    import math
+
+    from python_tool_setup_spark.queries.batch56 import q318_dp_noisy_counts
+
+    rows = q318_dp_noisy_counts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        h = int(
+            hashlib.md5(f"dp|{r['c_mktsegment']}".encode()).hexdigest()[:15], 16
+        )
+        u = ((h % 1000000) + 0.5) / 1000000.0
+        noise = 2.0 * math.log(2.0 * u) if u < 0.5 else -(2.0 * math.log(2.0 - 2.0 * u))
+        assert abs(r["noise_micro"] - round(noise * 1e6)) <= 1
+        assert r["released_count"] == round(r["true_count"] + noise)
