@@ -37,17 +37,18 @@ _K = 5
                AS homogeneous_classes
     FROM eq
     """,
-    doc="k-anonymity / l-diversity audit (the re-identification risk "
-    "readout before releasing a dataset — the measurement side of "
-    "the privacy stack whose enforcement side is q243's GDPR "
-    "purge and the PII redaction ops): equivalence classes over "
-    "the quasi-identifiers (nation, market segment), the dataset's "
-    "k (smallest class), classes and rows below the k=5 policy, "
-    "plus l-diversity of the sensitive attribute (account-balance "
-    "sign) and the count of homogeneous classes (l<2 — attribute "
-    "disclosure even WITH k-anonymity). All exact integer counts "
-    "from one groupBy on the quasi-identifier tuple; the audit "
-    "table is |QI-combinations| — metadata at any scale.",
+    doc="Dataset-level k-anonymity summary + l-DIVERSITY audit "
+    "(q187 LISTS the document cells below k; this gate adds the "
+    "two readouts q187 doesn't have: the single dataset-k / "
+    "rows-at-risk summary a release gate thresholds on, and "
+    "l-diversity of a SENSITIVE attribute — homogeneous classes "
+    "(l<2) leak the sensitive value even when k-anonymity holds, "
+    "the classic attribute-disclosure gap): equivalence classes "
+    "over (nation, market segment), smallest class k, classes "
+    "and rows below the k=5 policy, minimum l and homogeneous-"
+    "class count for the account-balance sign. All exact integer "
+    "counts from one groupBy on the quasi-identifier tuple; the "
+    "audit table is |QI-combinations| — metadata at any scale.",
 )
 def q317_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
