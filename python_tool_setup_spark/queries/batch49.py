@@ -65,42 +65,14 @@ from python_tool_setup_spark.tables import load_table
     "DECIMAL(38,0)/HUGEINT posture as q298.",
 )
 def q302_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.evalmetrics import exact_auc
+
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         F.col("n_chars").alias("s"),
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
-    grp = scored.groupBy("s").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("cnt_pos")
-    )
-    cum = grp.select(
-        "s",
-        "cnt",
-        "cnt_pos",
-        (
-            F.sum("cnt").over(
-                Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-            )
-            - F.col("cnt")
-        ).alias("cnt_lt"),
-    )
-    agg = cum.agg(
-        F.sum(
-            F.col("cnt_pos") * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
-        ).alias("sum_r2"),
-        F.sum("cnt_pos").alias("n1"),
-        (F.sum("cnt") - F.sum("cnt_pos")).alias("n0"),
-    )
-    auc = (F.col("sum_r2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / (
-        2 * F.col("n1") * F.col("n0")
-    ).cast("double")
-    return agg.select(
-        F.col("n1").cast("long").alias("n_pos"),
-        F.col("n0").cast("long").alias("n_neg"),
-        F.col("sum_r2").cast("long").alias("sum_ranks_x2"),
-        F.round(auc * 1000000.0).cast("long").alias("auc_micro"),
-        F.round((auc * 2.0 - 1.0) * 1000000.0).cast("long").alias("gini_micro"),
-    )
+    return exact_auc(scored, "s", "y")
 
 
 # ---------------------------------------------------------------- q303

@@ -61,6 +61,8 @@ from python_tool_setup_spark.tables import load_table
     "10-cell aggregate — map-side partials all the way.",
 )
 def q308_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.evalmetrics import calibration_ece
+
     d = load_table(spark, sf_dir, "documents")
     p = F.lit(1.0) / (
         F.lit(1.0)
@@ -70,39 +72,7 @@ def q308_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p * 1000000.0).cast("long").alias("p_micro"),
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
-    binned = (
-        scored.groupBy(
-            F.least(F.lit(9), F.expr("div(p_micro, 100000)")).alias("bin")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("y").alias("n_pos"),
-            F.sum("p_micro").alias("sum_p_micro"),
-        )
-    )
-    tot = binned.agg(
-        F.sum("n").alias("n_total"),
-        F.sum(F.abs(F.col("n_pos") * 1000000 - F.col("sum_p_micro"))).alias(
-            "numer"
-        ),
-    )
-    out = binned.crossJoin(F.broadcast(tot))  # 1-row scalar attach
-    return out.select(
-        F.col("bin").cast("long").alias("bin"),
-        F.col("n").cast("long").alias("n"),
-        F.col("n_pos").cast("long").alias("n_pos"),
-        F.round(F.col("sum_p_micro").cast("double") / F.col("n").cast("double"))
-        .cast("long")
-        .alias("conf_micro"),
-        F.round(
-            F.col("n_pos").cast("double") * 1000000.0 / F.col("n").cast("double")
-        )
-        .cast("long")
-        .alias("acc_micro"),
-        F.round(F.col("numer").cast("double") / F.col("n_total").cast("double"))
-        .cast("long")
-        .alias("ece_micro"),
-    ).orderBy("bin")
+    return calibration_ece(scored, "p_micro", "y", n_bins=10)
 
 
 # ---------------------------------------------------------------- q309
@@ -152,54 +122,12 @@ def q308_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ranking.",
 )
 def q309_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.evalmetrics import average_precision
+
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         F.col("n_chars").alias("s"),
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
-    hist = scored.groupBy("s").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("cnt_pos")
-    )
-    wh = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    offsets = hist.select(
-        "s",
-        (F.sum("cnt").over(wh) - F.col("cnt")).alias("cnt_gt"),
-        (F.sum("cnt_pos").over(wh) - F.col("cnt_pos")).alias("pos_gt"),
-    )
-    joined = scored.join(F.broadcast(offsets), "s")
-    wb = Window.partitionBy("s").orderBy("doc_id")
-    wbc = wb.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = joined.select(
-        "y",
-        (F.col("cnt_gt") + F.row_number().over(wb)).alias("k"),
-        (F.col("pos_gt") + F.sum("y").over(wbc)).alias("cum_pos"),
-    )
-    terms = ranked.filter(F.col("y") == 1).select(
-        F.round(
-            F.col("cum_pos").cast("double") / F.col("k").cast("double")
-            * 1000000000.0
-        )
-        .cast("long")
-        .alias("t")
-    )
-    n_docs = scored.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    agg = terms.agg(
-        F.count(F.lit(1)).alias("n_pos"), F.sum("t").alias("sum_term_nano")
-    )
-    return (
-        agg.crossJoin(F.broadcast(n_docs))  # 1-row scalar attach
-        .select(
-            "n_docs",
-            F.col("n_pos").cast("long").alias("n_pos"),
-            F.col("sum_term_nano").cast("long").alias("sum_term_nano"),
-            F.round(
-                F.col("sum_term_nano").cast("double")
-                / (F.col("n_pos").cast("double") * 1000.0)
-            )
-            .cast("long")
-            .alias("ap_micro"),
-        )
-    )
+    return average_precision(scored, "s", "doc_id", "y")

@@ -68,6 +68,8 @@ _NDCG_K = 20
     "tables, nothing global.",
 )
 def q310_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.operators.evalmetrics import ndcg_at_k
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         (
@@ -83,35 +85,7 @@ def q310_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gain"),
     )
-
-    def _dcg(df: DataFrame, order, alias: str) -> DataFrame:
-        top = df.orderBy(*order).limit(_NDCG_K)
-        ranked = top.select(
-            "gain", F.row_number().over(Window.orderBy(*order)).alias("k")
-        )
-        term = F.round(
-            F.col("gain").cast("double")
-            / F.log2((F.col("k") + 1).cast("double"))
-            * 1000000000.0
-        ).cast("long")
-        return ranked.agg(F.sum(term).alias(alias))
-
-    dcg = _dcg(scored, [F.col("s").desc(), F.col("doc_id")], "dcg_nano")
-    idcg = _dcg(scored, [F.col("gain").desc(), F.col("doc_id")], "idcg_nano")
-    return (
-        dcg.crossJoin(F.broadcast(idcg))  # 1-row scalar attach
-        .select(
-            F.col("dcg_nano").cast("long").alias("dcg_nano"),
-            F.col("idcg_nano").cast("long").alias("idcg_nano"),
-            F.round(
-                F.col("dcg_nano").cast("double")
-                / F.col("idcg_nano").cast("double")
-                * 1000000.0
-            )
-            .cast("long")
-            .alias("ndcg_micro"),
-        )
-    )
+    return ndcg_at_k(scored, "s", "doc_id", "gain", _NDCG_K)
 
 
 # ---------------------------------------------------------------- q311
