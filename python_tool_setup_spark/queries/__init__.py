@@ -136,6 +136,7 @@ def all_queries() -> dict[str, Query]:
         batch54,
         batch55,
         batch56,
+        batch57,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

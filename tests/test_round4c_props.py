@@ -665,3 +665,54 @@ def test_dp_noisy_counts_mechanism(spark):
         noise = 2.0 * math.log(2.0 * u) if u < 0.5 else -(2.0 * math.log(2.0 - 2.0 * u))
         assert abs(r["noise_micro"] - round(noise * 1e6)) <= 1
         assert r["released_count"] == round(r["true_count"] + noise)
+
+
+def test_grouped_trend_vs_numpy(spark):
+    import numpy as np
+
+    from python_tool_setup_spark.queries.batch57 import q319_grouped_trend
+
+    rows = {r["event_type"]: r for r in q319_grouped_trend(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import datetime
+    from collections import Counter
+
+    daily: dict = {}
+    for e in ev:
+        x = (e["ts"].date() - datetime.date(2024, 1, 1)).days
+        daily.setdefault(e["event_type"], Counter())[x] += 1
+    for et, c in daily.items():
+        xs = np.array(sorted(c))
+        ys = np.array([c[x] for x in xs], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = rows[et]
+        assert r["n_days"] == len(xs)
+        assert abs(r["slope_micro"] / 1e6 - slope) < 1e-3
+        assert abs(r["intercept_micro"] / 1e6 - intercept) < 1e-3
+
+
+def test_decile_lift_reference(spark):
+    from python_tool_setup_spark.queries.batch57 import q320_decile_lift
+
+    rows = q320_decile_lift(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    order = sorted(docs, key=lambda d: (-d["n_chars"], d["doc_id"]))
+    n = len(order)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    pos: Counter = Counter()
+    for k, d in enumerate(order, 1):
+        dec = (10 * (k - 1)) // n
+        cnt[dec] += 1
+        pos[dec] += 1 if "data" in d["text"] else 0
+    base = sum(pos.values()) / n
+    cum = 0
+    for r in rows:
+        dec = r["decile"]
+        assert (r["n"], r["n_pos"]) == (cnt[dec], pos[dec])
+        rate = pos[dec] / cnt[dec]
+        assert abs(r["rate_micro"] - round(rate * 1e6)) <= 1
+        assert abs(r["lift_micro"] - round(rate / base * 1e6)) <= 1
+        cum += pos[dec]
+        assert r["cum_pos"] == cum
