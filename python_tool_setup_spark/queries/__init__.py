@@ -137,6 +137,7 @@ def all_queries() -> dict[str, Query]:
         batch55,
         batch56,
         batch57,
+        batch58,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

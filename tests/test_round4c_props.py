@@ -716,3 +716,78 @@ def test_decile_lift_reference(spark):
         assert abs(r["lift_micro"] - round(rate / base * 1e6)) <= 1
         cum += pos[dec]
         assert r["cum_pos"] == cum
+
+
+def test_kaplan_meier_reference(spark):
+    import datetime
+
+    from python_tool_setup_spark.queries.batch58 import q321_kaplan_meier
+
+    rows = q321_kaplan_meier(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    H = datetime.date(2024, 1, 5)
+    entry: dict = {}
+    fp: dict = {}
+    for e in ev:
+        d = e["ts"].date()
+        u = e["user_id"]
+        entry[u] = min(entry.get(u, d), d)
+        if e["event_type"] == "purchase":
+            fp[u] = min(fp.get(u, d), d)
+    subjects = []
+    for u, en in entry.items():
+        if en > H:
+            continue
+        f = fp.get(u)
+        if f is not None and f <= H:
+            subjects.append(((f - en).days, 1))
+        else:
+            subjects.append(((H - en).days, 0))
+    n = len(subjects)
+    from collections import Counter
+
+    totals = Counter(t for t, _ in subjects)
+    events = Counter(t for t, c in subjects if c == 1)
+    surv = 1.0
+    expect = []
+    at_risk = n
+    for t in sorted(totals):
+        d = events.get(t, 0)
+        if d > 0:
+            surv *= (at_risk - d) / at_risk
+            expect.append((t, d, at_risk, surv))
+        at_risk -= totals[t]
+    assert len(rows) == len(expect)
+    for r, (t, d, nr, s) in zip(rows, expect):
+        assert (r["day"], r["n_events"], r["n_at_risk"]) == (t, d, nr)
+        assert abs(r["survival_micro"] - round(s * 1e6)) <= 2
+    # survival is monotone non-increasing
+    sv = [r["survival_micro"] for r in rows]
+    assert sv == sorted(sv, reverse=True)
+
+
+def test_skipgram_pmi_reference(spark):
+    import math
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch58 import q322_skipgram_pmi
+
+    rows = q322_skipgram_pmi(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pair_c: Counter = Counter()
+    uni: Counter = Counter()
+    for d in docs:
+        ws = d["text"].split(" ")
+        uni.update(ws)
+        for i, a in enumerate(ws):
+            for j in (i + 1, i + 2):
+                if j < len(ws) and ws[j] != a:
+                    pair_c[(min(a, ws[j]), max(a, ws[j]))] += 1
+    tp = sum(pair_c.values())
+    top = sorted(pair_c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(rows) == 50
+    for r, ((x, y), nxy) in zip(rows, top):
+        assert (r["x"], r["y"], r["n_pair"]) == (x, y, nxy)
+        assert (r["n_x"], r["n_y"]) == (uni[x], uni[y])
+        pmi = math.log(nxy * tp / (uni[x] * uni[y]))
+        assert abs(r["pmi_micro"] - round(pmi * 1e6)) <= 1
