@@ -138,6 +138,7 @@ def all_queries() -> dict[str, Query]:
         batch56,
         batch57,
         batch58,
+        batch59,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -791,3 +791,88 @@ def test_skipgram_pmi_reference(spark):
         assert (r["n_x"], r["n_y"]) == (uni[x], uni[y])
         pmi = math.log(nxy * tp / (uni[x] * uni[y]))
         assert abs(r["pmi_micro"] - round(pmi * 1e6)) <= 1
+
+
+def test_rfm_segmentation_reference(spark):
+    import datetime
+
+    from python_tool_setup_spark.queries.batch59 import q323_rfm_segmentation
+
+    rows = q323_rfm_segmentation(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    users: dict = {}
+    for e in ev:
+        last, n, m = users.get(e["user_id"], (datetime.date(1970, 1, 1), 0, 0))
+        users[e["user_id"]] = (
+            max(last, e["ts"].date()),
+            n + 1,
+            m + round(e["value"] * 100),
+        )
+    horizon = datetime.date(2024, 1, 30)
+    per = {
+        u: ((horizon - last).days, n, m) for u, (last, n, m) in users.items()
+    }
+    N = len(per)
+
+    def scores(key_idx, descending):
+        order = sorted(
+            per.items(),
+            key=lambda kv: (
+                -kv[1][key_idx] if descending else kv[1][key_idx],
+                kv[0],
+            ),
+        )
+        return {u: (5 * i) // N for i, (u, _) in enumerate(order)}
+
+    r = scores(0, False)
+    f = scores(1, True)
+    m = scores(2, True)
+    from collections import Counter
+
+    seg_n: Counter = Counter()
+    seg_m: Counter = Counter()
+    for u, (_, _, mon) in per.items():
+        k = (r[u], f[u], m[u])
+        seg_n[k] += 1
+        seg_m[k] += mon
+    got = {(x["r_score"], x["f_score"], x["m_score"]): x for x in rows}
+    assert set(got) == set(seg_n)
+    for k, x in got.items():
+        assert (x["n_users"], x["segment_monetary"]) == (seg_n[k], seg_m[k])
+
+
+def test_ratio_metric_delta_reference(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch59 import q324_ratio_metric_delta
+
+    row = q324_ratio_metric_delta(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    users: dict = {}
+    for e in ev:
+        x, y = users.get(e["user_id"], (0, 0))
+        users[e["user_id"]] = (x + 1, y + round(e["value"] * 100))
+
+    def arm_stats(keep):
+        pts = [v for u, v in users.items() if keep(u)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        r = sy / sx
+        var = (
+            (syy - sy * sy / n)
+            + r * r * (sxx - sx * sx / n)
+            - 2 * r * (sxy - sx * sy / n)
+        ) / ((n - 1) * (sx / n) ** 2 * n)
+        return n, r, var
+
+    na, ra, va = arm_stats(lambda u: u % 2 == 0)
+    nb, rb, vb = arm_stats(lambda u: u % 2 == 1)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["ratio_a_micro"] - round(ra * 1e6)) <= 1
+    assert abs(row["ratio_b_micro"] - round(rb * 1e6)) <= 1
+    z = (ra - rb) / math.sqrt(va + vb)
+    assert abs(row["z_micro"] - round(z * 1e6)) <= 2
