@@ -139,6 +139,7 @@ def all_queries() -> dict[str, Query]:
         batch57,
         batch58,
         batch59,
+        batch60,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -876,3 +876,56 @@ def test_ratio_metric_delta_reference(spark):
     assert abs(row["ratio_b_micro"] - round(rb * 1e6)) <= 1
     z = (ra - rb) / math.sqrt(va + vb)
     assert abs(row["z_micro"] - round(z * 1e6)) <= 2
+
+
+def test_hill_estimator_reference(spark):
+    import math
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch60 import q325_hill_estimator
+
+    r = q325_hill_estimator(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    c = Counter(w for d in docs for w in d["text"].split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:101]
+    ns = [n for _, n in top]
+    x_min = min(ns)
+    terms = [round(math.log(n / x_min) * 1e9) for n in ns if n > x_min]
+    assert (r["k_used"], r["x_min"]) == (len(terms), x_min)
+    assert r["sum_ln_nano"] == sum(terms)
+    alpha = 1.0 + len(terms) / (sum(terms) / 1e9)
+    assert abs(r["alpha_micro"] - round(alpha * 1e6)) <= 1
+    assert r["alpha_micro"] > 1_000_000  # a tail index must exceed 1
+
+
+def test_burstiness_reference(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch60 import q326_burstiness
+
+    rows = {r["user_id"]: r for r in q326_burstiness(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per: dict = {}
+    for e in ev:
+        per.setdefault(e["user_id"], []).append(
+            (e["ts"], e["event_id"])
+        )
+    for u, items in per.items():
+        items.sort()
+        gaps = [
+            int(b[0].timestamp()) - int(a[0].timestamp())
+            for a, b in zip(items, items[1:])
+        ]
+        if len(gaps) < 20:
+            assert u not in rows
+            continue
+        k = len(gaps)
+        mu = sum(gaps) / k
+        var = (sum(g * g for g in gaps) - sum(gaps) ** 2 / k) / (k - 1)
+        sigma = math.sqrt(var)
+        b = (sigma - mu) / (sigma + mu)
+        r = rows[u]
+        assert r["n_gaps"] == k
+        assert abs(r["mean_gap_milli_s"] - round(mu * 1000)) <= 1
+        assert abs(r["burstiness_micro"] - round(b * 1e6)) <= 1
+        assert -1_000_000 <= r["burstiness_micro"] <= 1_000_000
