@@ -140,6 +140,8 @@ def all_queries() -> dict[str, Query]:
         batch58,
         batch59,
         batch60,
+        batch61,
+        batch62,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

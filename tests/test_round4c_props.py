@@ -929,3 +929,107 @@ def test_burstiness_reference(spark):
         assert abs(r["mean_gap_milli_s"] - round(mu * 1000)) <= 1
         assert abs(r["burstiness_micro"] - round(b * 1e6)) <= 1
         assert -1_000_000 <= r["burstiness_micro"] <= 1_000_000
+
+
+def test_char_entropy_reference(spark):
+    import math
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch61 import q327_char_entropy
+
+    rows = {r["doc_id"]: r for r in q327_char_entropy(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    for d in docs[:40]:
+        c = Counter(d["text"])
+        t = sum(c.values())
+        ent = sum(round(-(n / t) * math.log(n / t) * 1e9) for n in c.values())
+        r = rows[d["doc_id"]]
+        assert r["n_chars_counted"] == t
+        assert abs(r["entropy_nano"] - ent) <= len(c)
+        assert r["flagged_low_entropy"] == (r["entropy_nano"] < 2500000000)
+
+
+def test_longest_streak_reference(spark):
+    from python_tool_setup_spark.queries.batch61 import q328_longest_streak
+
+    rows = {r["user_id"]: r for r in q328_longest_streak(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per: dict = {}
+    for e in ev:
+        per.setdefault(e["user_id"], set()).add(e["ts"].date())
+    import datetime
+
+    for u, days in per.items():
+        ds = sorted(days)
+        best_len, best_start = 1, ds[0]
+        cur_len, cur_start = 1, ds[0]
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, b
+            if cur_len > best_len:
+                best_len, best_start = cur_len, cur_start
+        r = rows[u]
+        assert r["longest_streak_days"] == best_len
+        assert r["streak_start"] == best_start
+
+
+def test_reconciliation_audit_counts(spark):
+    from python_tool_setup_spark.queries.batch62 import q329_reconciliation_audit
+
+    r = q329_reconciliation_audit(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    li_sum: dict = {}
+    for x in li:
+        li_sum[x["l_orderkey"]] = li_sum.get(x["l_orderkey"], 0) + round(
+            x["l_extendedprice"] * 100
+        )
+    okeys = {x["o_orderkey"]: round(x["o_totalprice"] * 100) for x in o}
+    assert r["orders_without_lines"] == sum(1 for k in okeys if k not in li_sum)
+    assert r["orphan_line_orders"] == sum(1 for k in li_sum if k not in okeys)
+    both = [k for k in okeys if k in li_sum]
+    assert r["totals_matched"] == sum(1 for k in both if okeys[k] == li_sum[k])
+    assert r["totals_mismatched"] == sum(1 for k in both if okeys[k] != li_sum[k])
+    assert r["abs_drift_cents"] == sum(abs(okeys[k] - li_sum[k]) for k in both)
+
+
+def test_cohort_ltv_curve_reference(spark):
+    from python_tool_setup_spark.queries.batch62 import q330_cohort_ltv_curve
+
+    rows = q330_cohort_ltv_curve(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import datetime
+
+    entry: dict = {}
+    for e in ev:
+        d = e["ts"].date()
+        entry[e["user_id"]] = min(entry.get(e["user_id"], d), d)
+    jan1 = datetime.date(2024, 1, 1)
+    from collections import Counter
+
+    sizes = Counter((c - jan1).days // 7 for c in entry.values())
+    weekly: Counter = Counter()
+    for e in ev:
+        if e["event_type"] != "purchase":
+            continue
+        c = entry[e["user_id"]]
+        cw = (c - jan1).days // 7
+        aw = (e["ts"].date() - c).days // 7
+        weekly[(cw, aw)] += round(e["value"] * 100)
+    cum: dict = {}
+    by_cohort: dict = {}
+    for (cw, aw), cents in sorted(weekly.items()):
+        by_cohort.setdefault(cw, []).append((aw, cents))
+    for cw, lst in by_cohort.items():
+        acc = 0
+        for aw, cents in lst:
+            acc += cents
+            cum[(cw, aw)] = acc
+    got = {(r["cohort_week"], r["age_week"]): r for r in rows}
+    assert set(got) == set(cum)
+    for k, r in got.items():
+        assert r["cum_cents"] == cum[k]
+        assert r["cohort_users"] == sizes[k[0]]
+        assert r["ltv_cents_per_user"] == round(cum[k] / sizes[k[0]])
