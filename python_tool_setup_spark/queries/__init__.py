@@ -142,6 +142,8 @@ def all_queries() -> dict[str, Query]:
         batch60,
         batch61,
         batch62,
+        batch63,
+        batch64,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

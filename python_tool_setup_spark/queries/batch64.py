@@ -1,0 +1,149 @@
+"""Round-4 gates, batch 64: EXACT set-similarity join with PPJoin
+prefix filtering (q333) — the deterministic alternative to the
+MinHash-LSH family (q36/q39): LSH trades recall for speed, prefix
+filtering prunes candidates WITHOUT losing a single pair, and the
+brute-force oracle proves that completeness end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+# Jaccard threshold 3/5 kept as integers: ceil(0.6*n) = (3n+4) div 5.
+_T_NUM, _T_DEN = 3, 5
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sh = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.when(F.lead("w", 2).over(w).isNotNull(), sh).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- q333
+@register(
+    "q333_ppjoin_similarity",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS sh
+        FROM (
+            SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3
+            FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                  FROM documents),
+                 generate_series(1, 1000) AS t(i)
+            WHERE i + 2 <= len(arr)
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM toks a JOIN toks b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.d1, i.d2,
+           CAST(i.c AS BIGINT) AS n_inter,
+           CAST(s1.n AS BIGINT) AS n1,
+           CAST(s2.n AS BIGINT) AS n2,
+           CAST(ROUND(CAST(i.c AS DOUBLE)
+               / CAST(s1.n + s2.n - i.c AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE 5 * i.c >= 3 * (s1.n + s2.n - i.c)
+    ORDER BY i.d1, i.d2
+    """,
+    doc="EXACT set-similarity self-join (3-gram shingle sets, "
+    "Jaccard >= 0.6) with PPJoin-style prefix filtering — the "
+    "deterministic, zero-false-negative alternative to the "
+    "MinHash-LSH family (q36 trades recall for speed; prefix "
+    "filtering prunes WITHOUT losing pairs): per doc, tokens "
+    "sort by global document frequency (rarest first, shingle "
+    "tiebreak) and only the first n - ceil(t*n) + 1 tokens — "
+    "kept as exact integers, (3n+4) div 5 — generate candidates "
+    "(two sets with Jaccard >= t MUST share a prefix token: the "
+    "pigeonhole bound from Chaudhuri/Xiao et al.); candidates "
+    "then verify with full intersection counts and the integer "
+    "cross-multiplied threshold 5c >= 3(n1+n2-c) — no FP in the "
+    "filter at all. The DuckDB oracle brute-forces ALL "
+    "shingle-sharing pairs, so the match proves the prefix "
+    "filter lost nothing. Scale: candidates come only from "
+    "rare-token buckets (df-ascending prefixes), verification "
+    "joins touch candidate pairs x their two token sets — the "
+    "frequent-shingle hot buckets the naive join dies on never "
+    "enter the plan.",
+)
+def q333_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _shingles(d)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tab = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(df_tab, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr(f"div({_T_NUM} * n + 4, {_T_DEN})") + 1
+    ).select("doc_id", "sh")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .filter(F.col("sh1") == F.col("sh2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    out = inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+    union = F.col("n1") + F.col("n2") - F.col("c")
+    return (
+        out.filter(5 * F.col("c") >= 3 * union)
+        .select(
+            "d1",
+            "d2",
+            F.col("c").cast("long").alias("n_inter"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(F.col("c").cast("double") / union.cast("double") * 1000000.0)
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .orderBy("d1", "d2")
+    )

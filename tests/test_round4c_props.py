@@ -1033,3 +1033,85 @@ def test_cohort_ltv_curve_reference(spark):
         assert r["cum_cents"] == cum[k]
         assert r["cohort_users"] == sizes[k[0]]
         assert r["ltv_cents_per_user"] == round(cum[k] / sizes[k[0]])
+
+
+def test_windowed_funnel_reference(spark):
+    from python_tool_setup_spark.queries.batch63 import q331_windowed_funnel
+
+    r = q331_windowed_funnel(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per: dict = {}
+    for e in ev:
+        per.setdefault(e["user_id"], []).append((e["ts"], e["event_type"]))
+    n_users = len(per)
+    sv = sc = sp = 0
+    for u, items in per.items():
+        views = [t for t, et in items if et == "view"]
+        if not views:
+            continue
+        sv += 1
+        v = min(views)
+        clicks = [
+            t
+            for t, et in items
+            if et == "click" and t > v and (t - v).total_seconds() <= 1800
+        ]
+        if not clicks:
+            continue
+        sc += 1
+        c = min(clicks)
+        buys = [
+            t
+            for t, et in items
+            if et == "purchase" and t > c and (t - c).total_seconds() <= 1800
+        ]
+        if buys:
+            sp += 1
+    assert (r["n_users"], r["step_view"], r["step_click_30m"], r["step_purchase_30m"]) == (
+        n_users,
+        sv,
+        sc,
+        sp,
+    )
+    assert r["step_view"] >= r["step_click_30m"] >= r["step_purchase_30m"]
+
+
+def test_join_cardinality_estimate_sane(spark):
+    from python_tool_setup_spark.queries.batch63 import (
+        q332_join_cardinality_estimate,
+    )
+
+    r = q332_join_cardinality_estimate(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert r["exact_rows"] == li  # every line has its order
+    assert r["estimated_rows"] % 16 == 0
+    # universe sampling keeps variance low on uniform keys
+    assert r["rel_err_micro"] <= 500_000
+
+
+def test_ppjoin_equals_bruteforce(spark):
+    from python_tool_setup_spark.queries.batch64 import (
+        _shingles,
+        q333_ppjoin_similarity,
+    )
+
+    got = {
+        (r["d1"], r["d2"]): (r["n_inter"], r["jaccard_micro"])
+        for r in q333_ppjoin_similarity(spark, SF_DIR).collect()
+    }
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = _shingles(d.selectExpr("doc_id", "text")).collect()
+    sets: dict = {}
+    for r in toks:
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    ids = sorted(sets)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            union = len(sets[a] | sets[b])
+            if 5 * inter >= 3 * union:
+                brute[(a, b)] = (inter, round(inter / union * 1e6))
+    assert got == brute  # prefix filter lost nothing, added nothing
