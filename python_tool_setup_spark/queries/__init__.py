@@ -144,6 +144,7 @@ def all_queries() -> dict[str, Query]:
         batch62,
         batch63,
         batch64,
+        batch65,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1115,3 +1115,48 @@ def test_ppjoin_equals_bruteforce(spark):
             if 5 * inter >= 3 * union:
                 brute[(a, b)] = (inter, round(inter / union * 1e6))
     assert got == brute  # prefix filter lost nothing, added nothing
+
+
+def test_contribution_shares_sum_to_one(spark):
+    from python_tool_setup_spark.queries.batch65 import q334_contribution_analysis
+
+    rows = q334_contribution_analysis(spark, SF_DIR).collect()
+    assert rows
+    total_delta = sum(r["delta_cents"] for r in rows)
+    assert total_delta == sum(r["rev2_cents"] - r["rev1_cents"] for r in rows)
+    share_sum = sum(r["share_of_change_micro"] for r in rows)
+    assert abs(share_sum - 1_000_000) <= len(rows)  # rounding only
+    ranks = sorted(r["impact_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_mix_shift_identity(spark):
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries.batch65 import (
+        q335_mix_shift_decomposition,
+    )
+
+    rows = q335_mix_shift_decomposition(spark, SF_DIR).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    p1 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    p2 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+
+    def rate(df):
+        n = df.count()
+        u = df.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        return u / n
+
+    overall_delta = rate(p2) - rate(p1)
+    decomposed = sum(
+        r["within_effect_micro"] + r["mix_effect_micro"] for r in rows
+    )
+    # the decomposition identity: effects sum to the overall rate delta
+    assert abs(decomposed - overall_delta * 1e6) <= 2 * len(rows)
