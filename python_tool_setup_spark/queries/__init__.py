@@ -145,6 +145,7 @@ def all_queries() -> dict[str, Query]:
         batch63,
         batch64,
         batch65,
+        batch66,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1160,3 +1160,51 @@ def test_mix_shift_identity(spark):
     )
     # the decomposition identity: effects sum to the overall rate delta
     assert abs(decomposed - overall_delta * 1e6) <= 2 * len(rows)
+
+
+def test_rolling_backtest_reference(spark):
+    import datetime
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch66 import q336_rolling_backtest
+
+    rows = {r["horizon"]: r for r in q336_rolling_backtest(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    jan1 = datetime.date(2024, 1, 1)
+    daily: Counter = Counter()
+    for e in ev:
+        daily[(e["event_type"], (e["ts"].date() - jan1).days)] += 1
+    for h in (1, 2, 3):
+        errs = []
+        for origin in range(14, 26):
+            t = origin + h
+            for et in {k[0] for k in daily}:
+                if (et, t) in daily and (et, t - 7) in daily:
+                    errs.append(abs(daily[(et, t)] - daily[(et, t - 7)]))
+        r = rows[h]
+        assert r["n_evals"] == len(errs)
+        assert r["sum_abs_err"] == sum(errs)
+        assert abs(r["mae_micro"] - round(sum(errs) / len(errs) * 1e6)) <= 1
+
+
+def test_freshness_sla_reference(spark):
+    import datetime
+
+    from python_tool_setup_spark.queries.batch66 import q337_freshness_sla
+
+    rows = {r["event_type"]: r for r in q337_freshness_sla(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    as_of = datetime.datetime(2024, 1, 31)
+    per: dict = {}
+    for e in ev:
+        mx, n24, n = per.get(e["event_type"], (None, 0, 0))
+        mx = e["ts"] if mx is None or e["ts"] > mx else mx
+        if e["ts"] >= as_of - datetime.timedelta(hours=24):
+            n24 += 1
+        per[e["event_type"]] = (mx, n24, n + 1)
+    for et, (mx, n24, n) in per.items():
+        r = rows[et]
+        lag = (int(as_of.timestamp()) - int(mx.timestamp())) // 60
+        assert r["lag_minutes"] == lag
+        assert (r["rows_last_24h"], r["rows_total"]) == (n24, n)
+        assert r["sla_breached"] == (lag > 2880)
