@@ -146,6 +146,7 @@ def all_queries() -> dict[str, Query]:
         batch64,
         batch65,
         batch66,
+        batch67,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

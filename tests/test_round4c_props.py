@@ -1208,3 +1208,43 @@ def test_freshness_sla_reference(spark):
         assert r["lag_minutes"] == lag
         assert (r["rows_last_24h"], r["rows_total"]) == (n24, n)
         assert r["sla_breached"] == (lag > 2880)
+
+
+def test_centroid_cosine_vs_numpy(spark):
+    import numpy as np
+
+    from python_tool_setup_spark.queries.batch67 import (
+        q338_centroid_cosine_matrix,
+        q339_cluster_compactness,
+    )
+
+    got = {
+        (r["l1"], r["l2"]): r["cos_micro"]
+        for r in q338_centroid_cosine_matrix(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        )
+    sums = {l: np.sum(vs, axis=0) for l, vs in by_label.items()}
+    labels = sorted(sums)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            cos = float(
+                sums[a] @ sums[b]
+                / (np.linalg.norm(sums[a]) * np.linalg.norm(sums[b]))
+            )
+            assert abs(got[(a, b)] - round(cos * 1e6)) <= 1
+    comp = {r["label"]: r for r in q339_cluster_compactness(spark, SF_DIR).collect()}
+    for l, vs in by_label.items():
+        n = len(vs)
+        c = sums[l] / n
+        avg_sq = float(np.mean([np.sum((v - c) ** 2) for v in vs])) / 1e12
+        r = comp[l]
+        assert r["n_vectors"] == n
+        assert abs(r["avg_sq_dist_micro"] - round(avg_sq * 1e6)) <= 2
+        norm = float(np.linalg.norm(c)) / 1e6
+        assert abs(r["centroid_norm_micro"] - round(norm * 1e6)) <= 2
