@@ -91,7 +91,12 @@ def _shingles(d: DataFrame) -> DataFrame:
 )
 def q333_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = _shingles(d)
+    # The shingle relation feeds FOUR consumers (sizes, df table,
+    # ranked prefixes, both verification sides); without pinning it,
+    # each consumer re-runs the explode+distinct shuffle. Persist is
+    # the right call at any scale (it's the algorithm's working set);
+    # bench hygiene clears cache per gate.
+    toks = _shingles(d).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tab = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
