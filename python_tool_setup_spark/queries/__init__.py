@@ -147,6 +147,7 @@ def all_queries() -> dict[str, Query]:
         batch65,
         batch66,
         batch67,
+        batch68,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1248,3 +1248,63 @@ def test_centroid_cosine_vs_numpy(spark):
         assert abs(r["avg_sq_dist_micro"] - round(avg_sq * 1e6)) <= 2
         norm = float(np.linalg.norm(c)) / 1e6
         assert abs(r["centroid_norm_micro"] - round(norm * 1e6)) <= 2
+
+
+def test_mann_kendall_reference(spark):
+    import datetime
+    import math
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch68 import q340_mann_kendall
+
+    rows = {r["event_type"]: r for r in q340_mann_kendall(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    jan1 = datetime.date(2024, 1, 1)
+    daily: dict = {}
+    for e in ev:
+        daily.setdefault(e["event_type"], Counter())[
+            (e["ts"].date() - jan1).days
+        ] += 1
+    for et, c in daily.items():
+        xs = [c[d] for d in sorted(c)]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tc = Counter(xs)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in tc.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) / math.sqrt(var)
+        r = rows[et]
+        assert (r["n_days"], r["s_stat"]) == (n, s)
+        assert abs(r["z_micro"] - round(z * 1e6)) <= 1
+
+
+def test_theil_sen_reference(spark):
+    import datetime
+    from collections import Counter
+
+    from python_tool_setup_spark.queries.batch68 import q341_theil_sen
+
+    rows = {r["event_type"]: r for r in q341_theil_sen(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    jan1 = datetime.date(2024, 1, 1)
+    daily: dict = {}
+    for e in ev:
+        daily.setdefault(e["event_type"], Counter())[
+            (e["ts"].date() - jan1).days
+        ] += 1
+    for et, c in daily.items():
+        ds = sorted(c)
+        slopes = sorted(
+            round((c[ds[j]] - c[ds[i]]) / (ds[j] - ds[i]) * 1e6)
+            for i in range(len(ds))
+            for j in range(i + 1, len(ds))
+        )
+        n = len(slopes)
+        lower_median = slopes[(n + 1) // 2 - 1]
+        r = rows[et]
+        assert r["n_slopes"] == n
+        assert r["theil_sen_slope_micro"] == lower_median
