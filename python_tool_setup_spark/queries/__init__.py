@@ -148,6 +148,7 @@ def all_queries() -> dict[str, Query]:
         batch66,
         batch67,
         batch68,
+        batch69,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

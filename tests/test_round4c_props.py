@@ -1308,3 +1308,75 @@ def test_theil_sen_reference(spark):
         r = rows[et]
         assert r["n_slopes"] == n
         assert r["theil_sen_slope_micro"] == lower_median
+
+
+def test_mantel_haenszel_reference(spark):
+    from python_tool_setup_spark.queries.batch69 import q342_mantel_haenszel
+
+    r = q342_mantel_haenszel(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = {
+        x["c_custkey"]: x["c_mktsegment"]
+        for x in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    cells: dict = {}
+    for x in o:
+        seg = c[x["o_custkey"]]
+        e = 1 if x["o_orderkey"] % 2 == 0 else 0
+        y = 1 if x["o_orderpriority"] == "1-URGENT" else 0
+        a, b, cc, d = cells.get(seg, (0, 0, 0, 0))
+        if e and y:
+            a += 1
+        elif e:
+            b += 1
+        elif y:
+            cc += 1
+        else:
+            d += 1
+        cells[seg] = (a, b, cc, d)
+    assert r["n_strata"] == len(cells)
+    ta = sum(v[0] for v in cells.values())
+    tb = sum(v[1] for v in cells.values())
+    tc = sum(v[2] for v in cells.values())
+    td = sum(v[3] for v in cells.values())
+    crude = (ta * td) / (tb * tc)
+    assert abs(r["crude_or_micro"] - round(crude * 1e6)) <= 1
+    num = sum(round(a * d / (a + b + cc + d) * 1e9) for a, b, cc, d in cells.values())
+    den = sum(round(b * cc / (a + b + cc + d) * 1e9) for a, b, cc, d in cells.values())
+    assert abs(r["mh_or_micro"] - round(num / den * 1e6)) <= 1
+
+
+def test_shapley_attribution_efficiency(spark):
+    from python_tool_setup_spark.queries.batch69 import (
+        _CHANNELS,
+        q343_shapley_attribution,
+    )
+
+    rows = {r["channel"]: r for r in q343_shapley_attribution(spark, SF_DIR).collect()}
+    assert set(rows) == set(_CHANNELS)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    fp: dict = {}
+    for e in ev:
+        if e["event_type"] == "purchase":
+            fp[e["user_id"]] = min(fp.get(e["user_id"], e["ts"]), e["ts"])
+    touch: dict = {}
+    users = set()
+    for e in ev:
+        users.add(e["user_id"])
+        if e["event_type"] == "purchase":
+            continue
+        if e["user_id"] not in fp or e["ts"] < fp[e["user_id"]]:
+            touch.setdefault(e["user_id"], set()).add(e["event_type"])
+    from collections import Counter
+
+    n_set: Counter = Counter()
+    conv_set: Counter = Counter()
+    for u in users:
+        key = ",".join(sorted(touch.get(u, set())))
+        n_set[key] += 1
+        conv_set[key] += 1 if u in fp else 0
+    v = {k: round(conv_set[k] / n_set[k] * 1e9) for k in n_set}
+    full = ",".join(sorted(_CHANNELS))
+    # efficiency: 24 * (v(full) - v(empty)) == sum of phi24
+    phi24_sum = sum(r["phi24_nano"] for r in rows.values())
+    assert phi24_sum == 24 * (v.get(full, 0) - v.get("", 0))
