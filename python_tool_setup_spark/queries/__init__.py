@@ -149,6 +149,7 @@ def all_queries() -> dict[str, Query]:
         batch67,
         batch68,
         batch69,
+        batch70,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

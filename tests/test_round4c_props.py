@@ -1380,3 +1380,46 @@ def test_shapley_attribution_efficiency(spark):
     # efficiency: 24 * (v(full) - v(empty)) == sum of phi24
     phi24_sum = sum(r["phi24_nano"] for r in rows.values())
     assert phi24_sum == 24 * (v.get(full, 0) - v.get("", 0))
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    from python_tool_setup_spark.queries.batch70 import (
+        _BUDGET,
+        q344_largest_remainder,
+    )
+
+    rows = q344_largest_remainder(spark, SF_DIR).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["allocated"] for r in rows) == _BUDGET
+    for r in rows:
+        # quota property: allocation within 1 of the exact proportion
+        exact = _BUDGET * r["n_docs"] / total_docs
+        assert exact - 1 < r["allocated"] < exact + 1
+        assert r["floor_quota"] == (_BUDGET * r["n_docs"]) // total_docs
+
+
+def test_date_spine_gaps_reference(spark):
+    import datetime
+
+    from python_tool_setup_spark.queries.batch70 import q345_date_spine_gaps
+
+    r = q345_date_spine_gaps(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    days = set()
+    n_orders = 0
+    for x in o:
+        d = x["o_orderdate"].date()
+        if datetime.date(1995, 1, 1) <= d <= datetime.date(1995, 12, 31):
+            days.add(d)
+            n_orders += 1
+    spine = [
+        datetime.date(1995, 1, 1) + datetime.timedelta(days=i) for i in range(365)
+    ]
+    gaps = [d for d in spine if d not in days]
+    assert r["n_days"] == 365
+    assert r["n_gap_days"] == len(gaps)
+    assert r["n_orders"] == n_orders
+    if gaps:
+        assert (r["first_gap_day"], r["last_gap_day"]) == (gaps[0], gaps[-1])
+    else:
+        assert r["first_gap_day"] is None and r["last_gap_day"] is None
