@@ -193,13 +193,23 @@ def all_queries() -> dict[str, Query]:
     }
     fresh = {k: v for k, v in _REGISTRY.items() if k not in sampled_ever}
     # Within the never-sampled tier, surface the highest-value gate
-    # families first (full TPC-H shape suite + the stream-join matrix)
-    # so they earn official rows before long-tail utility gates.
+    # families first so they earn official rows before long-tail
+    # utility gates.  Round-5 tier (r3 tier — TPC-H + stream-join
+    # matrix — is fully sampled): LLM-pipeline flagships (provenance,
+    # leakage, DSIR, dedup/ANN variants, corpus e2e), eval metrics,
+    # exact-similarity + scale-pattern gates.
+    _PRIORITY_PREFIXES = (
+        # LLM corpus-pipeline flagships
+        "q242_", "q243_", "q251_", "q252_", "q256_", "q257_", "q258_",
+        "q259_", "q262_", "q267_", "q268_", "q269_", "q270_", "q271_",
+        # eval-metric family
+        "q302_", "q305_", "q308_", "q309_", "q310_", "q311_",
+        # exact-similarity join + warehouse/scale patterns
+        "q333_", "q283_", "q284_", "q285_", "q287_", "q263_",
+        "q224_", "q228_", "q273_", "q313_", "q282_",
+    )
     priority = {
-        k: v
-        for k, v in fresh.items()
-        if k.startswith(("q161_", "q181_", "q182_", "q192_", "q221_", "q253_"))
-        or any(k.startswith(f"q{n}_") for n in range(208, 221))
+        k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)
     }
     fresh_rest = {k: v for k, v in fresh.items() if k not in priority}
     green = {
