@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg, prefix_rank
+
 
 def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC-AUC via the Mann-Whitney rank-sum identity with
@@ -29,17 +31,10 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     grp = df.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(label_col).alias("cnt_pos")
     )
-    cum = grp.select(
-        "s",
-        "cnt",
-        "cnt_pos",
-        (
-            F.sum("cnt").over(
-                Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-            )
-            - F.col("cnt")
-        ).alias("cnt_lt"),
-    )
+    # exclusive prefix over the distinct-score histogram — block-offset
+    # decomposition, so even millions of distinct float scores never
+    # funnel one partition (no unpartitioned window in the plan)
+    cum = prefix_agg(grp, [("s", "asc")], {"cnt_lt": ("sum", "cnt")})
     agg = cum.agg(
         F.sum(F.col("cnt_pos") * (2 * F.col("cnt_lt") + F.col("cnt") + 1)).alias(
             "sum_r2"
@@ -75,14 +70,11 @@ def average_precision(
     hist = scored.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("cnt_pos")
     )
-    wh = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    offsets = hist.select(
-        "s",
-        (F.sum("cnt").over(wh) - F.col("cnt")).alias("cnt_gt"),
-        (F.sum("cnt_pos").over(wh) - F.col("cnt_pos")).alias("pos_gt"),
-    )
+    offsets = prefix_agg(
+        hist,
+        [("s", "desc")],
+        {"cnt_gt": ("sum", "cnt"), "pos_gt": ("sum", "cnt_pos")},
+    ).select("s", "cnt_gt", "pos_gt")
     joined = scored.join(F.broadcast(offsets), "s")
     wb = Window.partitionBy("s").orderBy("_id")
     wbc = wb.rowsBetween(Window.unboundedPreceding, 0)
@@ -125,12 +117,11 @@ def ndcg_at_k(
     nano-quantized. Returns one row: dcg_nano, idcg_nano,
     ndcg_micro."""
 
-    def _dcg(order, alias: str) -> DataFrame:
-        top = df.orderBy(*order).limit(k)
-        ranked = top.select(
-            F.col(gain_col).alias("g"),
-            F.row_number().over(Window.orderBy(*order)).alias("r"),
-        )
+    def _dcg(sort_col: str, alias: str) -> DataFrame:
+        top = df.orderBy(F.col(sort_col).desc(), F.col(id_col)).limit(k)
+        ranked = prefix_rank(
+            top, [(sort_col, "desc"), (id_col, "asc")], alias="r"
+        ).select(F.col(gain_col).alias("g"), "r")
         term = F.round(
             F.col("g").cast("double")
             / F.log2((F.col("r") + 1).cast("double"))
@@ -138,8 +129,8 @@ def ndcg_at_k(
         ).cast("long")
         return ranked.agg(F.sum(term).alias(alias))
 
-    dcg = _dcg([F.col(score_col).desc(), F.col(id_col)], "dcg_nano")
-    idcg = _dcg([F.col(gain_col).desc(), F.col(id_col)], "idcg_nano")
+    dcg = _dcg(score_col, "dcg_nano")
+    idcg = _dcg(gain_col, "idcg_nano")
     return dcg.crossJoin(F.broadcast(idcg)).select(
         F.col("dcg_nano").cast("long").alias("dcg_nano"),
         F.col("idcg_nano").cast("long").alias("idcg_nano"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -171,12 +171,12 @@ def q222_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "tok")
-    # rank window runs over the aggregated token domain (vocabulary
-    # candidates), not the corpus; K bounds the broadcast side
+    # distributed TakeOrdered top-K over the aggregated token domain
+    # (vocabulary candidates), not the corpus; K bounds the broadcast
+    # side and no single-partition rank window opens
     vocab = (
-        train_counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _VOCAB_K)
+        train_counts.orderBy(F.col("n").desc(), "tok")
+        .limit(_VOCAB_K)
         .select("tok")
     )
     val = toks.filter(F.col("split") == "val")

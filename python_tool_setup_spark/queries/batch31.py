@@ -183,8 +183,6 @@ _DSIR_K = 50  # docs selected
     "like a BPE merge table (q175).",
 )
 def q257_dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -210,12 +208,12 @@ def q257_dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    wall = Window.partitionBy()
+    base = src.join(tgt, "b", "left").na.fill({"c_t": 0})
+    tots = base.agg(
+        F.sum("c_t").alias("t_tot"), F.sum("c_s").alias("s_tot")
+    )
     weights = (
-        src.join(tgt, "b", "left")
-        .na.fill({"c_t": 0})
-        .withColumn("t_tot", F.sum("c_t").over(wall))
-        .withColumn("s_tot", F.sum("c_s").over(wall))
+        base.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(

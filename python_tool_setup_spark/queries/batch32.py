@@ -179,8 +179,6 @@ _PSI_BUCKETS = 10
     "passes, nothing else.",
 )
 def q261_psi_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     bucket = (
         F.least(F.col("n_chars"), F.lit(1999)) * _PSI_BUCKETS / F.lit(2000)
@@ -198,12 +196,10 @@ def q261_psi_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("nc"))
     )
-    wall = Window.partitionBy()
+    base = ob.join(nb, "b", "full_outer").na.fill({"oc": 0, "nc": 0})
+    tots = base.agg(F.sum("oc").alias("ot"), F.sum("nc").alias("nt"))
     j = (
-        ob.join(nb, "b", "full_outer")
-        .na.fill({"oc": 0, "nc": 0})
-        .withColumn("ot", F.sum("oc").over(wall))
-        .withColumn("nt", F.sum("nc").over(wall))
+        base.crossJoin(F.broadcast(tots))
         .select(
             "b",
             ((F.col("oc") + 1.0) / (F.col("ot") + _PSI_BUCKETS)).alias("p"),

@@ -185,19 +185,28 @@ def q264_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pins the argmax day (deterministic day tie-break).",
 )
 def q265_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    wall = Window.partitionBy()
-    target = F.round(F.lit(1000.0) * F.avg("x").over(wall)).cast("long")
-    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    pre = daily.withColumn("t", target).withColumn(
-        "s", F.sum(F.lit(1000) * F.col("x") - F.col("t")).over(wcum)
+    tgt = daily.agg(
+        F.round(F.lit(1000.0) * F.avg("x")).cast("long").alias("t")
     )
-    cu = pre.withColumn("cusum_milli", F.col("s") - F.min("s").over(wcum))
+    dev = daily.crossJoin(F.broadcast(tgt)).withColumn(
+        "d", F.lit(1000) * F.col("x") - F.col("t")
+    )
+    # two chained block-offset prefixes over the daily aggregate: the
+    # cumulative deviation s, then its running minimum — no global
+    # window even when the day domain grows to decades
+    pre = prefix_agg(dev, [("day", "asc")], {"s_before": ("sum", "d")})
+    pre = pre.withColumn("s", F.col("s_before") + F.col("d"))
+    cu = prefix_agg(pre, [("day", "asc")], {"min_before": ("min", "s")})
+    cu = cu.withColumn(
+        "cusum_milli",
+        F.col("s") - F.least(F.coalesce("min_before", F.col("s")), F.col("s")),
+    )
     return (
         cu.orderBy(F.col("cusum_milli").desc(), "day")
         .limit(1)

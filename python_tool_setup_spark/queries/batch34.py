@@ -93,8 +93,6 @@ from python_tool_setup_spark.tables import load_table
     "bounded broadcast metadata.",
 )
 def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from python_tool_setup_spark.llm.pipeline import train_val_test_split
 
     # 1-in-2 doc shard: the filter's semantics (train-only LM, unseen
@@ -115,12 +113,15 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wall = Window.partitionBy()
-    nll = lm.select(
+    tots = lm.agg(
+        F.sum("c").alias("t_total"),
+        (F.count(F.lit(1)) + 1).alias("v"),
+    )
+    nll = lm.crossJoin(F.broadcast(tots)).select(
         "tok",
         F.col("c"),
-        F.sum("c").over(wall).alias("t_total"),
-        (F.count(F.lit(1)).over(wall) + 1).alias("v"),
+        "t_total",
+        "v",
     ).select(
         "tok",
         F.round(

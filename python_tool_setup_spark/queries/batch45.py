@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -89,14 +90,14 @@ def q294_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
         ).agg(F.count(F.lit(1)).alias("nxy"))
     )
+    n_tot = joint.agg(F.sum("nxy").alias("n"))
     marg = joint.select(
         "x",
         "y",
         "nxy",
         F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
         F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
-        F.sum("nxy").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(n_tot))
     nd = F.col("n").cast("double")
     pxy = F.col("nxy").cast("double") / nd
     mi_term = F.round(
@@ -114,9 +115,7 @@ def q294_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _marg_entropy(key: str, out: str) -> DataFrame:
         m = joint.groupBy(key).agg(F.sum("nxy").alias("nk"))
-        m = m.select(
-            "nk", F.sum("nk").over(Window.partitionBy()).alias("n")
-        )
+        m = m.crossJoin(F.broadcast(m.agg(F.sum("nk").alias("n"))))
         p = F.col("nk").cast("double") / F.col("n").cast("double")
         t = F.round(-p * F.log(p) * 1000000000.0).cast("long")
         return m.select(t.alias("t")).agg(F.sum("t").alias(out))
@@ -207,23 +206,17 @@ def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "doc_id")
         .limit(_TOPN)
     )
-    rank_a = cand_a.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
-        .alias("r_a"),
-    )
+    rank_a = prefix_rank(
+        cand_a, [("tf", "desc"), ("doc_id", "asc")], alias="r_a"
+    ).select("doc_id", "r_a")
     cand_b = (
         d.select("doc_id", "n_chars")
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .limit(_TOPN)
     )
-    rank_b = cand_b.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
-        .alias("r_b"),
-    )
+    rank_b = prefix_rank(
+        cand_b, [("n_chars", "desc"), ("doc_id", "asc")], alias="r_b"
+    ).select("doc_id", "r_b")
     part = (
         F.coalesce(
             F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_a")).cast("double"), F.lit(0.0)

@@ -7,7 +7,7 @@ columns).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -196,10 +196,10 @@ def q299_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy()
+    tot = digits.agg(F.sum("n").alias("total"))
     p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
-    base = digits.select(
-        "d", "n", F.sum("n").over(w).alias("total"), p.alias("p")
+    base = digits.crossJoin(F.broadcast(tot)).select(
+        "d", "n", "total", p.alias("p")
     )
     nd = F.col("n").cast("double")
     td = F.col("total").cast("double")
@@ -214,10 +214,11 @@ def q299_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p") * 1000000000.0).cast("long").alias("p_benford_nano"),
         chi_term.alias("chi2_term_micro"),
     )
-    return terms.select(
+    chi_tot = terms.agg(F.sum("chi2_term_micro").alias("_chi_tot"))
+    return terms.crossJoin(F.broadcast(chi_tot)).select(
         F.col("d").alias("digit"),
         F.col("n").cast("long").alias("n_obs"),
         "p_benford_nano",
         "chi2_term_micro",
-        F.sum("chi2_term_micro").over(w).cast("long").alias("chi2_total_micro"),
+        F.col("_chi_tot").cast("long").alias("chi2_total_micro"),
     ).orderBy("digit")

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -180,10 +181,9 @@ def q301_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = freq.orderBy(F.col("n").desc(), "w").limit(_ZIPF_TOP)
-    ranked = top.select(
-        "n",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), "w")).alias("r"),
-    )
+    ranked = prefix_rank(
+        top, [("n", "desc"), ("w", "asc")], alias="r"
+    ).select("n", "r")
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1000000000.0)
         .cast("long")

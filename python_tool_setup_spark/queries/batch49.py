@@ -7,9 +7,10 @@ the size HISTOGRAM so it never needs a global sort of keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -126,16 +127,12 @@ def q303_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
     hist = sizes.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
-    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "x",
-        "m",
-        (F.sum("m").over(wcum) - F.col("m")).alias("a"),
-        F.sum("m").over(wall).alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("m")).over(wall).alias(
-            "total"
-        ),
+    tot = hist.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("m")).alias("total"),
+    )
+    cum = prefix_agg(hist, [("x", "asc")], {"a": ("sum", "m")}).crossJoin(
+        F.broadcast(tot)
     )
     agg = cum.agg(
         F.sum(

@@ -7,9 +7,10 @@ the one-pass distributed weighted sample, md5-derandomized).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -81,18 +82,22 @@ def q306_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("s"),
     )
-    w_ord = Window.orderBy("s", "source")
-    w_all = Window.partitionBy()
-    ordd = tok.select(
+    tots = tok.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").alias("total")
+    )
+    pre = prefix_agg(
+        tok,
+        [("s", "asc"), ("source", "asc")],
+        {"i0": ("count", None), "cum_ex": ("sum", "s")},
+    )
+    ordd = pre.crossJoin(F.broadcast(tots)).select(
         "source",
         "n_docs",
         "s",
-        F.row_number().over(w_ord).alias("i"),
-        F.sum("s").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("s").over(w_all).alias("total"),
+        (F.col("i0") + 1).alias("i"),
+        (F.col("cum_ex") + F.col("s")).alias("cum"),
+        "n",
+        "total",
     )
     feasible = ordd.filter(
         F.col("cum") + F.col("s") * (F.col("n") - F.col("i")) <= _BUDGET
@@ -184,12 +189,6 @@ def q307_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         lnkey.alias("lnkey_nano"),
     )
     top = keyed.orderBy(F.col("lnkey_nano").desc(), "doc_id").limit(_SAMPLE_K)
-    return top.select(
-        "doc_id",
-        "w",
-        "lnkey_nano",
-        F.row_number()
-        .over(Window.orderBy(F.col("lnkey_nano").desc(), "doc_id"))
-        .cast("long")
-        .alias("rk"),
-    )
+    return prefix_rank(
+        top, [("lnkey_nano", "desc"), ("doc_id", "asc")], alias="rk"
+    ).select("doc_id", "w", "lnkey_nano", F.col("rk").cast("long").alias("rk"))

@@ -8,7 +8,7 @@ two-snapshot churn).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -191,22 +191,24 @@ def q311_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").cast("long").alias("fn"),
         f1.alias("f1_micro_units"),
     )
-    w = Window.partitionBy()
-    return per_class.select(
+    tots = per_class.agg(
+        F.sum("f1_micro_units").alias("_sf1"),
+        F.count(F.lit(1)).alias("_nc"),
+        F.sum("tp").alias("_stp"),
+        F.sum("fp").alias("_sfp"),
+    )
+    return per_class.crossJoin(F.broadcast(tots)).select(
         F.col("c").alias("class"),
         "tp",
         "fp",
         "fn",
         "f1_micro_units",
-        F.round(
-            F.sum("f1_micro_units").over(w).cast("double")
-            / F.count(F.lit(1)).over(w).cast("double")
-        )
+        F.round(F.col("_sf1").cast("double") / F.col("_nc").cast("double"))
         .cast("long")
         .alias("macro_f1_micro"),
         F.round(
-            F.sum("tp").over(w).cast("double")
-            / (F.sum("tp").over(w) + F.sum("fp").over(w)).cast("double")
+            F.col("_stp").cast("double")
+            / (F.col("_stp") + F.col("_sfp")).cast("double")
             * 1000000.0
         )
         .cast("long")

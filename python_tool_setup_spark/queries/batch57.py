@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -144,16 +145,13 @@ def q320_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
     hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
-    wh = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    offsets = prefix_agg(
+        hist, [("s", "desc")], {"cnt_gt": ("sum", "cnt")}
+    ).select("s", "cnt_gt")
+    n_tot = hist.agg(F.sum("cnt").alias("n"))
+    joined = scored.join(F.broadcast(offsets), "s").crossJoin(
+        F.broadcast(n_tot)
     )
-    wall = Window.partitionBy()
-    offsets = hist.select(
-        "s",
-        (F.sum("cnt").over(wh) - F.col("cnt")).alias("cnt_gt"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    joined = scored.join(F.broadcast(offsets), "s")
     wb = Window.partitionBy("s").orderBy("doc_id")
     ranked = joined.select(
         "y",
@@ -167,15 +165,18 @@ def q320_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
     )
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("n_pos").alias("pt"))
-    out = agg.crossJoin(F.broadcast(tot))
+    out = prefix_agg(
+        agg.crossJoin(F.broadcast(tot)),
+        [("decile", "asc")],
+        {"pos_before": ("sum", "n_pos")},
+    )
     rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
     base = F.col("pt").cast("double") / F.col("nt").cast("double")
-    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return out.select(
         F.col("decile").cast("long").alias("decile"),
         F.col("n").cast("long").alias("n"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.round(rate * 1000000.0).cast("long").alias("rate_micro"),
         F.round(rate / base * 1000000.0).cast("long").alias("lift_micro"),
-        F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+        (F.col("pos_before") + F.col("n_pos")).cast("long").alias("cum_pos"),
     ).orderBy("decile")

@@ -7,9 +7,10 @@ beside q294's column-level MI).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -118,11 +119,10 @@ def q321_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = subjects.groupBy("t").agg(
         F.count(F.lit(1)).alias("total"), F.sum("converted").alias("d")
     )
-    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = risk.select(
-        "t", "d", F.sum("total").over(wdesc).alias("n_at_risk")
+    cum = prefix_agg(
+        risk, [("t", "desc")], {"later_total": ("sum", "total")}
+    ).select(
+        "t", "d", (F.col("later_total") + F.col("total")).alias("n_at_risk")
     )
     # the extinction day (d == n_at_risk) would be ln(0): flag it and
     # pin survival to exactly 0 from that day on instead of sending
@@ -145,11 +145,17 @@ def q321_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lnterm.alias("lnterm_nano"),
         extinct.alias("extinct"),
     )
-    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    surv = F.when(F.max("extinct").over(wasc) == 1, F.lit(0)).otherwise(
+    terms = prefix_agg(
+        terms,
+        [("t", "asc")],
+        {"ln_before": ("sum", "lnterm_nano"), "ext_before": ("max", "extinct")},
+    )
+    ext_upto = F.greatest(F.coalesce("ext_before", F.lit(0)), F.col("extinct"))
+    surv = F.when(ext_upto == 1, F.lit(0)).otherwise(
         F.round(
             F.exp(
-                F.sum("lnterm_nano").over(wasc).cast("double") / 1000000000.0
+                (F.col("ln_before") + F.col("lnterm_nano")).cast("double")
+                / 1000000000.0
             )
             * 1000000.0
         ).cast("long")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -80,14 +81,15 @@ def q323_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Block-offset population quintile: rank = block offset +
         within-block row_number, score = 5*(rank-1) div n."""
         hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        order = F.col(col).desc() if descending else F.col(col)
-        wh = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-        offsets = hist.select(
-            col,
-            (F.sum("cnt").over(wh) - F.col("cnt")).alias("_off"),
-            F.sum("cnt").over(Window.partitionBy()).alias("_n"),
+        offsets = prefix_agg(
+            hist,
+            [(col, "desc" if descending else "asc")],
+            {"_off": ("sum", "cnt")},
+        ).select(col, "_off")
+        n_tot = hist.agg(F.sum("cnt").alias("_n"))
+        joined = df.join(F.broadcast(offsets), col).crossJoin(
+            F.broadcast(n_tot)
         )
-        joined = df.join(F.broadcast(offsets), col)
         wb = Window.partitionBy(col).orderBy("user_id")
         rank = F.col("_off") + F.row_number().over(wb)
         return (

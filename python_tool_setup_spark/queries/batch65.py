@@ -7,9 +7,10 @@ shape every metrics platform reimplements).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -79,7 +80,12 @@ def q334_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = seg.agg(F.sum(F.col("rev2") - F.col("rev1")).alias("total_delta"))
     out = seg.crossJoin(F.broadcast(tot))  # 1-row scalar attach
     delta = F.col("rev2") - F.col("rev1")
-    return out.select(
+    ranked = prefix_rank(
+        out.withColumn("_absd", F.abs(delta)),
+        [("_absd", "desc"), ("segment", "asc")],
+        alias="impact_rank",
+    )
+    return ranked.select(
         "segment",
         F.col("rev1").cast("long").alias("rev1_cents"),
         F.col("rev2").cast("long").alias("rev2_cents"),
@@ -89,10 +95,7 @@ def q334_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("share_of_change_micro"),
-        F.row_number()
-        .over(Window.orderBy(F.abs(delta).desc(), "segment"))
-        .cast("long")
-        .alias("impact_rank"),
+        F.col("impact_rank").cast("long").alias("impact_rank"),
     ).orderBy("impact_rank")
 
 

@@ -7,9 +7,10 @@ finds the days a fact table silently skipped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -66,16 +67,12 @@ def q344_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"div({_BUDGET} * n, t)").alias("floor_q"),
         ((F.lit(_BUDGET) * F.col("n")) % F.col("t")).alias("rem"),
     )
-    w = Window.orderBy(F.col("rem").desc(), "lang")
-    wall = Window.partitionBy()
-    ranked = quotas.select(
-        "lang",
-        "n",
-        "floor_q",
-        "rem",
-        F.row_number().over(w).alias("rk"),
-        (F.lit(_BUDGET) - F.sum("floor_q").over(wall)).alias("leftover"),
+    floors = quotas.agg(
+        (F.lit(_BUDGET) - F.sum("floor_q")).alias("leftover")
     )
+    ranked = prefix_rank(
+        quotas, [("rem", "desc"), ("lang", "asc")], alias="rk"
+    ).crossJoin(F.broadcast(floors))
     return ranked.select(
         "lang",
         F.col("n").cast("long").alias("n_docs"),

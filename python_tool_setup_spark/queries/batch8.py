@@ -565,8 +565,6 @@ _CMS_W = 1024  # counters per row
     "answers 'how often is key x' for ANY key.",
 )
 def q166_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events").select("user_id")
     cells = ev.select(
         "user_id",
@@ -589,16 +587,9 @@ def q166_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     total = ev.count()
-    top5 = (
-        exact.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("n").desc(), F.col("user_id"))
-            ),
-        )
-        .filter(F.col("rk") <= 5)
-        .drop("rk")
-    )
+    # distributed TakeOrdered top-5 over the per-user aggregate — no
+    # single-partition rank window
+    top5 = exact.orderBy(F.col("n").desc(), F.col("user_id")).limit(5)
     # probe: min over the d cells each key hashes into
     probes = top5.select(
         "user_id",
