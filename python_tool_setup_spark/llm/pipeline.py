@@ -130,9 +130,11 @@ def mix_weights(
     rebalance a corpus toward the target mix.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_rows"))
-    total_w = Window.partitionBy()
-    counts = counts.withColumn(
-        "actual_share", F.col("group_rows") / F.sum("group_rows").over(total_w)
+    tots = counts.agg(
+        F.sum("group_rows").alias("_tot"), F.count(F.lit(1)).alias("_ng")
+    )
+    counts = counts.crossJoin(F.broadcast(tots)).withColumn(
+        "actual_share", F.col("group_rows") / F.col("_tot")
     )
     if target_shares:
         entries = [
@@ -142,7 +144,7 @@ def mix_weights(
             F.element_at(F.create_map(*entries), F.col(group_col)), F.lit(0.0)
         )
     else:
-        tgt = F.lit(1.0) / F.count(F.lit(1)).over(total_w)
+        tgt = F.lit(1.0) / F.col("_ng")
     return counts.withColumn("weight", tgt / F.col("actual_share")).select(
         group_col,
         "group_rows",
@@ -276,14 +278,12 @@ def temperature_resample(
     """
     exponent = 1.0 / float(temperature) - 1.0
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    w_all = Window.partitionBy()
-    probs = counts.select(
+    top = counts.agg(F.max(F.pow("_n", F.lit(exponent))).alias("_pmax"))
+    probs = counts.crossJoin(F.broadcast(top)).select(
         group_col,
-        F.round(
-            F.pow("_n", F.lit(exponent))
-            / F.max(F.pow("_n", F.lit(exponent))).over(w_all),
-            6,
-        ).alias("keep_p"),
+        F.round(F.pow("_n", F.lit(exponent)) / F.col("_pmax"), 6).alias(
+            "keep_p"
+        ),
     )
     return df.join(F.broadcast(probs), group_col).filter(
         hash_bucket(key_col) < F.col("keep_p") * HASH_MOD
@@ -367,18 +367,15 @@ def assign_global_ids(
     window partition, and nothing funnels through a single partition —
     the failure mode of ``ROW_NUMBER() OVER (ORDER BY ...)`` at scale.
     """
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
     chunked = df.withColumn(
         "_chunk", (F.col(order_col) / chunk_size).cast("bigint")
     )
     counts = chunked.groupBy("_chunk").agg(F.count(F.lit(1)).alias("_cn"))
-    w_off = (
-        Window.partitionBy()
-        .orderBy("_chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "_chunk", F.coalesce(F.sum("_cn").over(w_off), F.lit(0)).alias("_off")
-    )
+    offsets = prefix_agg(
+        counts, [("_chunk", "asc")], {"_off": ("sum", "_cn")}
+    ).select("_chunk", "_off")
     w_in = Window.partitionBy("_chunk").orderBy(order_col)
     return (
         chunked.join(F.broadcast(offsets), "_chunk")

@@ -173,21 +173,27 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     dominates too), so checking the minima suffices.
 
     PRECONDITION: the distinct-``x`` domain must be bounded (q223
-    uses p_size, ~50 values) — the per-x table is broadcast and its
-    prefix-min window is unpartitioned, so a near-unique continuous
-    ``x`` must be quantized first (bucketize, then skyline the
-    buckets and refine within the shortlist). ``__ymin`` /
-    ``__prefix_min`` are reserved column names (same convention as
-    ``dedup_by_keys``'s ``__rn``).
+    uses p_size, ~50 values) — the per-x minima table is broadcast
+    back to the fact side. The prefix-min itself is the distributed
+    block-offset prefix (operators/blockrank.py), so even a large
+    distinct-x domain never funnels one partition; only the
+    broadcast requires boundedness (quantize a near-unique
+    continuous ``x`` first: bucketize, skyline the buckets, refine
+    within the shortlist). ``__ymin`` / ``__prefix_min`` are
+    reserved column names (same convention as ``dedup_by_keys``'s
+    ``__rn``).
     """
     # NULL-x groups are excluded from the minima table (they would
     # sort NULLS-FIRST into the prefix window and poison it); MIN(y)
     # ignores NULL y, so null-y rows never lower a group's minimum.
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
     per_x = df.filter(F.col(x).isNotNull()).groupBy(x).agg(
         F.min(y).alias("__ymin")
     )
-    w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
-    fronts = per_x.withColumn("__prefix_min", F.min("__ymin").over(w))
+    fronts = prefix_agg(
+        per_x, [(x, "asc")], {"__prefix_min": ("min", "__ymin")}
+    )
     # Single pass: LEFT join keeps NULL-x rows (null keys never match)
     # and the has_null arm keeps every NULL-coordinate row; non-null
     # rows survive on the minima test.

@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.staging import staging_dir
 from python_tool_setup_spark.tables import load_table
@@ -40,17 +41,33 @@ from python_tool_setup_spark.tables import load_table
     doc="NTILE equal-frequency bucketing (the feature-binning / "
     "equal-depth-histogram primitive: deciles of order value with "
     "per-bucket bounds). Deterministic under the (price, key) "
-    "tie-break; a single global sort window — the one-key window is "
-    "the documented scale boundary (like q47's exact percentiles), "
-    "with q97's mergeable quantile-sketch cutoffs as the 100 TB "
-    "path for the same binning.",
+    "tie-break. The Spark plan opens NO global window: ranks come "
+    "from the distributed block-offset rank (operators/"
+    "blockrank.py) and the bucket is NTILE's exact closed form — "
+    "the first n%b buckets take div(n,b)+1 rows, the rest "
+    "div(n,b) — so the plan survives a table no single task could "
+    "sort. The DuckDB oracle uses plain NTILE; agreeing with it "
+    "proves the closed form IS ntile.",
 )
 def q176_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = prefix_rank(
+        o.select("o_totalprice", "o_orderkey"),
+        [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        alias="rk",
+    )
+    n_tot = o.agg(F.count(F.lit(1)).alias("n"))
+    deciled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN rk <= (n % 10) * (div(n, 10) + 1) "
+            "THEN div(rk - 1, div(n, 10) + 1) + 1 "
+            "ELSE (n % 10) + div(rk - (n % 10) * (div(n, 10) + 1) - 1, "
+            "div(n, 10)) + 1 END"
+        ),
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),

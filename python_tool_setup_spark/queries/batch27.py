@@ -11,9 +11,10 @@ survives 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -136,18 +137,19 @@ _SN_WINDOW = 3
     "documented trade-off). Spark generates the neighborhood by "
     "exploding each record to its covering rank offsets and "
     "equi-joining on the offset — one shuffle, candidates bounded "
-    "at 2w+1 per record, never all-pairs. (The global ROW_NUMBER is "
-    "rank-domain work; at extreme scale substitute a "
-    "range-partitioned rank — neighborhood semantics unchanged.) "
+    "at 2w+1 per record, never all-pairs. The rank itself is the "
+    "range-partitioned block-offset rank (operators/blockrank.py), "
+    "so no step funnels one partition. "
     "Both engines verify every emitted pair <= 1 edit.",
 )
 def q240_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _dirty_customers(spark, sf_dir)
-    ranked = u.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.regexp_replace("c_name", "0", ""), "c_custkey")
-        ),
+    # rank-domain work via the distributed block-offset rank (no
+    # single-partition window even on a billion-record universe)
+    ranked = prefix_rank(
+        u,
+        [(F.regexp_replace("c_name", "0", ""), "asc"), ("c_custkey", "asc")],
+        alias="rk",
     )
     a = ranked.filter(F.col("c_custkey") >= 0).select(
         F.col("c_custkey").alias("clean_key"),

@@ -78,7 +78,9 @@ def _shingles(d: DataFrame) -> DataFrame:
     "tiebreak) and only the first n - ceil(t*n) + 1 tokens — "
     "kept as exact integers, (3n+4) div 5 — generate candidates "
     "(two sets with Jaccard >= t MUST share a prefix token: the "
-    "pigeonhole bound from Chaudhuri/Xiao et al.); candidates "
+    "pigeonhole bound from Chaudhuri/Xiao et al.), and the PPJoin "
+    "length filter prunes size-incompatible pairs in the same join "
+    "(J >= 3/5 forces 5*min(n1,n2) >= 3*max(n1,n2)); candidates "
     "then verify with full intersection counts and the integer "
     "cross-multiplied threshold 5c >= 3(n1+n2-c) — no FP in the "
     "filter at all. The DuckDB oracle brute-forces ALL "
@@ -111,14 +113,21 @@ def q333_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("n") - F.expr(f"div({_T_NUM} * n + 4, {_T_DEN})") + 1
-    ).select("doc_id", "sh")
+    ).select("doc_id", "sh", "n")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # length filter: J >= 3/5 forces 5*min(n1,n2) >= 3*max(n1,n2)
+    # (even full containment of the smaller set cannot reach the
+    # threshold otherwise) — sizes ride the prefix rows, so the prune
+    # happens inside candidate generation, before the distinct and
+    # long before the verification join
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (_T_DEN * F.col("a.n") >= _T_NUM * F.col("b.n"))
+            & (_T_DEN * F.col("b.n") >= _T_NUM * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")

@@ -115,32 +115,70 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    doc="Exact grouped percentiles (continuous interpolation — Spark "
-    "percentile == DuckDB quantile_cont); parallel per group key. "
-    "SCALE BOUNDARY (like q37's exact top-k): exact percentile buffers "
-    "each group's values in one task, so keep it off default 100 TB "
-    "paths — the sketch path (approx_percentile, q67's accuracy gate) "
-    "is the scale story, with this as its exactness reference.",
+    doc="Exact grouped percentiles (continuous interpolation — "
+    "matches DuckDB quantile_cont) WITHOUT buffering raw values: "
+    "the data collapses to a per-(group, value) count histogram, a "
+    "window PARTITIONED by group accumulates cumulative counts over "
+    "the distinct-value domain, and the straddling order statistics "
+    "v[floor(k)], v[ceil(k)] for k=(n-1)p are picked out and "
+    "interpolated v_lo + frac*(v_hi - v_lo) — the same formula both "
+    "engines use, ROUND(4) absorbing the last-ulp difference. "
+    "Scale: per-task state is the distinct-value histogram of one "
+    "group, not its row buffer; the sketch path (approx_percentile, "
+    "q67's accuracy gate) remains the default at 100 TB, with this "
+    "as its exactness reference.",
 )
 def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    # one percentile aggregate with an array of percentages — a single
-    # per-group value buffer instead of three
-    pcts = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95))
+    hist = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wgrp = Window.partitionBy("l_returnflag")
+    wcum = wgrp.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "l_returnflag",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("before"),
+        F.sum("cnt").over(wgrp).alias("n"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("__p"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "l_returnflag",
-            F.round(F.col("__p")[0], 4).alias("median_price"),
-            F.round(F.col("__p")[1], 4).alias("p25_price"),
-            F.round(F.col("__p")[2], 4).alias("p95_price"),
-            "n",
+
+    def bounds(pct: float, tag: str):
+        # k/lo/hi are constant within a group (they depend only on n)
+        k = (F.col("n") - 1).cast("double") * F.lit(pct)
+        lo = F.floor(k).cast("long")
+        hi = F.least(F.col("n") - 1, lo + 1)
+        covers = lambda i: (F.col("before") <= i) & (
+            i < F.col("before") + F.col("cnt")
         )
-        .orderBy("l_returnflag")
+        return [
+            F.max(F.when(covers(lo), F.col("v"))).alias(f"_lo_{tag}"),
+            F.max(F.when(covers(hi), F.col("v"))).alias(f"_hi_{tag}"),
+        ]
+
+    def interp(pct: float, tag: str, out: str):
+        k = (F.col("n") - 1).cast("double") * F.lit(pct)
+        frac = k - F.floor(k).cast("long").cast("double")
+        v = F.col(f"_lo_{tag}") + frac * (
+            F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}")
+        )
+        return F.round(v, 4).alias(out)
+
+    agg = cum.groupBy("l_returnflag").agg(
+        *bounds(0.5, "p50"),
+        *bounds(0.25, "p25"),
+        *bounds(0.95, "p95"),
+        F.sum("cnt").alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        interp(0.5, "p50", "median_price"),
+        interp(0.25, "p25", "p25_price"),
+        interp(0.95, "p95", "p95_price"),
+        "n",
+    ).orderBy("l_returnflag")
 
 
 _EXISTS_SQL = """
