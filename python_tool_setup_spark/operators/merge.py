@@ -35,6 +35,15 @@ class MergeKeyError(ValueError):
     """Duplicate merge keys in source (Delta would raise the same)."""
 
 
+class ConcurrentMergeError(RuntimeError):
+    """A touched bucket changed between this merge's read and its
+    promote — the optimistic-concurrency conflict Delta raises as
+    ConcurrentAppend/DeleteException (reference ``framework.py:227-231``
+    relies on Delta's check; the parquet-bucket fallback reproduces it
+    at bucket granularity). Disjoint-bucket writers never see it; the
+    loser of an overlapping race must re-run (replay is a fixpoint)."""
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -134,6 +143,7 @@ def merge_upsert_bucketed(
     num_buckets: int,
     fmt: str = "parquet",
     source_dedup_order: Sequence | None = None,
+    on_staged=None,
 ) -> list[int]:
     """MERGE into a bucket-partitioned target touching ONLY the buckets
     the source hashes into; returns the rewritten bucket ids.
@@ -149,19 +159,38 @@ def merge_upsert_bucketed(
     Each touched bucket is promoted with a metadata-only dir rename;
     replaying the same source is a fixpoint per bucket, so a failure
     between bucket promotes is repaired by rerunning the merge.
+
+    Optimistic concurrency (Delta's writer-conflict model at bucket
+    granularity): the file listing of every touched bucket is snapshot
+    at read time and re-checked immediately before that bucket's
+    promote; a mismatch raises :class:`ConcurrentMergeError` before
+    the stale result overwrites the other writer's commit. Two merges
+    into DISJOINT bucket sets therefore both commit; overlapping
+    writers conflict detectably. ``on_staged`` (optional) runs after
+    the staging write and before any promote — a commit-hook seam for
+    metrics and for deterministic conflict tests.
     """
     import uuid
 
-    from python_tool_setup_spark.sources.fs import path_exists, replace_dir
+    from python_tool_setup_spark.sources.fs import (
+        list_files,
+        path_exists,
+        replace_dir,
+    )
+
+    def _fingerprint(bucket: int):
+        bdir = f"{target_path}/{BUCKET_COL}={bucket}"
+        if not path_exists(spark, bdir):
+            return None
+        return sorted((name, size) for name, size, _ in list_files(spark, bdir))
 
     keys = list(keys)
     src = source.withColumn(BUCKET_COL, bucket_of(keys, num_buckets))
     touched = sorted(
         r[0] for r in src.select(BUCKET_COL).distinct().collect()
     )
-    existing = [
-        b for b in touched if path_exists(spark, f"{target_path}/{BUCKET_COL}={b}")
-    ]
+    read_state = {b: _fingerprint(b) for b in touched}
+    existing = [b for b in touched if read_state[b] is not None]
     if existing:
         tgt = (
             spark.read.format(fmt)
@@ -180,14 +209,23 @@ def merge_upsert_bucketed(
             merged = dedup_by_keys(merged, keys, source_dedup_order)
     staging = f"{target_path.rstrip('/')}__mstage_{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy(BUCKET_COL).mode("overwrite").format(fmt).save(staging)
+    if on_staged is not None:
+        on_staged()
+    from python_tool_setup_spark.sources.fs import delete_path
+
+    conflicts = [b for b in touched if _fingerprint(b) != read_state[b]]
+    if conflicts:
+        delete_path(spark, staging)
+        raise ConcurrentMergeError(
+            f"buckets {conflicts} changed since this merge read them; "
+            "another writer committed first — re-run the merge"
+        )
     for b in touched:
         replace_dir(
             spark,
             f"{staging}/{BUCKET_COL}={b}",
             f"{target_path}/{BUCKET_COL}={b}",
         )
-    from python_tool_setup_spark.sources.fs import delete_path
-
     delete_path(spark, staging)
     return touched
 

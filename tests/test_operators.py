@@ -208,3 +208,72 @@ def test_resample_gapfill_locf(spark):
     assert out[1]["n_events"] == 0 and out[1]["sum_value"] == 0.0
     assert out[1]["carry_avg"] == 3.0   # carried from hour 0 (mean of 2,4)
     assert out[2]["carry_avg"] == 10.0
+
+
+def test_bucketed_merge_concurrent_disjoint_and_conflict(spark, tmp_path):
+    """Delta-style optimistic concurrency at bucket granularity
+    (reference framework.py:227-231 leans on Delta's writer-conflict
+    check): two merges into DISJOINT bucket sets both commit; a writer
+    whose touched bucket was rewritten between its read and its
+    promote raises ConcurrentMergeError and leaves the winner's commit
+    intact."""
+    import pytest
+
+    from python_tool_setup_spark.operators.merge import (
+        ConcurrentMergeError,
+        bucket_of,
+        merge_upsert_bucketed,
+        read_bucketed_target,
+        write_bucketed_target,
+    )
+
+    target = str(tmp_path / "btc")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_bucketed_target(base, target, ["k"], num_buckets=8)
+
+    # group candidate keys by their bucket so the test controls overlap
+    probe = spark.range(0, 50).select(
+        F.col("id").alias("k"), bucket_of(["k"], 8).alias("b")
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    b1, b2 = sorted(by_bucket)[:2]
+    k1, k2 = by_bucket[b1][0], by_bucket[b2][0]
+
+    # --- disjoint buckets: interleaved writers BOTH commit ----------
+    src_a = spark.createDataFrame([(k1, 111)], ["k", "v"])
+    src_b = spark.createDataFrame([(k2, 222)], ["k", "v"])
+
+    def commit_b():
+        merge_upsert_bucketed(spark, target, src_b, ["k"], num_buckets=8)
+
+    # writer B commits while writer A sits between read and promote —
+    # disjoint buckets, so A must still succeed
+    merge_upsert_bucketed(
+        spark, target, src_a, ["k"], num_buckets=8, on_staged=commit_b
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_target(spark, target).collect()}
+    assert got[k1] == 111 and got[k2] == 222
+
+    # --- overlapping bucket: the slower writer must conflict --------
+    k1b = by_bucket[b1][1]  # same bucket as k1
+    src_c = spark.createDataFrame([(k1, 333)], ["k", "v"])
+    src_d = spark.createDataFrame([(k1b, 444)], ["k", "v"])
+
+    def commit_d():
+        merge_upsert_bucketed(spark, target, src_d, ["k"], num_buckets=8)
+
+    with pytest.raises(ConcurrentMergeError):
+        merge_upsert_bucketed(
+            spark, target, src_c, ["k"], num_buckets=8, on_staged=commit_d
+        )
+    got = {r["k"]: r["v"] for r in read_bucketed_target(spark, target).collect()}
+    # the winner's (D) commit survives; the loser's (C) values are absent
+    assert got[k1b] == 444 and got[k1] == 111
+    # and the loser's replay after the conflict is a clean fixpoint
+    merge_upsert_bucketed(spark, target, src_c, ["k"], num_buckets=8)
+    got = {r["k"]: r["v"] for r in read_bucketed_target(spark, target).collect()}
+    assert got[k1] == 333 and got[k1b] == 444

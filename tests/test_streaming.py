@@ -365,3 +365,47 @@ def test_stream_restart_recovery_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_autoloader_schema_evolution_restart_null_backfill(spark, tmp_path):
+    """Restart-from-checkpoint semantics across REPEATED additive
+    schema evolution (reference framework.py:15,184-187: cloudFiles
+    schema evolution + mergeSchema): each restart widens the registry
+    additively, history rows read back null for columns that postdate
+    them, no file is ever re-ingested (exactly-once across schema
+    changes), and a column that lands mid-sequence keeps its registered
+    type."""
+    src = str(tmp_path / "in")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    evolutions = [
+        [{"id": 1, "v": "a"}],
+        [{"id": 2, "v": "b", "c2": 20}],
+        [{"id": 3, "v": "c", "c2": 30, "c3": "x"}],
+    ]
+    seen_cols = set()
+    for i, recs in enumerate(evolutions):
+        write_json(f"{src}/f{i}.json", recs)
+        make_ingestion(spark, _stream_cfg(src, target, ckpt)).run()
+        seen_cols |= {c for r in recs for c in r}
+
+        back = spark.read.option("mergeSchema", "true").parquet(target)
+        # widened schema, exactly-once row count
+        assert seen_cols <= set(back.columns)
+        rows = {r["id"]: r.asDict() for r in back.collect()}
+        assert sorted(rows) == list(range(1, i + 2))
+        # null backfill: every column is null for rows older than it
+        if i >= 1:
+            assert rows[1]["c2"] is None and rows[2]["c2"] == 20
+        if i >= 2:
+            assert rows[1]["c3"] is None and rows[2]["c3"] is None
+            assert rows[3]["c3"] == "x"
+
+        reg = json.load(open(f"{ckpt}/_schema/schema.json"))
+        assert {f["name"] for f in reg["fields"]} == seen_cols
+
+    # a restart with NO new files after evolution is a clean no-op
+    make_ingestion(spark, _stream_cfg(src, target, ckpt)).run()
+    back = spark.read.option("mergeSchema", "true").parquet(target)
+    assert back.count() == 3
