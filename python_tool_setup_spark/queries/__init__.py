@@ -150,6 +150,9 @@ def all_queries() -> dict[str, Query]:
         batch68,
         batch69,
         batch70,
+        batch71,
+        batch72,
+        batch73,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
