@@ -153,6 +153,10 @@ def all_queries() -> dict[str, Query]:
         batch71,
         batch72,
         batch73,
+        batch74,
+        batch75,
+        batch76,
+        batch77,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS
