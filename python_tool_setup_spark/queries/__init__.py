@@ -157,6 +157,8 @@ def all_queries() -> dict[str, Query]:
         batch75,
         batch76,
         batch77,
+        batch78,
+        batch79,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -129,54 +129,22 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as its exactness reference.",
 )
 def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from python_tool_setup_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    hist = li.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("v")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    wgrp = Window.partitionBy("l_returnflag")
-    wcum = wgrp.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "l_returnflag",
-        "v",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("before"),
-        F.sum("cnt").over(wgrp).alias("n"),
+    pct = grouped_exact_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p50": 0.5, "p25": 0.25, "p95": 0.95},
     )
-
-    def bounds(pct: float, tag: str):
-        # k/lo/hi are constant within a group (they depend only on n)
-        k = (F.col("n") - 1).cast("double") * F.lit(pct)
-        lo = F.floor(k).cast("long")
-        hi = F.least(F.col("n") - 1, lo + 1)
-        covers = lambda i: (F.col("before") <= i) & (
-            i < F.col("before") + F.col("cnt")
-        )
-        return [
-            F.max(F.when(covers(lo), F.col("v"))).alias(f"_lo_{tag}"),
-            F.max(F.when(covers(hi), F.col("v"))).alias(f"_hi_{tag}"),
-        ]
-
-    def interp(pct: float, tag: str, out: str):
-        k = (F.col("n") - 1).cast("double") * F.lit(pct)
-        frac = k - F.floor(k).cast("long").cast("double")
-        v = F.col(f"_lo_{tag}") + frac * (
-            F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}")
-        )
-        return F.round(v, 4).alias(out)
-
-    agg = cum.groupBy("l_returnflag").agg(
-        *bounds(0.5, "p50"),
-        *bounds(0.25, "p25"),
-        *bounds(0.95, "p95"),
-        F.sum("cnt").alias("n"),
-    )
-    return agg.select(
+    return pct.select(
         "l_returnflag",
-        interp(0.5, "p50", "median_price"),
-        interp(0.25, "p25", "p25_price"),
-        interp(0.95, "p95", "p95_price"),
+        F.round("p50", 4).alias("median_price"),
+        F.round("p25", 4).alias("p25_price"),
+        F.round("p95", 4).alias("p95_price"),
         "n",
     ).orderBy("l_returnflag")
 

@@ -66,3 +66,108 @@ def test_cramers_v_bounds(spark):
     r = q351_cramers_v(spark, SF_DIR).collect()[0]
     assert 0 <= r["v_micro"] <= 1_000_000
     assert r["dof"] == (r["n_rows"] - 1) * (r["n_cols"] - 1)
+
+
+def test_retention_triangle_monotone_age0(spark):
+    from python_tool_setup_spark.queries.batch74 import (
+        q352_retention_triangle,
+    )
+
+    rows = q352_retention_triangle(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_active"] <= r["cohort_size"]
+        if r["age_weeks"] == 0:
+            assert r["retention_micro"] == 1_000_000
+
+
+def test_grouped_map_is_mean_of_aps(spark):
+    from python_tool_setup_spark.queries.batch74 import q353_grouped_map
+
+    rows = q353_grouped_map(spark, SF_DIR).collect()
+    aps = [r["ap_micro"] for r in rows]
+    assert all(r["map_micro"] == round(sum(aps) / len(aps)) for r in rows)
+    assert all(0 <= a <= 1_000_000 for a in aps)
+
+
+def test_fleiss_kappa_identity(spark):
+    from python_tool_setup_spark.queries.batch75 import q354_fleiss_kappa
+
+    r = q354_fleiss_kappa(spark, SF_DIR).collect()[0]
+    po, pe = r["po_micro"] / 1e6, r["pe_micro"] / 1e6
+    kappa = (po - pe) / (1 - pe)
+    assert abs(kappa * 1e6 - r["kappa_micro"]) < 5  # quantization slack
+
+
+def test_quantile_normalization_preserves_counts(spark):
+    from python_tool_setup_spark.queries.batch75 import (
+        q355_quantile_normalization,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    rows = q355_quantile_normalization(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+
+
+def test_interval_overlap_bounds(spark):
+    from python_tool_setup_spark.queries.batch76 import q356_interval_overlap
+
+    for r in q356_interval_overlap(spark, SF_DIR).collect():
+        assert 0 <= r["overlap_sec"] <= r["covered_sec"]
+
+
+def test_ngram_novelty_bounds(spark):
+    from python_tool_setup_spark.queries.batch76 import q357_ngram_novelty
+
+    r = q357_ngram_novelty(spark, SF_DIR).collect()[0]
+    assert r["novel_distinct"] <= r["val_distinct_ngrams"]
+    assert r["novel_occurrences"] <= r["val_ngram_occurrences"]
+
+
+def test_gini_split_partitions_population(spark):
+    from python_tool_setup_spark.queries.batch77 import q359_gini_split
+    from python_tool_setup_spark.tables import load_table
+
+    r = q359_gini_split(spark, SF_DIR).collect()[0]
+    d = load_table(spark, SF_DIR, "documents")
+    assert r["n_left"] + r["n_right"] == d.count()
+    assert r["n_left"] > 0 and r["n_right"] > 0
+
+
+def test_poisson_bootstrap_ci_contains_point(spark):
+    from python_tool_setup_spark.queries.batch78 import (
+        q360_poisson_bootstrap,
+    )
+
+    r = q360_poisson_bootstrap(spark, SF_DIR).collect()[0]
+    assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+    # the point estimate should sit inside a 95% bootstrap CI
+    assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+
+
+def test_dedup_savings_accounting(spark):
+    from python_tool_setup_spark.queries.batch78 import q361_dedup_savings
+    from python_tool_setup_spark.tables import load_table
+
+    rows = q361_dedup_savings(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert r["dup_docs"] == r["n_docs"] - r["n_clusters"]
+        if r["cluster_size"] == 1:
+            assert r["chars_saved"] == 0
+
+
+def test_weighted_jaccard_bounds(spark):
+    from python_tool_setup_spark.queries.batch79 import q362_weighted_jaccard
+
+    r = q362_weighted_jaccard(spark, SF_DIR).collect()[0]
+    assert r["inter_mass"] <= r["union_mass"]
+    assert 0 <= r["weighted_jaccard_micro"] <= 1_000_000
+
+
+def test_daily_bands_ordered(spark):
+    from python_tool_setup_spark.queries.batch79 import q363_daily_value_bands
+
+    for r in q363_daily_value_bands(spark, SF_DIR).collect():
+        assert r["p10"] <= r["p50"] <= r["p90"]
