@@ -159,6 +159,8 @@ def all_queries() -> dict[str, Query]:
         batch77,
         batch78,
         batch79,
+        batch80,
+        batch81,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

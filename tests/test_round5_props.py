@@ -171,3 +171,40 @@ def test_daily_bands_ordered(spark):
 
     for r in q363_daily_value_bands(spark, SF_DIR).collect():
         assert r["p10"] <= r["p50"] <= r["p90"]
+
+
+def test_srm_check_counts_partition_users(spark):
+    from python_tool_setup_spark.queries.batch80 import q364_srm_check
+
+    for r in q364_srm_check(spark, SF_DIR).collect():
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        chi2 = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
+        assert abs(chi2 * 1e6 - r["chi2_micro"]) <= 1
+
+
+def test_trending_tokens_rank_order(spark):
+    from python_tool_setup_spark.queries.batch80 import q365_trending_tokens
+
+    rows = q365_trending_tokens(spark, SF_DIR).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    lifts = [abs(r["lift_micro"]) for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_heaps_law_monotone_vocab(spark):
+    from python_tool_setup_spark.queries.batch81 import q366_heaps_law
+
+    rows = q366_heaps_law(spark, SF_DIR).collect()
+    vocabs = [r["vocab"] for r in rows]
+    assert vocabs == sorted(vocabs)  # vocab grows with tokens read
+    for r in rows:
+        assert r["vocab"] <= r["n_tokens"]
+
+
+def test_assortativity_in_pearson_range(spark):
+    from python_tool_setup_spark.queries.batch81 import (
+        q367_degree_assortativity,
+    )
+
+    r = q367_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert -1_000_000 <= r["assortativity_micro"] <= 1_000_000
