@@ -161,6 +161,8 @@ def all_queries() -> dict[str, Query]:
         batch79,
         batch80,
         batch81,
+        batch82,
+        batch83,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

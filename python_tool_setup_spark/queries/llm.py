@@ -38,6 +38,31 @@ _SQL_TOKS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 )
 
+# Shared DuckDB fragments of the stopword-vote language-ID heuristic:
+# the scored CTE and the argmax CASE, reused by q33 and the q371
+# confusion-matrix gate so both oracles are provably the same vote.
+_LANGID_SCORED_CTE = f"""    WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS INT) AS score_en,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS INT) AS score_de,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','y','un','una','es'))) AS INT) AS score_es,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','et','un','une','est'))) AS INT) AS score_fr,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('的','是','在','了','我'))) AS INT) AS score_zh
+        FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+    )"""
+
+_LANGID_CASE = """CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >  score_en AND score_de >= score_es
+              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_es >  score_en AND score_es >  score_de
+              AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >  score_en AND score_fr >  score_de
+              AND score_fr >  score_es AND score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END"""
+
 
 def _docs_with_copies(spark, sf_dir, limit=None, mutate=" zz qq"):
     """documents ∪ mutated copies (doc_id + 100000, text ⊕ suffix)."""
@@ -109,38 +134,10 @@ def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q33_language_id",
     f"""
-    WITH scored AS (
-        SELECT doc_id, lang,
-          CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','and','of','to','in','is','it'))) AS INT) AS score_en,
-          CAST(LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS INT) AS score_de,
-          CAST(LEN(LIST_FILTER(toks, t -> t IN ('el','los','las','y','un','una','es'))) AS INT) AS score_es,
-          CAST(LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','et','un','une','est'))) AS INT) AS score_fr,
-          CAST(LEN(LIST_FILTER(toks, t -> t IN ('的','是','在','了','我'))) AS INT) AS score_zh
-        FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
-    )
+{_LANGID_SCORED_CTE}
     SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
-           CASE
-             WHEN score_en >= score_de AND score_en >= score_es
-              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-             WHEN score_de >  score_en AND score_de >= score_es
-              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-             WHEN score_es >  score_en AND score_es >  score_de
-              AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
-             WHEN score_fr >  score_en AND score_fr >  score_de
-              AND score_fr >  score_es AND score_fr >= score_zh THEN 'fr'
-             ELSE 'zh'
-           END AS lang_pred,
-           (CASE
-             WHEN score_en >= score_de AND score_en >= score_es
-              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-             WHEN score_de >  score_en AND score_de >= score_es
-              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-             WHEN score_es >  score_en AND score_es >  score_de
-              AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
-             WHEN score_fr >  score_en AND score_fr >  score_de
-              AND score_fr >  score_es AND score_fr >= score_zh THEN 'fr'
-             ELSE 'zh'
-           END = lang) AS is_correct
+           {_LANGID_CASE} AS lang_pred,
+           ({_LANGID_CASE} = lang) AS is_correct
     FROM scored
     """,
     doc="Language ID (L4): deterministic stopword-vote heuristic, argmax "

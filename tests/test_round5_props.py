@@ -208,3 +208,44 @@ def test_assortativity_in_pearson_range(spark):
 
     r = q367_degree_assortativity(spark, SF_DIR).collect()[0]
     assert -1_000_000 <= r["assortativity_micro"] <= 1_000_000
+
+
+def test_repetition_loops_bounds(spark):
+    from python_tool_setup_spark.queries.batch82 import q368_repetition_loops
+
+    for r in q368_repetition_loops(spark, SF_DIR).collect():
+        assert 0 <= r["n_loopy"] <= r["n_docs"]
+        assert r["worst_repetition"] >= 1
+
+
+def test_fertility_ratio_consistency(spark):
+    from python_tool_setup_spark.queries.batch82 import (
+        q369_tokenizer_fertility,
+    )
+
+    for r in q369_tokenizer_fertility(spark, SF_DIR).collect():
+        want = round(r["total_chars"] / r["total_tokens"] * 1000)
+        assert abs(r["chars_per_token_milli"] - want) <= 1
+
+
+def test_vocab_tier_masses_sum(spark):
+    from python_tool_setup_spark.queries.batch83 import q370_vocab_tier_mix
+
+    for r in q370_vocab_tier_mix(spark, SF_DIR).collect():
+        assert (
+            r["head_mass"] + r["middle_mass"] + r["tail_mass"]
+            == r["token_mass"]
+        )
+
+
+def test_langid_confusion_rows_sum_to_actual(spark):
+    from collections import defaultdict
+
+    from python_tool_setup_spark.queries.batch83 import q371_langid_confusion
+
+    rows = q371_langid_confusion(spark, SF_DIR).collect()
+    by_actual = defaultdict(int)
+    for r in rows:
+        by_actual[r["actual"]] += r["n"]
+    for r in rows:
+        assert by_actual[r["actual"]] == r["n_actual"]
