@@ -163,6 +163,8 @@ def all_queries() -> dict[str, Query]:
         batch81,
         batch82,
         batch83,
+        batch84,
+        batch85,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -249,3 +249,53 @@ def test_langid_confusion_rows_sum_to_actual(spark):
         by_actual[r["actual"]] += r["n"]
     for r in rows:
         assert by_actual[r["actual"]] == r["n_actual"]
+
+
+def test_hhi_bounds(spark):
+    from python_tool_setup_spark.queries.batch84 import (
+        q372_source_concentration_hhi,
+    )
+
+    for r in q372_source_concentration_hhi(spark, SF_DIR).collect():
+        # HHI between 1/k and 1
+        assert r["hhi_micro"] >= round(1e6 / r["n_sources"]) - 1
+        assert r["hhi_micro"] <= 1_000_000
+        assert r["top_share_micro"] * r["n_sources"] >= r["hhi_micro"]
+
+
+def test_ctfidf_shared_terms_score_zero_or_absent(spark):
+    from python_tool_setup_spark.queries.batch84 import q373_ctfidf_keywords
+
+    rows = q373_ctfidf_keywords(spark, SF_DIR).collect()
+    # exactly top-3 per source, ranks 1..3, scores non-increasing
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_nano"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_norm_outliers_bounded(spark):
+    from python_tool_setup_spark.queries.batch85 import (
+        q374_embedding_norm_outliers,
+    )
+
+    for r in q374_embedding_norm_outliers(spark, SF_DIR).collect():
+        assert 0 <= r["n_outliers"] <= r["n_vectors"]
+        assert r["median_norm_micro"] > 0
+
+
+def test_jl_ratios_concentrate(spark):
+    from python_tool_setup_spark.queries.batch85 import (
+        q375_jl_projection_audit,
+    )
+
+    r = q375_jl_projection_audit(spark, SF_DIR).collect()[0]
+    assert r["n_pairs"] > 0
+    assert r["min_ratio_micro"] <= r["mean_ratio_micro"] <= r["max_ratio_micro"]
+    # JL with k=8: mean distortion should be within a loose band of 1
+    assert 200_000 <= r["mean_ratio_micro"] <= 5_000_000
