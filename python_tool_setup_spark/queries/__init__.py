@@ -165,6 +165,8 @@ def all_queries() -> dict[str, Query]:
         batch83,
         batch84,
         batch85,
+        batch86,
+        batch87,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

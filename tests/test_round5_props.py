@@ -299,3 +299,48 @@ def test_jl_ratios_concentrate(spark):
     assert r["min_ratio_micro"] <= r["mean_ratio_micro"] <= r["max_ratio_micro"]
     # JL with k=8: mean distortion should be within a loose band of 1
     assert 200_000 <= r["mean_ratio_micro"] <= 5_000_000
+
+
+def test_group_kfold_no_spanning_groups(spark):
+    from python_tool_setup_spark.queries.batch86 import q376_group_kfold
+
+    rows = q376_group_kfold(spark, SF_DIR).collect()
+    assert all(r["groups_spanning_folds"] == 0 for r in rows)
+    assert len(rows) == 5
+
+
+def test_time_embargo_boundaries(spark):
+    from python_tool_setup_spark.queries.batch86 import (
+        q377_time_embargo_split,
+    )
+
+    rows = {r["split"]: r for r in q377_time_embargo_split(spark, SF_DIR).collect()}
+    assert rows["train"]["last_ts"] < "2024-01-20 00:00:00"
+    if "test" in rows:
+        assert rows["test"]["first_ts"] >= "2024-01-21 00:00:00"
+    assert all(r["boundary_clean"] for r in rows.values())
+
+
+def test_oof_encoding_excludes_own_fold(spark):
+    from python_tool_setup_spark.queries.batch87 import (
+        q378_oof_target_encoding,
+    )
+    from collections import defaultdict
+
+    rows = q378_oof_target_encoding(spark, SF_DIR).collect()
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r["cat"]] += r["n_rows"]
+    for r in rows:
+        assert r["n_oof"] == tot[r["cat"]] - r["n_rows"]
+
+
+def test_label_shift_estimator_sane(spark):
+    from python_tool_setup_spark.queries.batch87 import (
+        q379_label_shift_estimate,
+    )
+
+    r = q379_label_shift_estimate(spark, SF_DIR).collect()[0]
+    # estimator must land near the true prior when shift is mild
+    assert abs(r["est_prior_micro"] - r["true_prior_micro"]) < 300_000
+    assert r["tpr_micro"] != r["fpr_micro"]  # identifiable
