@@ -167,6 +167,7 @@ def all_queries() -> dict[str, Query]:
         batch85,
         batch86,
         batch87,
+        batch88,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -344,3 +344,25 @@ def test_label_shift_estimator_sane(spark):
     # estimator must land near the true prior when shift is mild
     assert abs(r["est_prior_micro"] - r["true_prior_micro"]) < 300_000
     assert r["tpr_micro"] != r["fpr_micro"]  # identifiable
+
+
+def test_rolling_anomaly_bounds(spark):
+    from python_tool_setup_spark.queries.batch88 import (
+        q380_rolling_median_anomaly,
+    )
+
+    for r in q380_rolling_median_anomaly(spark, SF_DIR).collect():
+        assert 0 <= r["n_anomalies"] <= r["n_days"]
+        assert r["mean_daily"] > 0
+
+
+def test_referential_integrity_fixture_intact(spark):
+    from python_tool_setup_spark.queries.batch88 import (
+        q381_referential_integrity,
+    )
+
+    rows = q381_referential_integrity(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    # the generated fixture preserves referential integrity
+    assert all(r["intact"] for r in rows)
+    assert all(r["n_orphans"] == 0 for r in rows)
