@@ -168,6 +168,8 @@ def all_queries() -> dict[str, Query]:
         batch86,
         batch87,
         batch88,
+        batch89,
+        batch90,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

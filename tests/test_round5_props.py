@@ -366,3 +366,48 @@ def test_referential_integrity_fixture_intact(spark):
     # the generated fixture preserves referential integrity
     assert all(r["intact"] for r in rows)
     assert all(r["n_orphans"] == 0 for r in rows)
+
+
+def test_hll_within_bound(spark):
+    from python_tool_setup_spark.queries.batch89 import q382_hll_accuracy
+
+    rows = q382_hll_accuracy(spark, SF_DIR).collect()
+    assert rows and all(r["within_3rsd"] for r in rows)
+
+
+def test_sampling_audit_consistent(spark):
+    from python_tool_setup_spark.queries.batch89 import (
+        q383_sampling_error_audit,
+    )
+
+    r = q383_sampling_error_audit(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_sample"] < r["n_pop"]
+    assert r["within_3se"]
+    assert r["abs_err_cents"] == abs(
+        r["sample_mean_cents"] - r["pop_mean_cents"]
+    ) or abs(
+        r["abs_err_cents"]
+        - abs(r["sample_mean_cents"] - r["pop_mean_cents"])
+    ) <= 1  # rounding of means vs rounding of the diff
+
+
+def test_minhash_estimator_error_within_theory(spark):
+    from python_tool_setup_spark.queries.batch90 import (
+        q384_minhash_estimator_audit,
+    )
+
+    r = q384_minhash_estimator_audit(spark, SF_DIR).collect()[0]
+    assert r["n_pairs"] > 0
+    # k=16 minhash: sd <= 1/(2*sqrt(k)) = 0.125; mean |err| well inside
+    assert r["mean_abs_err_micro"] <= 200_000
+    assert r["max_abs_err_micro"] <= 1_000_000
+
+
+def test_shingle_width_monotone(spark):
+    from python_tool_setup_spark.queries.batch90 import (
+        q385_shingle_width_sensitivity,
+    )
+
+    rows = q385_shingle_width_sensitivity(spark, SF_DIR).collect()
+    ms = {r["shingle_n"]: r["mean_jaccard_micro"] for r in rows}
+    assert ms[2] >= ms[3] >= ms[5]
