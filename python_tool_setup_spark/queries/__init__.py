@@ -170,6 +170,8 @@ def all_queries() -> dict[str, Query]:
         batch88,
         batch89,
         batch90,
+        batch91,
+        batch92,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

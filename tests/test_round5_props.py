@@ -411,3 +411,48 @@ def test_shingle_width_monotone(spark):
     rows = q385_shingle_width_sensitivity(spark, SF_DIR).collect()
     ms = {r["shingle_n"]: r["mean_jaccard_micro"] for r in rows}
     assert ms[2] >= ms[3] >= ms[5]
+
+
+def test_peak_concurrency_bounds(spark):
+    from python_tool_setup_spark.queries.batch91 import q386_peak_concurrency
+
+    r = q386_peak_concurrency(spark, SF_DIR).collect()[0]
+    assert 1 <= r["peak_active"] <= r["n_intervals"]
+
+
+def test_lead_lag_full_grid(spark):
+    from python_tool_setup_spark.queries.batch91 import (
+        q387_lead_lag_correlation,
+    )
+
+    rows = q387_lead_lag_correlation(spark, SF_DIR).collect()
+    assert [r["lag_days"] for r in rows] == list(range(-3, 4))
+    assert all(-1_000_000 <= r["corr_micro"] <= 1_000_000 for r in rows)
+
+
+def test_weekday_index_mean_one(spark):
+    from python_tool_setup_spark.queries.batch92 import (
+        q388_weekday_seasonality,
+    )
+
+    rows = q388_weekday_seasonality(spark, SF_DIR).collect()
+    assert len(rows) <= 7
+    # day-weighted mean of the index is 1 by construction
+    tot_days = sum(r["n_days"] for r in rows)
+    wmean = sum(r["index_milli"] * r["n_days"] for r in rows) / tot_days
+    assert abs(wmean - 1000) <= 2
+    assert all(r["var_explained_micro"] <= 1_000_000 for r in rows)
+
+
+def test_attribution_totals_agree(spark):
+    from python_tool_setup_spark.queries.batch92 import (
+        q389_attribution_comparison,
+    )
+
+    rows = q389_attribution_comparison(spark, SF_DIR).collect()
+    ft = sum(r["first_touch"] for r in rows)
+    lt = sum(r["last_touch"] for r in rows)
+    lin = sum(r["linear_micro"] for r in rows)
+    # every scheme distributes exactly one conversion per journey
+    assert ft == lt
+    assert abs(lin - ft * 1_000_000) <= ft * 3  # per-touch rounding
