@@ -172,6 +172,8 @@ def all_queries() -> dict[str, Query]:
         batch90,
         batch91,
         batch92,
+        batch93,
+        batch94,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -456,3 +456,48 @@ def test_attribution_totals_agree(spark):
     # every scheme distributes exactly one conversion per journey
     assert ft == lt
     assert abs(lin - ft * 1_000_000) <= ft * 3  # per-touch rounding
+
+
+def test_bigram_entropy_positive(spark):
+    from python_tool_setup_spark.queries.batch93 import (
+        q390_bigram_lm_entropy,
+    )
+
+    r = q390_bigram_lm_entropy(spark, SF_DIR).collect()[0]
+    assert r["n_val_bigrams"] > 0
+    assert r["cross_entropy_micro"] > 0
+    # add-1 smoothing bounds entropy by ln(c1_max + V) ~ ln corpus
+    assert r["cross_entropy_micro"] < 20_000_000  # < 20 nats
+
+
+def test_coverage_curve_monotone(spark):
+    from python_tool_setup_spark.queries.batch93 import (
+        q391_vocab_coverage_curve,
+    )
+
+    rows = q391_vocab_coverage_curve(spark, SF_DIR).collect()
+    covs = [r["coverage_micro"] for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert r["covered_mass"] <= r["total_mass"]
+        if r["top_k"] >= r["vocab_size"]:
+            assert r["coverage_micro"] == 1_000_000
+
+
+def test_co_engagement_symmetric_bounds(spark):
+    from python_tool_setup_spark.queries.batch94 import (
+        q392_co_engagement_overlap,
+    )
+
+    for r in q392_co_engagement_overlap(spark, SF_DIR).collect():
+        assert r["n_both"] <= min(r["n1"], r["n2"])
+        assert 0 <= r["jaccard_micro"] <= 1_000_000
+
+
+def test_interarrival_p50_le_p90(spark):
+    from python_tool_setup_spark.queries.batch94 import (
+        q393_interarrival_percentiles,
+    )
+
+    for r in q393_interarrival_percentiles(spark, SF_DIR).collect():
+        assert 0 <= r["p50_gap_sec"] <= r["p90_gap_sec"]
