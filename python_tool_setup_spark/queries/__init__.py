@@ -174,6 +174,8 @@ def all_queries() -> dict[str, Query]:
         batch92,
         batch93,
         batch94,
+        batch95,
+        batch96,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

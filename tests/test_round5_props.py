@@ -501,3 +501,55 @@ def test_interarrival_p50_le_p90(spark):
 
     for r in q393_interarrival_percentiles(spark, SF_DIR).collect():
         assert 0 <= r["p50_gap_sec"] <= r["p90_gap_sec"]
+
+
+def test_decile_transition_conserves_customers(spark):
+    from python_tool_setup_spark.queries.batch95 import q394_decile_transition
+
+    rows = q394_decile_transition(spark, SF_DIR).collect()
+    assert rows
+    assert all(
+        1 <= r["decile_y1"] <= 10 and 1 <= r["decile_y2"] <= 10 for r in rows
+    )
+
+
+def test_revenue_concentration_monotone(spark):
+    from python_tool_setup_spark.queries.batch95 import (
+        q395_revenue_concentration,
+    )
+
+    rows = q395_revenue_concentration(spark, SF_DIR).collect()
+    shares = [r["share_micro"] for r in rows]
+    assert shares == sorted(shares)
+    for r in rows:
+        # top-p% holds at least p% of revenue (sorted by spend)
+        assert r["share_micro"] >= r["top_pct"] * 10_000 - 10_000
+
+
+def test_growth_accounting_identity(spark):
+    from python_tool_setup_spark.queries.batch96 import q396_growth_accounting
+
+    rows = q396_growth_accounting(spark, SF_DIR).collect()
+    by_week = {r["week"]: r for r in rows}
+    weeks = sorted(by_week)
+    for r in rows:
+        assert (
+            r["new_users"] + r["retained"] + r["resurrected"] == r["active"]
+        )
+    for prev, cur in zip(weeks, weeks[1:]):
+        p, c = by_week[prev], by_week[cur]
+        from datetime import date, timedelta
+
+        if date.fromisoformat(cur) - date.fromisoformat(prev) == timedelta(
+            days=7
+        ):
+            # last week's actives either retained or churned
+            assert p["active"] == c["retained"] + c["churned_in"]
+
+
+def test_stickiness_bounds(spark):
+    from python_tool_setup_spark.queries.batch96 import q397_stickiness_ratio
+
+    for r in q397_stickiness_ratio(spark, SF_DIR).collect():
+        assert r["wau"] <= r["user_days"] <= r["wau"] * 7
+        assert 142_857 <= r["stickiness_micro"] <= 1_000_000 + 1
