@@ -176,6 +176,7 @@ def all_queries() -> dict[str, Query]:
         batch94,
         batch95,
         batch96,
+        batch97,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

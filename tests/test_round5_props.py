@@ -553,3 +553,25 @@ def test_stickiness_bounds(spark):
     for r in q397_stickiness_ratio(spark, SF_DIR).collect():
         assert r["wau"] <= r["user_days"] <= r["wau"] * 7
         assert 142_857 <= r["stickiness_micro"] <= 1_000_000 + 1
+
+
+def test_value_drift_partition(spark):
+    from python_tool_setup_spark.queries.batch97 import (
+        q398_categorical_value_drift,
+    )
+
+    for r in q398_categorical_value_drift(spark, SF_DIR).collect():
+        assert (
+            r["appeared"] + r["disappeared"] + r["stable"] == r["n_values"]
+        )
+
+
+def test_idempotency_accounting(spark):
+    from python_tool_setup_spark.queries.batch97 import (
+        q399_event_idempotency_audit,
+    )
+
+    for r in q399_event_idempotency_audit(spark, SF_DIR).collect():
+        assert r["n_logical"] <= r["n_events"]
+        assert r["n_duplicates"] == r["n_events"] - r["n_logical"]
+        assert r["worst_copies"] >= 1
