@@ -177,6 +177,8 @@ def all_queries() -> dict[str, Query]:
         batch95,
         batch96,
         batch97,
+        batch98,
+        batch99,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

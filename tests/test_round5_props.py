@@ -575,3 +575,60 @@ def test_idempotency_accounting(spark):
         assert r["n_logical"] <= r["n_events"]
         assert r["n_duplicates"] == r["n_events"] - r["n_logical"]
         assert r["worst_copies"] >= 1
+
+
+def test_markov_entropy_bounds(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch98 import (
+        q400_markov_transition_entropy,
+    )
+
+    rows = q400_markov_transition_entropy(spark, SF_DIR).collect()
+    assert rows, "at least one state with outgoing transitions"
+    for r in rows:
+        # 0 <= H <= ln(fanout); fanout <= n_transitions
+        assert 1 <= r["fanout"] <= r["n_transitions"]
+        ub = round(1e9 * math.log(r["fanout"])) if r["fanout"] > 1 else 0
+        assert -r["fanout"] <= r["entropy_nano"] <= ub + r["fanout"]
+
+
+def test_business_day_latency_bounds(spark):
+    from python_tool_setup_spark.queries.batch98 import (
+        q401_business_day_latency,
+    )
+
+    for r in q401_business_day_latency(spark, SF_DIR).collect():
+        # business days never exceed calendar days and never negative
+        # (ship after order in the fixture); avg consistent with sum
+        assert r["busdays_sum"] >= 0
+        assert r["busdays_max"] >= 0
+        assert r["avg_busdays_micro"] == round(
+            1e6 * r["busdays_sum"] / r["n_lines"]
+        )
+
+
+def test_spearman_in_range(spark):
+    from python_tool_setup_spark.queries.batch99 import (
+        q402_spearman_correlation,
+    )
+
+    r = q402_spearman_correlation(spark, SF_DIR).collect()[0]
+    assert r["n"] > 0
+    assert -1_000_000 <= r["spearman_micro"] <= 1_000_000
+
+
+def test_wilson_bound_below_rate(spark):
+    from python_tool_setup_spark.queries.batch99 import (
+        q403_wilson_interval_flags,
+    )
+
+    rows = q403_wilson_interval_flags(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Wilson lower bound is <= the point estimate and >= 0; a
+        # flagged nation's bound must clear the global rate
+        assert 0 <= r["wilson_lo_micro"] <= r["rate_micro"] + 1
+        assert r["flagged"] == (
+            r["wilson_lo_micro"] > r["global_rate_micro"]
+        )
