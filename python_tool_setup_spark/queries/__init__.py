@@ -179,6 +179,9 @@ def all_queries() -> dict[str, Query]:
         batch97,
         batch98,
         batch99,
+        batch100,
+        batch101,
+        batch102,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

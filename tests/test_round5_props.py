@@ -632,3 +632,92 @@ def test_wilson_bound_below_rate(spark):
         assert r["flagged"] == (
             r["wilson_lo_micro"] > r["global_rate_micro"]
         )
+
+
+def test_twap_consistency(spark):
+    from python_tool_setup_spark.queries.batch100 import (
+        q404_time_weighted_average,
+    )
+
+    rows = q404_time_weighted_average(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["dt_ms_sum"] > 0
+        assert r["twap_micro"] == round(int(r["vw_sum"]) / r["dt_ms_sum"])
+
+
+def test_session_entry_exit_accounting(spark):
+    from python_tool_setup_spark.queries.batch100 import (
+        q405_session_entry_exit,
+    )
+
+    rows = q405_session_entry_exit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bounces"] <= r["n_sessions"]
+        assert r["events_sum"] >= r["n_sessions"]
+        # a bounce session has entry == exit (single event)
+        if r["entry_type"] != r["exit_type"]:
+            assert r["bounces"] == 0
+
+
+def test_hierarchical_shares_sum_to_one(spark):
+    from python_tool_setup_spark.queries.batch101 import (
+        q406_hierarchical_shares,
+    )
+
+    rows = q406_hierarchical_shares(spark, SF_DIR).collect()
+    assert rows
+    glob = sum(r["share_of_global_micro"] for r in rows)
+    assert abs(glob - 1_000_000) <= len(rows)  # rounding slack
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], 0)
+        by_region[r["r_name"]] += r["share_of_region_micro"]
+    for tot in by_region.values():
+        assert abs(tot - 1_000_000) <= len(rows)
+
+
+def test_approx_percentile_within_bound(spark):
+    from python_tool_setup_spark.queries.batch101 import (
+        q407_approx_percentile_audit,
+    )
+
+    r = q407_approx_percentile_audit(spark, SF_DIR).collect()[0]
+    assert r["within_bound"] is True
+    assert r["n"] > 0 and r["exact_p50"] > 0
+
+
+def test_event_trigram_counts(spark):
+    from python_tool_setup_spark.queries.batch102 import q408_event_trigrams
+
+    rows = q408_event_trigrams(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_neardup_pr_monotone(spark):
+    from python_tool_setup_spark.queries.batch102 import (
+        q409_neardup_pr_curve,
+    )
+
+    rows = q409_neardup_pr_curve(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    # raising the threshold can only shrink the predicted-positive set
+    preds = [r["pred_pos"] for r in rows]
+    assert preds == sorted(preds, reverse=True)
+    for r in rows:
+        assert r["tp"] <= min(r["pred_pos"], r["pos"])
+
+
+def test_chisq_nonnegative(spark):
+    from python_tool_setup_spark.queries.batch102 import (
+        q410_chisq_goodness_of_fit,
+    )
+
+    rows = q410_chisq_goodness_of_fit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["chisq_nano"] >= -r["df_plus_one"]  # quantization slack
+        assert 1 <= r["df_plus_one"] <= 7
