@@ -182,6 +182,7 @@ def all_queries() -> dict[str, Query]:
         batch100,
         batch101,
         batch102,
+        batch103,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -721,3 +721,39 @@ def test_chisq_nonnegative(spark):
     for r in rows:
         assert r["chisq_nano"] >= -r["df_plus_one"]  # quantization slack
         assert 1 <= r["df_plus_one"] <= 7
+
+
+def test_time_to_convert_ordering(spark):
+    from python_tool_setup_spark.queries.batch103 import (
+        q411_time_to_convert,
+    )
+
+    r = q411_time_to_convert(spark, SF_DIR).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+
+
+def test_neyman_allocation_budget(spark):
+    from python_tool_setup_spark.queries.batch103 import (
+        q412_neyman_allocation,
+    )
+
+    rows = q412_neyman_allocation(spark, SF_DIR).collect()
+    assert rows
+    share = sum(r["alloc_share_micro"] for r in rows)
+    assert abs(share - 1_000_000) <= len(rows)
+    total = sum(r["alloc_n"] for r in rows)
+    assert abs(total - 10_000) <= len(rows)
+
+
+def test_centroid_drift_bounds(spark):
+    from python_tool_setup_spark.queries.batch103 import (
+        q413_embedding_centroid_drift,
+    )
+
+    rows = q413_embedding_centroid_drift(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_old"] > 0 and r["n_new"] > 0
+        assert -1_000_000 <= r["cos_micro"] <= 1_000_001
+        assert r["shift_l2_micro"] >= 0
