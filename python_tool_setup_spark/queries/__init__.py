@@ -183,6 +183,7 @@ def all_queries() -> dict[str, Query]:
         batch101,
         batch102,
         batch103,
+        batch104,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

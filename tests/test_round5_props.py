@@ -757,3 +757,29 @@ def test_centroid_drift_bounds(spark):
         assert r["n_old"] > 0 and r["n_new"] > 0
         assert -1_000_000 <= r["cos_micro"] <= 1_000_001
         assert r["shift_l2_micro"] >= 0
+
+
+def test_lsh_band_tuning_monotone(spark):
+    from python_tool_setup_spark.queries.batch104 import (
+        q414_lsh_band_tuning,
+    )
+
+    rows = q414_lsh_band_tuning(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    # more rows per band -> stricter -> fewer collisions (weakly)
+    by_r = sorted(rows, key=lambda r: r["r"])
+    hits = [r["collided"] for r in by_r]
+    assert hits == sorted(hits, reverse=True)
+    for r in rows:
+        assert 0 <= r["collided"] <= r["n_pairs"]
+        assert 0 <= r["expected_sum_micro"] <= r["n_pairs"] * 1_000_000
+
+
+def test_partition_invariance_holds(spark):
+    from python_tool_setup_spark.queries.batch104 import (
+        q415_partition_invariance_audit,
+    )
+
+    r = q415_partition_invariance_audit(spark, SF_DIR).collect()[0]
+    assert r["layouts_agree"] is True
+    assert r["n_dedup"] > 0 and r["cents_sum"] > 0
