@@ -184,6 +184,8 @@ def all_queries() -> dict[str, Query]:
         batch102,
         batch103,
         batch104,
+        batch105,
+        batch106,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

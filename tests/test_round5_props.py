@@ -783,3 +783,69 @@ def test_partition_invariance_holds(spark):
     r = q415_partition_invariance_audit(spark, SF_DIR).collect()[0]
     assert r["layouts_agree"] is True
     assert r["n_dedup"] > 0 and r["cents_sum"] > 0
+
+
+def test_price_dispersion_ranked(spark):
+    from python_tool_setup_spark.queries.batch105 import (
+        q416_price_dispersion_topk,
+    )
+
+    rows = q416_price_dispersion_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    cvs = [r["cv_micro"] for r in rows]
+    assert cvs == sorted(cvs, reverse=True)
+    for r in rows:
+        assert r["n"] >= 3 and r["cv_micro"] >= 0
+
+
+def test_geometric_fit_mass_conservation(spark):
+    from python_tool_setup_spark.queries.batch105 import (
+        q417_geometric_fit_order_sizes,
+    )
+
+    rows = q417_geometric_fit_order_sizes(spark, SF_DIR).collect()
+    assert rows
+    n_obs = sum(r["observed"] for r in rows)
+    exp_total = sum(r["expected_micro"] for r in rows)
+    # fitted masses sum to n (tail bucket is the exact complement)
+    assert abs(exp_total - n_obs * 1_000_000) <= len(rows) * 1_000_000
+    for r in rows:
+        assert r["chisq_term_milli"] >= 0
+
+
+def test_fd_binning_positive(spark):
+    from python_tool_setup_spark.queries.batch106 import (
+        q418_fd_binning_advisor,
+    )
+
+    rows = q418_fd_binning_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["fd_width_milli"] > 0
+        assert r["fd_bins"] >= 1
+
+
+def test_user_entropy_bounds(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch106 import (
+        q419_user_behavior_entropy,
+    )
+
+    r = q419_user_behavior_entropy(spark, SF_DIR).collect()[0]
+    assert 0 <= r["single_type_users"] <= r["n_users"]
+    assert 0 <= r["mean_entropy_nano"] <= r["max_entropy_nano"]
+    assert r["max_entropy_nano"] <= round(1e9 * math.log(5)) + 5
+
+
+def test_dead_stock_accounting(spark):
+    from python_tool_setup_spark.queries.batch106 import (
+        q420_catalog_dead_stock,
+    )
+
+    rows = q420_catalog_dead_stock(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dead_parts"] <= r["n_parts"]
+        if r["dead_parts"] == 0:
+            assert r["dead_retail_cents"] == 0
