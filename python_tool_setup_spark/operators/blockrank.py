@@ -71,9 +71,18 @@ def prefix_agg(
     ``_blk`` and ``_p_<alias>`` are reserved column names.
     """
     sort = _sort_exprs(order)
+    # _blk MUST be identical for the totals pass and the per-row pass
+    # below. Normally exchange reuse guarantees that (one physical
+    # repartitionByRange feeds both), but a CACHED input defeats the
+    # reuse and the two executions re-sample range boundaries
+    # independently — different _blk assignments, silently wrong
+    # prefixes. Pin the blocked layout with its own persist in that
+    # case (the caller's cache lifetime already spans the query).
     blocked = df.repartitionByRange(n_blocks, *sort).withColumn(
         "_blk", F.spark_partition_id()
     )
+    if df.is_cached:
+        blocked = blocked.persist()
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]
     )

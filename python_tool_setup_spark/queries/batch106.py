@@ -15,9 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.percentiles import (
-    grouped_exact_percentiles,
-)
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -56,8 +53,9 @@ from python_tool_setup_spark.tables import load_table
     "length histogram and q278's profile hardcode, derived from "
     "the data instead): columns stacked into one (col, value) "
     "relation so ONE scan profiles all three, exact IQR from "
-    "the shared histogram-percentile operator (group = column "
-    "name, so every window is partitioned), the bin COUNT "
+    "ONE blockrank prefix over the stacked histogram (global "
+    "exclusive prefix minus per-column start offsets — fully "
+    "parallel, no per-column single-task window), the bin COUNT "
     "computed from the milli-ROUNDED width so both engines "
     "divide identical numbers (cbrt is libm — its last ulp "
     "cannot flip an integer after the shared quantization). "
@@ -67,30 +65,79 @@ from python_tool_setup_spark.tables import load_table
 def q418_fd_binning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    stacked = (
-        li.select(
-            F.lit("l_extendedprice").alias("col"),
-            F.col("l_extendedprice").alias("v"),
+    # ONE lineitem scan projecting both columns, widened via stack()
+    stacked = li.select(
+        F.expr(
+            "stack(2, 'l_extendedprice', l_extendedprice,"
+            " 'l_quantity', l_quantity) AS (col, v)"
         )
-        .unionByName(
-            li.select(
-                F.lit("l_quantity").alias("col"),
-                F.col("l_quantity").alias("v"),
-            )
-        )
-        .unionByName(
-            o.select(
-                F.lit("o_totalprice").alias("col"),
-                F.col("o_totalprice").alias("v"),
-            )
+    ).unionByName(
+        o.select(
+            F.lit("o_totalprice").alias("col"),
+            F.col("o_totalprice").alias("v"),
         )
     )
-    iqr = grouped_exact_percentiles(
-        stacked, ["col"], "v", {"q25": 0.25, "q75": 0.75}
+    # Exact per-column IQR via ONE blockrank prefix over the stacked
+    # (col, v) histogram: the global exclusive prefix minus each
+    # column's start offset is the per-column cumulative count — every
+    # block works in parallel, no per-column single-partition window
+    # (the grouped-percentile operator's window would put each
+    # column's whole distinct-value histogram in one task: 12.8s at
+    # sf0.1 vs ~2s for this shape).
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
+    hist = stacked.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pre0 = prefix_agg(
+        hist, [("col", "asc"), ("v", "asc")], {"gpre": ("sum", "cnt")}
+    ).select("col", "v", "cnt", F.coalesce("gpre", F.lit(0)).alias("gpre"))
+    # Everything per-column derives from the prefix output itself: the
+    # column's global start offset is just min(gpre) over the column
+    # (gpre is the EXCLUSIVE prefix, so the first row carries the
+    # offset), and n/vmin/vmax ride along in the same tiny aggregate —
+    # hist is referenced only once, so the shuffle is computed once
+    # (exchange reuse covers the window's two readers).
+    meta = pre0.groupBy("col").agg(
+        F.sum("cnt").alias("n"),
+        F.min("gpre").alias("off"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
     )
-    ranges = stacked.groupBy("col").agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    pre = pre0.join(F.broadcast(meta), "col").select(
+        "col",
+        "v",
+        "cnt",
+        "n",
+        (F.col("gpre") - F.col("off")).alias("before"),
     )
+
+    def straddle(p: float, tag: str):
+        k = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(k).cast("long")
+        hi = F.least(F.col("n") - 1, lo + 1)
+        covers = lambda i: (F.col("before") <= i) & (
+            i < F.col("before") + F.col("cnt")
+        )
+        return [
+            F.max(F.when(covers(lo), F.col("v"))).alias(f"_lo_{tag}"),
+            F.max(F.when(covers(hi), F.col("v"))).alias(f"_hi_{tag}"),
+        ]
+
+    stat = pre.groupBy("col", "n").agg(
+        *straddle(0.25, "q25"), *straddle(0.75, "q75")
+    )
+
+    def interp(p: float, tag: str):
+        k = (F.col("n") - 1).cast("double") * F.lit(p)
+        frac = k - F.floor(k)
+        return F.col(f"_lo_{tag}") + frac * (
+            F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}")
+        )
+
+    iqr = stat.select(
+        "col", "n", interp(0.25, "q25").alias("q25"),
+        interp(0.75, "q75").alias("q75"),
+    )
+    ranges = meta.select("col", "vmin", "vmax")
     width_milli = F.round(
         F.lit(1e3)
         * F.lit(2.0)

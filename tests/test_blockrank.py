@@ -87,3 +87,35 @@ def test_no_unpartitioned_window_in_plan(spark):
         if "Window" in line and "windowspecdefinition" in line:
             # every window spec in the plan must carry partition cols
             assert "_blk" in line, line
+
+
+def test_prefix_agg_cached_input_consistent(spark):
+    """Regression: a CACHED input must not break block-offset
+    consistency (two repartitionByRange executions re-sampling
+    different boundaries -> silently wrong prefixes)."""
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 7919 % 100003).alias("v"),
+        )
+        .persist()
+    )
+    try:
+        pre = prefix_agg(df, [("g", "asc"), ("v", "asc")], {"p": ("count", None)})
+        chk = pre.groupBy("g").agg(
+            F.min(F.coalesce("p", F.lit(0))).alias("mn"),
+            F.max(F.col("p") + 1).alias("mx"),
+            F.count("*").alias("n"),
+        ).orderBy("g").collect()
+        run = 0
+        for r in chk:
+            assert r["mn"] == run
+            run += r["n"]
+            assert r["mx"] == run
+    finally:
+        df.unpersist()
