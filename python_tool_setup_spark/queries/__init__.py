@@ -186,6 +186,8 @@ def all_queries() -> dict[str, Query]:
         batch104,
         batch105,
         batch106,
+        batch107,
+        batch108,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -849,3 +849,72 @@ def test_dead_stock_accounting(spark):
         assert 0 <= r["dead_parts"] <= r["n_parts"]
         if r["dead_parts"] == 0:
             assert r["dead_retail_cents"] == 0
+
+
+def test_pii_density_accounting(spark):
+    from python_tool_setup_spark.queries.batch107 import (
+        q421_pii_density_profile,
+    )
+
+    rows = q421_pii_density_profile(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["docs_with_pii"] <= r["n_docs"]
+        if r["emails"] + r["phones"] == 0:
+            assert r["docs_with_pii"] == 0 and r["pii_per_kb_micro"] == 0
+
+
+def test_consistent_hash_movement(spark):
+    from python_tool_setup_spark.queries.batch107 import (
+        q422_consistent_hash_rebalance,
+    )
+
+    rows = q422_consistent_hash_rebalance(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    total = sum(r["n_keys"] for r in rows)
+    moved = sum(r["moved_keys"] for r in rows)
+    # naive modulo resharding moves the vast majority of keys
+    assert moved / total > 0.8
+    for r in rows:
+        assert 0 <= r["moved_keys"] <= r["n_keys"]
+
+
+def test_bloom_sizing_monotone(spark):
+    from python_tool_setup_spark.queries.batch107 import (
+        q423_bloom_sizing_advisor,
+    )
+
+    rows = q423_bloom_sizing_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    ms = [r["m_bits"] for r in sorted(rows, key=lambda r: r["one_in"])]
+    assert ms == sorted(ms)  # tighter fpp -> more bits
+    for r in rows:
+        assert r["k_hashes"] >= 1 and r["m_bits"] > r["n_keys"]
+
+
+def test_simpson_counts_conserve(spark):
+    from python_tool_setup_spark.queries.batch108 import (
+        q424_simpson_reversal_detector,
+    )
+
+    rows = q424_simpson_reversal_detector(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        assert r["strata_a_gt"] + r["strata_b_gt"] <= r["n_strata"]
+
+
+def test_anomaly_consensus_bounds(spark):
+    from python_tool_setup_spark.queries.batch108 import (
+        q425_anomaly_consensus,
+    )
+
+    rows = q425_anomaly_consensus(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # consensus can't exceed any two detectors' union; each flag
+        # count is bounded by days
+        for k in ("flagged_z", "flagged_mad", "flagged_iqr"):
+            assert 0 <= r[k] <= r["n_days"]
+        assert r["consensus2"] <= (
+            r["flagged_z"] + r["flagged_mad"] + r["flagged_iqr"]
+        )
