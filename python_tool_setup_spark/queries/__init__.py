@@ -188,6 +188,8 @@ def all_queries() -> dict[str, Query]:
         batch106,
         batch107,
         batch108,
+        batch109,
+        batch110,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

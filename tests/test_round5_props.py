@@ -918,3 +918,50 @@ def test_anomaly_consensus_bounds(spark):
         assert r["consensus2"] <= (
             r["flagged_z"] + r["flagged_mad"] + r["flagged_iqr"]
         )
+
+
+def test_mde_positive(spark):
+    from python_tool_setup_spark.queries.batch109 import q426_ab_power_mde
+
+    rows = q426_ab_power_mde(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_min"] <= r["n_total"] - r["n_min"] or r["n_min"] >= 0
+        assert r["pooled_sd_micro"] >= 0
+        assert r["mde_micro"] >= 0
+
+
+def test_ht_estimator_within_5pct(spark):
+    from python_tool_setup_spark.queries.batch109 import (
+        q427_horvitz_thompson_audit,
+    )
+
+    r = q427_horvitz_thompson_audit(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_sample"] < r["n_pop"]
+    assert r["within_5pct"] is True
+
+
+def test_segment_dedup_accounting(spark):
+    from python_tool_setup_spark.queries.batch110 import (
+        q428_segment_level_dedup,
+    )
+
+    r = q428_segment_level_dedup(spark, SF_DIR).collect()[0]
+    assert r["distinct_segments"] <= r["total_segments"]
+    assert 0 <= r["reclaimable_bytes"] < r["total_bytes"]
+    assert r["cross_doc_segments"] <= r["distinct_segments"]
+
+
+def test_header_line_recon_partition(spark):
+    from python_tool_setup_spark.queries.batch110 import (
+        q429_header_line_reconciliation,
+    )
+
+    rows = q429_header_line_reconciliation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_orders"] > 0
+        if r["bucket"] == "no_lines":
+            assert r["line_cents"] == 0
+        if r["bucket"] == "header_high":
+            assert r["hdr_cents"] > r["line_cents"]
