@@ -190,6 +190,7 @@ def all_queries() -> dict[str, Query]:
         batch108,
         batch109,
         batch110,
+        batch111,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

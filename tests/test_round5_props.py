@@ -972,3 +972,28 @@ def test_header_line_recon_partition(spark):
             assert r["line_cents"] == 0
         if r["bucket"] == "header_high":
             assert r["hdr_cents"] > r["line_cents"]
+
+
+def test_qte_arms_present(spark):
+    from python_tool_setup_spark.queries.batch111 import (
+        q430_quantile_treatment_effect,
+    )
+
+    rows = q430_quantile_treatment_effect(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_control"] > 0 and r["n_treat"] > 0
+        assert r["qte_p50_micro"] is not None
+        assert r["qte_p90_micro"] is not None
+
+
+def test_activation_bounds(spark):
+    from python_tool_setup_spark.queries.batch111 import (
+        q431_activation_rate,
+    )
+
+    rows = q431_activation_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["activated"] <= r["signups"]
+        assert 0 <= r["activation_micro"] <= 1_000_000
