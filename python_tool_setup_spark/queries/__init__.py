@@ -191,6 +191,7 @@ def all_queries() -> dict[str, Query]:
         batch109,
         batch110,
         batch111,
+        batch112,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -997,3 +997,27 @@ def test_activation_bounds(spark):
     for r in rows:
         assert 0 <= r["activated"] <= r["signups"]
         assert 0 <= r["activation_micro"] <= 1_000_000
+
+
+def test_backlog_aging_buckets(spark):
+    from python_tool_setup_spark.queries.batch112 import (
+        q432_order_backlog_aging,
+    )
+
+    rows = q432_order_backlog_aging(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["o_orderstatus"] != "F"
+        assert r["age_bucket"] in ("a_0_30", "b_31_90", "c_91_plus")
+        assert r["n_orders"] > 0 and r["open_cents"] > 0
+
+
+def test_effective_rank_bounds(spark):
+    from python_tool_setup_spark.queries.batch112 import (
+        q433_embedding_effective_rank,
+    )
+
+    r = q433_embedding_effective_rank(spark, SF_DIR).collect()[0]
+    # participation ratio lies in [1, 64] for a 64-dim space
+    assert 1_000 <= r["effective_rank_milli"] <= 64_000
+    assert r["trace_milli"] > 0
