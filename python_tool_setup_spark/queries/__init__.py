@@ -192,6 +192,7 @@ def all_queries() -> dict[str, Query]:
         batch110,
         batch111,
         batch112,
+        batch113,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1021,3 +1021,29 @@ def test_effective_rank_bounds(spark):
     # participation ratio lies in [1, 64] for a 64-dim space
     assert 1_000 <= r["effective_rank_milli"] <= 64_000
     assert r["trace_milli"] > 0
+
+
+def test_duplicate_payment_window(spark):
+    from python_tool_setup_spark.queries.batch113 import (
+        q434_duplicate_payment_detection,
+    )
+
+    r = q434_duplicate_payment_detection(spark, SF_DIR).collect()[0]
+    assert r["suspect_pairs"] >= 0
+    if r["suspect_pairs"] > 0:
+        assert r["customers"] <= r["suspect_pairs"]
+        assert 0 <= r["min_gap_days"] <= r["max_gap_days"] <= 7
+
+
+def test_new_repeat_split_conserves(spark):
+    from python_tool_setup_spark.queries.batch113 import (
+        q435_new_vs_repeat_revenue,
+    )
+
+    rows = q435_new_vs_repeat_revenue(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["new_cents"] >= 0 and r["repeat_cents"] >= 0
+        assert 0 <= r["new_share_micro"] <= 1_000_000
+    # overall, both classes must appear somewhere in the timeline
+    assert any(r["new_cents"] > 0 for r in rows)
