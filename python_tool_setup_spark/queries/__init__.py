@@ -193,6 +193,7 @@ def all_queries() -> dict[str, Query]:
         batch111,
         batch112,
         batch113,
+        batch114,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

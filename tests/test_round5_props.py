@@ -1047,3 +1047,44 @@ def test_new_repeat_split_conserves(spark):
         assert 0 <= r["new_share_micro"] <= 1_000_000
     # overall, both classes must appear somewhere in the timeline
     assert any(r["new_cents"] > 0 for r in rows)
+
+
+def test_wasserstein_nonnegative(spark):
+    from python_tool_setup_spark.queries.batch114 import (
+        q436_wasserstein_drift,
+    )
+
+    r = q436_wasserstein_drift(spark, SF_DIR).collect()[0]
+    assert r["n_old"] + r["n_new"] > 0
+    assert r["emd_num"] >= 0
+    assert r["emd_bins_micro"] >= 0
+    assert r["emd_bins_micro"] <= r["n_bins"] * 1_000_000
+
+
+def test_shuffle_advisor_monotone(spark):
+    from python_tool_setup_spark.queries.batch114 import (
+        q437_shuffle_sizing_advisor,
+    )
+
+    rows = q437_shuffle_sizing_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    recs = [
+        r["recommended_partitions"]
+        for r in sorted(rows, key=lambda r: r["target_mb"])
+    ]
+    assert recs == sorted(recs, reverse=True)  # bigger target, fewer parts
+    for r in rows:
+        assert r["recommended_partitions"] >= 1
+
+
+def test_median_band_ordering(spark):
+    from python_tool_setup_spark.queries.batch114 import (
+        q438_median_confidence_band,
+    )
+
+    rows = q438_median_confidence_band(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["ci_lo_micro"] <= r["median_lo_micro"] <= r["ci_hi_micro"]
+        )
