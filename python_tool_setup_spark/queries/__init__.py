@@ -194,6 +194,7 @@ def all_queries() -> dict[str, Query]:
         batch112,
         batch113,
         batch114,
+        batch115,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

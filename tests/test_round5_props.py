@@ -1088,3 +1088,26 @@ def test_median_band_ordering(spark):
         assert (
             r["ci_lo_micro"] <= r["median_lo_micro"] <= r["ci_hi_micro"]
         )
+
+
+def test_distributed_topk_agrees(spark):
+    from python_tool_setup_spark.queries.batch115 import (
+        q439_distributed_topk_audit,
+    )
+
+    rows = q439_distributed_topk_audit(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["plans_agree"] for r in rows)
+    cents = [r["cents"] for r in rows]
+    assert cents == sorted(cents, reverse=True)
+
+
+def test_mergeable_stats_agree(spark):
+    from python_tool_setup_spark.queries.batch115 import (
+        q440_mergeable_stats_audit,
+    )
+
+    r = q440_mergeable_stats_audit(spark, SF_DIR).collect()[0]
+    assert r["merge_matches_full"] is True
+    assert r["cents_min"] <= r["cents_max"]
+    assert r["distinct_custs"] <= r["n"]
