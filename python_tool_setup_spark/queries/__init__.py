@@ -195,6 +195,8 @@ def all_queries() -> dict[str, Query]:
         batch113,
         batch114,
         batch115,
+        batch116,
+        batch117,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -64,8 +64,8 @@ def q421_pii_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = d.select(
         "source",
         "n_chars",
-        F.size(F.regexp_extract_all(low, F.lit(_EMAIL))).alias("n_email"),
-        F.size(F.regexp_extract_all(low, F.lit(_PHONE))).alias("n_phone"),
+        F.size(F.regexp_extract_all(low, F.lit(_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(low, F.lit(_PHONE), 0)).alias("n_phone"),
     )
     return (
         per_doc.groupBy("source")

@@ -1111,3 +1111,49 @@ def test_mergeable_stats_agree(spark):
     assert r["merge_matches_full"] is True
     assert r["cents_min"] <= r["cents_max"]
     assert r["distinct_custs"] <= r["n"]
+
+
+def test_watermark_sweep_monotone(spark):
+    from python_tool_setup_spark.queries.batch116 import (
+        q441_watermark_sweep_advisor,
+    )
+
+    rows = q441_watermark_sweep_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    drops = [r["dropped"] for r in sorted(rows, key=lambda r: r["delay_h"])]
+    assert drops == sorted(drops, reverse=True)  # longer delay, fewer drops
+
+
+def test_broadcast_advisor_consistent(spark):
+    from python_tool_setup_spark.queries.batch116 import (
+        q442_broadcast_advisor,
+    )
+
+    rows = q442_broadcast_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 10  # 5 tables x 2 thresholds
+    for r in rows:
+        assert r["broadcastable"] == (
+            r["est_bytes"] <= r["thresh_mb"] * 1048576
+        )
+
+
+def test_burn_rate_flag_consistent(spark):
+    from python_tool_setup_spark.queries.batch117 import q443_slo_burn_rate
+
+    rows = q443_slo_burn_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["burning"] == (r["errors"] * 100 > r["n_events"])
+        assert 0 <= r["errors"] <= r["n_events"]
+
+
+def test_readability_ranges(spark):
+    from python_tool_setup_spark.queries.batch117 import (
+        q444_readability_scores,
+    )
+
+    rows = q444_readability_scores(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["words_per_sentence_milli"] > 0
+        assert r["syllables_per_word_milli"] > 0
