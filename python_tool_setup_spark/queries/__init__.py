@@ -197,6 +197,8 @@ def all_queries() -> dict[str, Query]:
         batch115,
         batch116,
         batch117,
+        batch118,
+        batch119,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1,0 +1,231 @@
+"""Round-5 gates, batch 118: rare-category collapse (q445 — which
+long-tail values of a categorical column fall under a 0.5% support
+floor and what the collapsed OTHER bucket would hold: the
+feature-encoding prep that keeps one-hot/target encoders (q378)
+from memorizing noise) and a tail-treatment moment audit (q446 —
+skewness and excess kurtosis of order values BEFORE and AFTER
+p01/p99 winsorization: the measured evidence for what q143's
+capping actually does to the distribution's shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.operators.percentiles import (
+    grouped_exact_percentiles,
+)
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+_FLOOR_MICRO = 5_000  # 0.5% support floor
+
+
+# ---------------------------------------------------------------- q445
+@register(
+    "q445_rare_category_collapse",
+    f"""
+    WITH counts AS (
+        SELECT p_brand AS v, COUNT(*) AS c FROM part GROUP BY p_brand
+    ),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    tagged AS (
+        SELECT v, c,
+               c * 1000000 < {_FLOOR_MICRO} * (SELECT n FROM tot) AS rare
+        FROM counts
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT)
+               AS collapsed_values,
+           CAST(SUM(CASE WHEN rare THEN c ELSE 0 END) AS BIGINT)
+               AS other_bucket_rows,
+           CAST(ROUND(1e6 * SUM(CASE WHEN rare THEN c ELSE 0 END)
+               / (SELECT n FROM tot)) AS BIGINT) AS other_share_micro
+    FROM tagged
+    """,
+    doc="Rare-category collapse advisor (values of p_brand under a "
+    "0.5% support floor, counted with the OTHER bucket they'd "
+    "form — the encoding prep that keeps one-hot width bounded "
+    "and stops q378's target encoder from memorizing 3-row "
+    "categories; the floor test is CROSS-MULTIPLIED "
+    "(c*1e6 < floor*n) so no division decides membership): one "
+    "value-domain aggregate plus a broadcast total. Scale: "
+    "|values| metadata after one scan — the advisor output IS "
+    "the encoder's vocabulary spec.",
+)
+def q445_rare_category_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy(F.col("p_brand").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    tagged = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "rare", F.col("c") * 1000000 < F.lit(_FLOOR_MICRO) * F.col("n")
+    )
+    return tagged.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_values"),
+        F.sum(F.when(F.col("rare"), 1).otherwise(0))
+        .cast("long")
+        .alias("collapsed_values"),
+        F.sum(F.when(F.col("rare"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("other_bucket_rows"),
+        F.round(
+            F.lit(1e6)
+            * F.sum(F.when(F.col("rare"), F.col("c")).otherwise(0))
+            / F.max("n")
+        )
+        .cast("long")
+        .alias("other_share_micro"),
+    )
+
+
+def _moments_sql(tbl: str) -> str:
+    return f"""
+        SELECT COUNT(*) AS n,
+               SUM(CAST(v AS HUGEINT)) AS s1,
+               SUM(CAST(v AS HUGEINT) * v) AS s2,
+               SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+               SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+        FROM {tbl}
+    """
+
+
+# ---------------------------------------------------------------- q446
+@register(
+    "q446_tail_treatment_moments",
+    f"""
+    WITH vals AS (
+        SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v FROM orders
+    ),
+    hist AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+    bounds AS (
+        SELECT CAST(FLOOR(quantile_cont(v, 1e-2)) AS BIGINT) AS lo,
+               CAST(CEIL(quantile_cont(v, 99e-2)) AS BIGINT) AS hi
+        FROM vals
+    ),
+    capped AS (
+        SELECT LEAST(GREATEST(v, (SELECT lo FROM bounds)),
+                     (SELECT hi FROM bounds)) AS v
+        FROM vals
+    ),
+    raw_m AS ({_moments_sql("vals")}),
+    cap_m AS ({_moments_sql("capped")})
+    SELECT 'raw' AS variant,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(s3 AS DOUBLE)
+                   - 3e0 * n * CAST(s1 AS DOUBLE) * s2
+                   + 2e0 * CAST(s1 AS DOUBLE) * s1 * s1)
+               / (CAST(n AS DOUBLE) * n * n)
+               / pow((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)), 15e-1))
+               AS BIGINT) AS skewness_milli
+    FROM raw_m
+    UNION ALL
+    SELECT 'winsorized',
+           CAST(n AS BIGINT),
+           CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(s3 AS DOUBLE)
+                   - 3e0 * n * CAST(s1 AS DOUBLE) * s2
+                   + 2e0 * CAST(s1 AS DOUBLE) * s1 * s1)
+               / (CAST(n AS DOUBLE) * n * n)
+               / pow((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)), 15e-1))
+               AS BIGINT) AS skewness_milli
+    FROM cap_m
+    ORDER BY variant
+    """,
+    doc="Tail-treatment moment audit (population skewness of order "
+    "values RAW vs p01/p99-winsorized — the before/after "
+    "evidence for what q143's capping does to distribution "
+    "shape; a heavy right tail shows as skewness collapsing "
+    "toward 0 after capping): dollar-quantized integers, exact "
+    "HUGEINT/DECIMAL power sums (cast BEFORE multiply), the "
+    "p01/p99 bounds floor/ceil-quantized to integers so the "
+    "capped column is identical in both engines, skewness "
+    "assembled in identical double shape (pow(x, 1.5) on the "
+    "same double). Scale: two conditional-moment passes; the "
+    "percentile state is the value histogram.",
+)
+def q446_tail_treatment_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(F.round(F.col("o_totalprice")).cast("long").alias("v"))
+    # p01/p99 via the inline single-group blockrank histogram (q407)
+    hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    pre = prefix_agg(hist, [("v", "asc")], {"before": ("sum", "cnt")})
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    pre = pre.crossJoin(F.broadcast(tot)).select(
+        "v", "cnt", F.coalesce("before", F.lit(0)).alias("before"), "n"
+    )
+
+    def q_at(p: float, tag: str):
+        k = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(k).cast("long")
+        hi = F.least(F.col("n") - 1, lo + 1)
+        covers = lambda i: (F.col("before") <= i) & (
+            i < F.col("before") + F.col("cnt")
+        )
+        frac = k - F.floor(k)
+        return [
+            F.max(F.when(covers(lo), F.col("v"))).alias(f"_l{tag}"),
+            F.max(F.when(covers(hi), F.col("v"))).alias(f"_h{tag}"),
+        ]
+
+    b = pre.groupBy("n").agg(*q_at(0.01, "lo"), *q_at(0.99, "hi"))
+
+    def interp(p: float, tag: str):
+        k = (F.col("n") - 1).cast("double") * F.lit(p)
+        frac = k - F.floor(k)
+        return F.col(f"_l{tag}") + frac * (
+            F.col(f"_h{tag}") - F.col(f"_l{tag}")
+        )
+
+    bounds = b.select(
+        F.floor(interp(0.01, "lo")).cast("long").alias("lo"),
+        F.ceil(interp(0.99, "hi")).cast("long").alias("hi"),
+    )
+    dec = "decimal(38,0)"
+
+    def moments(df: DataFrame, name: str):
+        v = F.col("v").cast(dec)
+        m = df.agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * F.col("v")).alias("s2"),
+            F.sum(v * F.col("v") * F.col("v")).alias("s3"),
+        )
+        nn = F.col("n").cast("double")
+        s1 = F.col("s1").cast("double")
+        s2 = F.col("s2").cast("double")
+        s3 = F.col("s3").cast("double")
+        var = s2 / nn - (s1 / nn) * (s1 / nn)
+        skew = (
+            (nn * nn * s3 - F.lit(3.0) * F.col("n") * s1 * F.col("s2").cast("double")
+             + F.lit(2.0) * s1 * F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (nn * F.col("n") * F.col("n"))
+            / F.pow(var, F.lit(1.5))
+        )
+        return m.select(
+            F.lit(name).alias("variant"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.lit(1e3) * skew).cast("long").alias("skewness_milli"),
+        )
+
+    capped = vals.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("v")
+    )
+    return moments(vals, "raw").unionByName(
+        moments(capped, "winsorized")
+    ).orderBy("variant")

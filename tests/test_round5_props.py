@@ -1157,3 +1157,54 @@ def test_readability_ranges(spark):
     for r in rows:
         assert r["words_per_sentence_milli"] > 0
         assert r["syllables_per_word_milli"] > 0
+
+
+def test_rare_collapse_accounting(spark):
+    from python_tool_setup_spark.queries.batch118 import (
+        q445_rare_category_collapse,
+    )
+
+    r = q445_rare_category_collapse(spark, SF_DIR).collect()[0]
+    assert 0 <= r["collapsed_values"] <= r["n_values"]
+    assert 0 <= r["other_bucket_rows"] <= r["n_rows"]
+
+
+def test_winsorize_shrinks_skew(spark):
+    from python_tool_setup_spark.queries.batch118 import (
+        q446_tail_treatment_moments,
+    )
+
+    rows = {
+        r["variant"]: r
+        for r in q446_tail_treatment_moments(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"raw", "winsorized"}
+    assert rows["raw"]["n"] == rows["winsorized"]["n"]
+    # capping the tails cannot increase the magnitude of skewness
+    assert abs(rows["winsorized"]["skewness_milli"]) <= abs(
+        rows["raw"]["skewness_milli"]
+    ) + 50
+
+
+def test_apdex_accounting(spark):
+    from python_tool_setup_spark.queries.batch119 import q447_apdex_score
+
+    rows = q447_apdex_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["satisfied"] + r["tolerating"] + r["frustrated"] == r["n"]
+        assert 0 <= r["apdex_micro"] <= 1_000_000
+
+
+def test_overdispersion_flag_consistent(spark):
+    from python_tool_setup_spark.queries.batch119 import (
+        q448_overdispersion_index,
+    )
+
+    rows = q448_overdispersion_index(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["dispersion_milli"] >= 0
+        assert r["overdispersed"] == (r["dispersion_milli"] > 2000) or abs(
+            r["dispersion_milli"] - 2000
+        ) <= 1
