@@ -199,6 +199,7 @@ def all_queries() -> dict[str, Query]:
         batch117,
         batch118,
         batch119,
+        batch120,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

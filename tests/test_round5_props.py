@@ -1208,3 +1208,34 @@ def test_overdispersion_flag_consistent(spark):
         assert r["overdispersed"] == (r["dispersion_milli"] > 2000) or abs(
             r["dispersion_milli"] - 2000
         ) <= 1
+
+
+def test_partition_advisor_ordering(spark):
+    from python_tool_setup_spark.queries.batch120 import (
+        q449_partition_granularity_advisor,
+    )
+
+    rows = {
+        r["gran"]: r
+        for r in q449_partition_granularity_advisor(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"a_daily", "b_weekly", "c_monthly"}
+    # coarser granularity -> fewer partitions
+    assert (
+        rows["a_daily"]["n_partitions"]
+        >= rows["b_weekly"]["n_partitions"]
+        >= rows["c_monthly"]["n_partitions"]
+    )
+    for r in rows.values():
+        assert r["imbalance_milli"] >= 1_000  # max/avg >= 1
+
+
+def test_bcubed_bounds(spark):
+    from python_tool_setup_spark.queries.batch120 import (
+        q450_bcubed_cluster_eval,
+    )
+
+    r = q450_bcubed_cluster_eval(spark, SF_DIR).collect()[0]
+    assert r["n_items"] > 0 and r["n_items"] % 3 == 0
+    for k in ("bcubed_precision_nano", "bcubed_recall_nano"):
+        assert 0 < r[k] <= 1_000_000_000
