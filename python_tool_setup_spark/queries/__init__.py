@@ -200,6 +200,7 @@ def all_queries() -> dict[str, Query]:
         batch118,
         batch119,
         batch120,
+        batch121,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

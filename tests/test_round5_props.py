@@ -1239,3 +1239,38 @@ def test_bcubed_bounds(spark):
     assert r["n_items"] > 0 and r["n_items"] % 3 == 0
     for k in ("bcubed_precision_nano", "bcubed_recall_nano"):
         assert 0 < r[k] <= 1_000_000_000
+
+
+def test_knn_reciprocity_bounds(spark):
+    from python_tool_setup_spark.queries.batch121 import (
+        q451_knn_reciprocity,
+    )
+
+    r = q451_knn_reciprocity(spark, SF_DIR).collect()[0]
+    assert r["n_edges"] > 0
+    assert 0 <= r["mutual_edges"] <= r["n_edges"]
+    assert 0 <= r["reciprocity_micro"] <= 1_000_000
+
+
+def test_showback_tier_ordering(spark):
+    from python_tool_setup_spark.queries.batch121 import (
+        q452_storage_showback,
+    )
+
+    rows = q452_storage_showback(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["hot_cents_month_micro"] > r["cold_cents_month_micro"]
+        assert r["bytes_est"] > 0
+
+
+def test_cross_source_accounting(spark):
+    from python_tool_setup_spark.queries.batch121 import (
+        q453_cross_source_duplicates,
+    )
+
+    r = q453_cross_source_duplicates(spark, SF_DIR).collect()[0]
+    assert 0 <= r["cross_source_texts"] <= r["distinct_texts"]
+    if r["cross_source_texts"] > 0:
+        assert r["cross_source_docs"] >= 2 * r["cross_source_texts"]
+        assert r["max_sources"] >= 2
