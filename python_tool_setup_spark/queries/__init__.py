@@ -201,6 +201,7 @@ def all_queries() -> dict[str, Query]:
         batch119,
         batch120,
         batch121,
+        batch122,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1274,3 +1274,34 @@ def test_cross_source_accounting(spark):
     if r["cross_source_texts"] > 0:
         assert r["cross_source_docs"] >= 2 * r["cross_source_texts"]
         assert r["max_sources"] >= 2
+
+
+def test_ljung_box_nonnegative(spark):
+    from python_tool_setup_spark.queries.batch122 import (
+        q454_ljung_box_whiteness,
+    )
+
+    r = q454_ljung_box_whiteness(spark, SF_DIR).collect()[0]
+    assert r["n_days"] > _MAX_LAG_454()
+    assert r["term_sum_micro"] >= 0
+    assert r["lb_q_milli"] >= 0
+
+
+def _MAX_LAG_454():
+    from python_tool_setup_spark.queries.batch122 import _MAX_LAG
+
+    return _MAX_LAG
+
+
+def test_backfill_runs_structure(spark):
+    from python_tool_setup_spark.queries.batch122 import (
+        q455_backfill_ranges,
+    )
+
+    rows = q455_backfill_ranges(spark, SF_DIR).collect()
+    assert rows  # every stream has a non-empty bottom decile
+    for r in rows:
+        assert r["run_start_day"] <= r["run_end_day"]
+        assert (
+            r["run_days"] == r["run_end_day"] - r["run_start_day"] + 1
+        )
