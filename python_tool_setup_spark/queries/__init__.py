@@ -202,6 +202,7 @@ def all_queries() -> dict[str, Query]:
         batch120,
         batch121,
         batch122,
+        batch123,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

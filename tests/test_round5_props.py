@@ -1305,3 +1305,31 @@ def test_backfill_runs_structure(spark):
         assert (
             r["run_days"] == r["run_end_day"] - r["run_start_day"] + 1
         )
+
+
+def test_blocking_eval_bounds(spark):
+    from python_tool_setup_spark.queries.batch123 import (
+        q456_blocking_quality_eval,
+    )
+
+    r = q456_blocking_quality_eval(spark, SF_DIR).collect()[0]
+    assert r["n_records"] % 3 == 0
+    assert r["true_candidates"] <= min(
+        r["candidate_pairs"], r["true_pairs"]
+    )
+    assert 0 <= r["reduction_ratio_micro"] <= 1_000_000
+    assert 0 <= r["pair_completeness_micro"] <= 1_000_000
+    # first-2-token blocking keeps planted copies together: high PC
+    assert r["pair_completeness_micro"] >= 900_000
+
+
+def test_nzv_screen_consistency(spark):
+    from python_tool_setup_spark.queries.batch123 import (
+        q457_nzv_feature_screen,
+    )
+
+    rows = q457_nzv_feature_screen(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["freq_ratio_milli"] >= 1_000  # c1 >= c2
+        assert 0 < r["distinct_share_micro"] <= 1_000_000
