@@ -203,6 +203,7 @@ def all_queries() -> dict[str, Query]:
         batch121,
         batch122,
         batch123,
+        batch124,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1333,3 +1333,38 @@ def test_nzv_screen_consistency(spark):
     for r in rows:
         assert r["freq_ratio_milli"] >= 1_000  # c1 >= c2
         assert 0 < r["distinct_share_micro"] <= 1_000_000
+
+
+def test_reach_curve_monotone(spark):
+    from python_tool_setup_spark.queries.batch124 import q458_reach_curve
+
+    rows = q458_reach_curve(spark, SF_DIR).collect()
+    assert rows
+    cum = [r["cumulative_reach"] for r in rows]
+    assert cum == sorted(cum)
+    assert cum[-1] == sum(r["new_users"] for r in rows)
+
+
+def test_join_funnel_intact(spark):
+    from python_tool_setup_spark.queries.batch124 import (
+        q459_join_funnel_retention,
+    )
+
+    rows = q459_join_funnel_retention(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # the fixture warehouse is referentially intact
+        assert r["rows_lost"] == 0
+        assert r["retention_micro"] == 1_000_000
+
+
+def test_delta_encoding_bounds(spark):
+    from python_tool_setup_spark.queries.batch124 import (
+        q460_delta_encoding_advisor,
+    )
+
+    r = q460_delta_encoding_advisor(spark, SF_DIR).collect()[0]
+    assert r["n_gaps"] > 0
+    assert 1 <= r["max_gap_bits"] <= 64
+    assert 1_000 <= r["avg_gap_bits_milli"] <= 64_000
+    assert 0 <= r["savings_share_micro"] <= 1_000_000
