@@ -204,6 +204,7 @@ def all_queries() -> dict[str, Query]:
         batch122,
         batch123,
         batch124,
+        batch125,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

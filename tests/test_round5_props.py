@@ -1368,3 +1368,28 @@ def test_delta_encoding_bounds(spark):
     assert 1 <= r["max_gap_bits"] <= 64
     assert 1_000 <= r["avg_gap_bits_milli"] <= 64_000
     assert 0 <= r["savings_share_micro"] <= 1_000_000
+
+
+def test_median_heterogeneity_ordering(spark):
+    from python_tool_setup_spark.queries.batch125 import (
+        q461_median_heterogeneity,
+    )
+
+    r = q461_median_heterogeneity(spark, SF_DIR).collect()[0]
+    assert r["n_groups"] > 1
+    assert r["median_min"] <= r["median_max"]
+    assert abs(
+        r["median_range"] - (r["median_max"] - r["median_min"])
+    ) < 1e-6
+    assert r["range_over_mid_micro"] >= 0
+
+
+def test_release_gate_flag_consistent(spark):
+    from python_tool_setup_spark.queries.batch125 import (
+        q462_release_quality_gate,
+    )
+
+    r = q462_release_quality_gate(spark, SF_DIR).collect()[0]
+    assert r["orphan_lines"] == 0  # fixture is intact
+    assert 0 <= r["dup_ppm"] <= 1_000_000
+    assert 0 <= r["recon_ok_ppm"] <= 1_000_000
