@@ -205,6 +205,9 @@ def all_queries() -> dict[str, Query]:
         batch123,
         batch124,
         batch125,
+        batch126,
+        batch127,
+        batch128,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

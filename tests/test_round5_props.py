@@ -1393,3 +1393,104 @@ def test_release_gate_flag_consistent(spark):
     assert r["orphan_lines"] == 0  # fixture is intact
     assert 0 <= r["dup_ppm"] <= 1_000_000
     assert 0 <= r["recon_ok_ppm"] <= 1_000_000
+
+
+def test_ip_lpm_total_and_specificity(spark):
+    from python_tool_setup_spark.queries.batch126 import (
+        q463_ip_lpm_enrichment,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    rows = q463_ip_lpm_enrichment(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    # every event routed exactly once (LPM partitions the space)
+    assert sum(r["n_events"] for r in rows) == total
+    labels = {r["network"] for r in rows}
+    # at least one specific (site) and one broad (block) rule fire
+    assert any(s.startswith("site") for s in labels)
+    assert any(s.startswith("block") for s in labels)
+
+
+def test_fd_audit_verdicts(spark):
+    from python_tool_setup_spark.queries.batch126 import (
+        q464_functional_dependency_audit,
+    )
+
+    rows = {
+        r["fd"]: r
+        for r in q464_functional_dependency_audit(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 6
+    # snowflake FK chain and key-determined columns must hold
+    assert rows["nation.key->region"]["holds"]
+    assert rows["orders.key->date"]["holds"]
+    for r in rows.values():
+        assert 0 <= r["violation_ppm"] <= 1_000_000
+        assert r["holds"] == (r["violating_groups"] == 0)
+
+
+def test_clustering_coefficient_bounds(spark):
+    from python_tool_setup_spark.queries.batch127 import (
+        q465_clustering_coefficient,
+    )
+
+    r = q465_clustering_coefficient(spark, SF_DIR).collect()[0]
+    # each triangle closes 3 wedges: 3*tri <= wedges; ratios in [0,1]
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0 <= r["transitivity_micro"] <= 1_000_000
+    assert 0 <= r["avg_local_micro"] <= 1_000_000
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
+
+
+def test_candidate_key_verdicts(spark):
+    from python_tool_setup_spark.queries.batch127 import (
+        q466_candidate_key_discovery,
+    )
+
+    rows = {
+        r["candidate"]: r
+        for r in q466_candidate_key_discovery(spark, SF_DIR).collect()
+    }
+    assert rows["orders.o_orderkey"]["is_key"]
+    assert rows["customer.c_custkey"]["is_key"]
+    assert not rows["lineitem.l_orderkey"]["is_key"]
+    # synthetic fixture reality: linenumber repeats within orders
+    assert (
+        rows["lineitem.order+line"]["n_distinct"]
+        > rows["lineitem.l_orderkey"]["n_distinct"]
+    )
+    for r in rows.values():
+        assert 0 < r["uniqueness_ppm"] <= 1_000_000
+        assert r["is_key"] == (r["n_distinct"] == r["n_rows"])
+
+
+def test_jackknife_influence_identity(spark):
+    from python_tool_setup_spark.queries.batch128 import (
+        q467_jackknife_influence,
+    )
+
+    rows = q467_jackknife_influence(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    # weighted influences cancel: sum_j (N-n_j)*influence_j == 0
+    n = sum(r["n_orders"] for r in rows)
+    acc = sum((n - r["n_orders"]) * r["influence_cents"] for r in rows)
+    scale = sum(abs(r["influence_cents"]) for r in rows) + 1.0
+    assert abs(acc) / (n * scale) < 1e-6
+
+
+def test_dictionary_advisor_accounting(spark):
+    from python_tool_setup_spark.queries.batch128 import (
+        q468_dictionary_encoding_advisor,
+    )
+
+    rows = q468_dictionary_encoding_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert 0 < r["n_distinct"] <= r["n_rows"]
+        assert r["plain_bytes"] > 0 and r["dict_bytes"] > 0
+        assert r["recommend_dict"] == (
+            r["dict_bytes"] * 10 <= r["plain_bytes"] * 9
+        )
+        # low-cardinality flag columns must recommend dictionary
+        if r["n_distinct"] <= 10 and r["n_rows"] >= 1000:
+            assert r["recommend_dict"]
