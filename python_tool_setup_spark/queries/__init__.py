@@ -208,6 +208,8 @@ def all_queries() -> dict[str, Query]:
         batch126,
         batch127,
         batch128,
+        batch129,
+        batch130,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

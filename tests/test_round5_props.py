@@ -1494,3 +1494,63 @@ def test_dictionary_advisor_accounting(spark):
         # low-cardinality flag columns must recommend dictionary
         if r["n_distinct"] <= 10 and r["n_rows"] >= 1000:
             assert r["recommend_dict"]
+
+
+def test_permutation_test_bounds(spark):
+    from python_tool_setup_spark.queries.batch129 import (
+        q469_permutation_test,
+    )
+
+    r = q469_permutation_test(spark, SF_DIR).collect()[0]
+    assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+    assert r["n_replicates"] == 64
+    assert 0 <= r["n_exceed"] <= r["n_replicates"]
+    # MC-corrected p in [1/(B+1), 1]
+    assert 15_384 <= r["p_value_micro"] <= 1_000_000
+    # priority labels are assigned independently of price in the
+    # fixture, so the test must NOT reject at the 5% level
+    assert r["p_value_micro"] > 50_000
+
+
+def test_bin_packing_accounting(spark):
+    from python_tool_setup_spark.queries.batch129 import (
+        q470_compaction_bin_packing,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    r = q470_compaction_bin_packing(spark, SF_DIR).collect()[0]
+    assert 1 <= r["n_bins"] <= r["n_days"]
+    # next-fit bound: a bin exceeds target by less than one day
+    assert r["max_bin_bytes"] < (1 << 20) + r["total_bytes"]
+    assert 0 < r["avg_fill_micro"]
+    assert r["files_ratio_micro"] == round(1e6 * r["n_bins"] / r["n_days"])
+
+
+def test_zipf_slope_negative(spark):
+    from python_tool_setup_spark.queries.batch130 import q471_zipf_exponent
+
+    r = q471_zipf_exponent(spark, SF_DIR).collect()[0]
+    assert r["n_tokens"] > 10
+    # frequency decays with rank: slope strictly negative, sane range
+    assert -3_000 <= r["zipf_slope_milli"] < 0
+
+
+def test_theil_decomposition_identity(spark):
+    from python_tool_setup_spark.queries.batch130 import (
+        q472_theil_decomposition,
+    )
+
+    r = q472_theil_decomposition(spark, SF_DIR).collect()[0]
+    assert r["decomposes"]
+    assert r["theil_total_micro"] >= 0
+    assert r["theil_within_micro"] >= 0
+    # between-group share bounded by total (identity holds in micro
+    # up to rounding of the three components)
+    assert (
+        abs(
+            r["theil_total_micro"]
+            - r["theil_between_micro"]
+            - r["theil_within_micro"]
+        )
+        <= 2
+    )
