@@ -210,6 +210,7 @@ def all_queries() -> dict[str, Query]:
         batch128,
         batch129,
         batch130,
+        batch131,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

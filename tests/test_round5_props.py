@@ -1554,3 +1554,36 @@ def test_theil_decomposition_identity(spark):
         )
         <= 2
     )
+
+
+def test_front_coding_accounting(spark):
+    from python_tool_setup_spark.queries.batch131 import (
+        q473_front_coding_advisor,
+    )
+
+    r = q473_front_coding_advisor(spark, SF_DIR).collect()[0]
+    assert r["n_values"] > 0
+    # coded = plain - saved_prefix + 1 length byte per value
+    assert r["coded_bytes"] >= r["n_values"]  # at least the length bytes
+    assert r["coded_bytes"] <= r["plain_bytes"] + r["n_values"]
+    assert r["recommend_front_coding"] == (
+        r["coded_bytes"] * 10 <= r["plain_bytes"] * 9
+    )
+
+
+def test_reservoir_sample_shape(spark):
+    from python_tool_setup_spark.queries.batch131 import (
+        q474_reservoir_sample_per_group,
+    )
+
+    rows = q474_reservoir_sample_per_group(spark, SF_DIR).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp) == 5  # all five priorities sampled
+    for grp, rs in by_grp.items():
+        assert [x["r"] for x in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # sample is a set of real order keys (no dup within group)
+        keys = [x["o_orderkey"] for x in rs]
+        assert len(set(keys)) == len(keys)
