@@ -71,18 +71,20 @@ def prefix_agg(
     ``_blk`` and ``_p_<alias>`` are reserved column names.
     """
     sort = _sort_exprs(order)
-    # _blk MUST be identical for the totals pass and the per-row pass
-    # below. Normally exchange reuse guarantees that (one physical
-    # repartitionByRange feeds both), but a CACHED input defeats the
-    # reuse and the two executions re-sample range boundaries
-    # independently — different _blk assignments, silently wrong
-    # prefixes. Pin the blocked layout with its own persist in that
-    # case (the caller's cache lifetime already spans the query).
+    # _blk MUST be identical for the totals pass, the per-row pass, AND
+    # any downstream re-execution of the output lineage (e.g. a caller
+    # self-joining rank r to rank r-1). repartitionByRange re-samples
+    # its boundaries per physical execution, so exchange reuse is the
+    # only thing keeping the assignments consistent — and reuse is
+    # defeated by cached inputs, AQE replanning, or a caller whose two
+    # subtrees canonicalize differently. That failure is silent and
+    # produces duplicate/missing ranks. Pin the blocked layout with an
+    # unconditional persist: one materialization, every consumer reads
+    # the same rows-in-blocks. (The persisted set is the operator's
+    # working set — the same footprint a global sort would spill.)
     blocked = df.repartitionByRange(n_blocks, *sort).withColumn(
         "_blk", F.spark_partition_id()
-    )
-    if df.is_cached:
-        blocked = blocked.persist()
+    ).persist()
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]
     )

@@ -211,6 +211,7 @@ def all_queries() -> dict[str, Query]:
         batch129,
         batch130,
         batch131,
+        batch132,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

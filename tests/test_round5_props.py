@@ -1587,3 +1587,60 @@ def test_reservoir_sample_shape(spark):
         # sample is a set of real order keys (no dup within group)
         keys = [x["o_orderkey"] for x in rs]
         assert len(set(keys)) == len(keys)
+
+
+def test_rle_advisor_accounting(spark):
+    from python_tool_setup_spark.queries.batch132 import (
+        q475_rle_encoding_advisor,
+    )
+
+    rows = q475_rle_encoding_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # sorted order is the best case: run count can only shrink
+        assert 1 <= r["runs_sorted"] <= r["runs_stored"] <= r["n_rows"]
+        assert r["sorted_rle_bytes"] <= r["stored_rle_bytes"]
+        # RLE bytes = sum over runs of (len + 4-byte header)
+        assert r["stored_rle_bytes"] >= 4 * r["runs_stored"]
+        assert r["recommend_sort"] == (
+            r["sorted_rle_bytes"] * 2 <= r["stored_rle_bytes"]
+        )
+
+
+def test_bh_fdr_stepup_invariants(spark):
+    from python_tool_setup_spark.queries.batch132 import (
+        q476_benjamini_hochberg_fdr,
+    )
+
+    rows = q476_benjamini_hochberg_fdr(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert [r["p_rank"] for r in rows] == list(range(1, 26))
+    # p-values sorted ascending with the rank
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    # BH rejection set is a prefix of the p-ordered list
+    rej = [r["rejected"] for r in rows]
+    k = sum(rej)
+    assert rej == [True] * k + [False] * (25 - k)
+    # every rejected p is under its own threshold (step-up property:
+    # the max qualifying rank gates the whole prefix)
+    if k:
+        assert rows[k - 1]["p_value"] <= rows[k - 1]["bh_threshold"]
+
+
+def test_prefix_rank_self_join_stable(spark):
+    # regression: prefix_rank output must be self-join-safe (the
+    # blocked layout is persisted, so rank r and rank r-1 come from
+    # ONE materialization, not two re-sampled range exchanges)
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.operators.blockrank import prefix_rank
+    from python_tool_setup_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
+    prev = ranked.select((F.col("r") + 1).alias("pr"))
+    joined = ranked.join(prev, F.col("r") == F.col("pr"), "left")
+    n = o.count()
+    assert joined.count() == n
+    assert ranked.agg(F.countDistinct("r")).collect()[0][0] == n
