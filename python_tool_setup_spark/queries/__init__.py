@@ -212,6 +212,8 @@ def all_queries() -> dict[str, Query]:
         batch130,
         batch131,
         batch132,
+        batch133,
+        batch134,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

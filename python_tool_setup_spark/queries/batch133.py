@@ -1,0 +1,298 @@
+"""Round-5 gates, batch 133: Benford first-digit audit (q477 — the
+classic fraud / synthetic-data screen: first significant digits of
+money amounts should follow log10(1+1/d); a per-digit chi-square
+against that law flags fabricated or truncated numeric columns
+before they poison downstream aggregates) and zone-map clustering
+depth (q478 — the WHY behind Z-order/resort decisions: split the
+table into 64 equal row-blocks in stored order, take per-block
+min/max of a predicate column — exactly the parquet/ORC zone map —
+and measure how many blocks' ranges overlap each block. Depth 1 =
+perfectly clustered (every point predicate prunes to one block);
+depth ~n_blocks = the column is shuffled and zone maps prune
+nothing. Reported for the stored layout AND the post-sort best
+case, so the gap IS the measured benefit of re-clustering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.tables import load_table
+
+# chi-square critical value at df=8, alpha=0.05, in nanos.
+_CHI2_CRIT_NANO = 15_507_310_000
+
+# Benford expectation and the chi-square term, written once and used
+# verbatim by BOTH engines (the q476 pattern): all inputs are exact
+# integers (cnt, n, exp_ppm), every double step is an exactly-rounded
+# IEEE op on identical operands, and the one library call (LOG10 on
+# nine constants) is quantized to ppm before any arithmetic uses it.
+_EXP_PPM_EXPR = (
+    "CAST(ROUND(LOG10(1 + 1 / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+# (cnt - E)^2 / E with E = n*exp_ppm/1e6, as nano-quantized BIGINT;
+# dev is kept integer (cnt*1e6 - n*exp_ppm) and squared via plain
+# multiplication (never POWER) so both engines round identically.
+_TERM_NANO_EXPR = (
+    "CAST(ROUND("
+    "(CAST(cnt * 1000000 - n * exp_ppm AS DOUBLE) / 1000000)"
+    " * (CAST(cnt * 1000000 - n * exp_ppm AS DOUBLE) / 1000000)"
+    " / (CAST(n AS DOUBLE) * exp_ppm / 1000000) * 1000000000"
+    ") AS BIGINT)"
+)
+
+
+@register(
+    "q477_benford_first_digit",
+    f"""
+    WITH obs AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(100 * o_totalprice)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT CAST(d AS INT) AS d, {_EXP_PPM_EXPR} AS exp_ppm
+        FROM range(1, 10) t(d)
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM obs),
+    terms AS (
+        SELECT s.d, COALESCE(o.cnt, 0) AS cnt, s.exp_ppm, t.n
+        FROM spine s LEFT JOIN obs o USING (d) CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT d, cnt, exp_ppm, n, {_TERM_NANO_EXPR} AS term_nano
+        FROM terms
+    ),
+    chi AS (SELECT SUM(term_nano) AS chi2_nano FROM scored)
+    SELECT d AS digit,
+           CAST(cnt AS BIGINT) AS n_obs,
+           CAST(ROUND(cnt * 1000000.0 / n) AS BIGINT) AS obs_ppm,
+           exp_ppm,
+           term_nano AS chi2_term_nano,
+           chi.chi2_nano AS chi2_nano,
+           chi.chi2_nano <= {_CHI2_CRIT_NANO} AS benford_ok
+    FROM scored CROSS JOIN chi
+    ORDER BY digit
+    """,
+    doc="Benford first-digit audit (fraud / synthetic-data screen: "
+    "first significant digits of real money amounts follow "
+    "log10(1+1/d); fabricated or truncated columns don't): first "
+    "digit extracted from the exact cents integer's string form "
+    "(no float log, so no 10^k boundary hazard), counted by one "
+    "map-side-combined groupBy; a 9-row digit spine left-joined "
+    "so absent digits count 0; expectations ppm-quantized from "
+    "LOG10 once, chi-square terms computed from exact integers "
+    "with plain-multiplication squaring and nano-quantized "
+    "per-digit BEFORE the 9-term sum (FP-order-free), verdict vs "
+    "the df=8 5% critical value in integer nanos. Scale: one "
+    "aggregate over the column, 9-row metadata after — the audit "
+    "costs a single scan at any size.",
+)
+def q477_benford_first_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.round(100 * F.col("o_totalprice"))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("d"),
+        F.expr(_EXP_PPM_EXPR).alias("exp_ppm"),
+    )
+    tot = obs.agg(F.sum("cnt").alias("n"))
+    terms = (
+        spine.join(F.broadcast(obs), "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "exp_ppm",
+            "n",
+        )
+    )
+    scored = terms.select(
+        "*", F.expr(_TERM_NANO_EXPR).alias("term_nano")
+    )
+    chi = scored.agg(F.sum("term_nano").alias("chi2_nano"))
+    return (
+        scored.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("cnt").cast("long").alias("n_obs"),
+            F.round(F.col("cnt") * 1000000.0 / F.col("n"))
+            .cast("long")
+            .alias("obs_ppm"),
+            "exp_ppm",
+            F.col("term_nano").alias("chi2_term_nano"),
+            "chi2_nano",
+            (F.col("chi2_nano") <= F.lit(_CHI2_CRIT_NANO)).alias(
+                "benford_ok"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------- q478
+_N_ZONE_BLOCKS = 64
+
+
+def _depth_oracle(layout: str, order_by: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout, n_blocks, avg_depth_micro, max_depth
+    FROM (
+        WITH ranked AS (
+            SELECT l_shipdate,
+                   ROW_NUMBER() OVER (ORDER BY {order_by}) AS r,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        ),
+        blocks AS (
+            SELECT CAST(FLOOR((r - 1) * {_N_ZONE_BLOCKS} * 1.0 / n)
+                       AS BIGINT) AS blk,
+                   MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+            FROM ranked GROUP BY 1
+        ),
+        depth AS (
+            SELECT a.blk, COUNT(*) AS d
+            FROM blocks a JOIN blocks b
+              ON a.lo <= b.hi AND b.lo <= a.hi
+            GROUP BY a.blk
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(ROUND(SUM(d) * 1000000.0 / COUNT(*)) AS BIGINT)
+                   AS avg_depth_micro,
+               CAST(MAX(d) AS BIGINT) AS max_depth
+        FROM depth
+    )
+    """
+
+
+@register(
+    "q478_zone_map_clustering_depth",
+    """
+    WITH both_layouts AS (
+    """
+    + _depth_oracle("stored", "l_orderkey, l_linenumber")
+    + "\nUNION ALL\n"
+    + _depth_oracle(
+        "sorted_by_shipdate", "l_shipdate, l_orderkey, l_linenumber"
+    )
+    + """
+    ),
+    stored AS (SELECT avg_depth_micro AS sa FROM both_layouts
+               WHERE layout = 'stored'),
+    srt AS (SELECT avg_depth_micro AS ba FROM both_layouts
+            WHERE layout = 'sorted_by_shipdate')
+    SELECT layout, n_blocks, avg_depth_micro, max_depth,
+           stored.sa >= 2 * srt.ba AS recommend_recluster
+    FROM both_layouts CROSS JOIN stored CROSS JOIN srt
+    ORDER BY layout
+    """,
+    doc="Zone-map clustering depth (the measured WHY behind "
+    "Z-order/resort: split the table into 64 equal row-blocks in "
+    "a declared order, per-block min/max of the predicate column "
+    "= exactly the parquet/ORC zone map, then count how many "
+    "block ranges overlap each block — depth 1 means a point "
+    "predicate prunes to one block, depth ~64 means zone maps "
+    "prune nothing; Snowflake exposes the same statistic as "
+    "clustering_information): rows ranked by the block-offset "
+    "ranking (no unpartitioned window), block id by integer "
+    "rank*64/n, per-block min/max via one map-side-combined "
+    "aggregate, overlap depth by a broadcast self-join of the "
+    "64-row block table. Reported for the stored layout and the "
+    "post-sort best case; recommend_recluster when stored depth "
+    "is >= 2x the sorted depth. Scale: two linear rank passes + "
+    "O(blocks^2) metadata — blocks stays 64 at any table size.",
+)
+def q478_zone_map_clustering_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+    def depth_for(layout: str, order: list) -> DataFrame:
+        ranked = prefix_rank(li, order, alias="r")
+        tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+        blocks = (
+            ranked.crossJoin(F.broadcast(tot))
+            .select(
+                F.floor(
+                    (F.col("r") - 1) * _N_ZONE_BLOCKS * 1.0 / F.col("n")
+                )
+                .cast("long")
+                .alias("blk"),
+                "l_shipdate",
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("l_shipdate").alias("lo"),
+                F.max("l_shipdate").alias("hi"),
+            )
+        )
+        b = blocks.select(
+            F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
+        )
+        depth = (
+            blocks.join(
+                F.broadcast(b),
+                (F.col("lo") <= F.col("b_hi"))
+                & (F.col("b_lo") <= F.col("hi")),
+            )
+            .groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        return depth.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(F.sum("d") * 1000000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_depth_micro"),
+            F.max("d").cast("long").alias("max_depth"),
+        )
+
+    stored = depth_for(
+        "stored", [("l_orderkey", "asc"), ("l_linenumber", "asc")]
+    )
+    srt = depth_for(
+        "sorted_by_shipdate",
+        [
+            ("l_shipdate", "asc"),
+            ("l_orderkey", "asc"),
+            ("l_linenumber", "asc"),
+        ],
+    )
+    both = stored.unionByName(srt)
+    sa = stored.select(F.col("avg_depth_micro").alias("sa"))
+    ba = srt.select(F.col("avg_depth_micro").alias("ba"))
+    return (
+        both.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(ba))
+        .select(
+            "layout",
+            "n_blocks",
+            "avg_depth_micro",
+            "max_depth",
+            (F.col("sa") >= 2 * F.col("ba")).alias(
+                "recommend_recluster"
+            ),
+        )
+        .orderBy("layout")
+    )

@@ -1644,3 +1644,80 @@ def test_prefix_rank_self_join_stable(spark):
     n = o.count()
     assert joined.count() == n
     assert ranked.agg(F.countDistinct("r")).collect()[0][0] == n
+
+
+def test_benford_audit_invariants(spark):
+    from python_tool_setup_spark.queries.batch133 import (
+        q477_benford_first_digit,
+    )
+
+    rows = q477_benford_first_digit(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = sum(r["n_obs"] for r in rows)
+    assert n > 0
+    # expectations are the Benford ppm table (sums to ~1e6)
+    assert abs(sum(r["exp_ppm"] for r in rows) - 1_000_000) <= 5
+    # chi2 total is the sum of the per-digit terms, same on each row
+    chi = rows[0]["chi2_nano"]
+    assert all(r["chi2_nano"] == chi for r in rows)
+    assert sum(r["chi2_term_nano"] for r in rows) == chi
+    assert rows[0]["benford_ok"] == (chi <= 15_507_310_000)
+
+
+def test_zone_map_depth_bounds(spark):
+    from python_tool_setup_spark.queries.batch133 import (
+        q478_zone_map_clustering_depth,
+    )
+
+    rows = {
+        r["layout"]: r
+        for r in q478_zone_map_clustering_depth(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"stored", "sorted_by_shipdate"}
+    for r in rows.values():
+        assert 1 <= r["max_depth"] <= r["n_blocks"] <= 64
+        assert 1_000_000 <= r["avg_depth_micro"] <= r["n_blocks"] * 1_000_000
+    # sorting by the predicate column can only improve clustering
+    assert (
+        rows["sorted_by_shipdate"]["avg_depth_micro"]
+        <= rows["stored"]["avg_depth_micro"]
+    )
+    # stored order is o_orderkey: shipdate is scattered -> deep zones
+    assert rows["stored"]["avg_depth_micro"] > 10_000_000
+
+
+def test_ewma_chart_invariants(spark):
+    from python_tool_setup_spark.queries.batch134 import (
+        q479_ewma_control_chart,
+    )
+
+    rows = q479_ewma_control_chart(spark, SF_DIR).collect()
+    assert len(rows) >= 24
+    idxs = [r["month_idx"] for r in rows]
+    assert idxs == sorted(idxs)
+    for k, r in enumerate(rows):
+        assert 1 <= r["n_lags"] <= 12
+        assert r["n_lags"] <= k + 1  # can't see months before history
+        assert r["ewma_cents"] > 0
+        assert r["flagged"] == (abs(r["dev_ppm"]) > 100_000)
+    # the warmed-up EWMA tracks the level: deviations bounded sanely
+    warm = [r for r in rows if r["n_lags"] == 12]
+    assert warm and all(abs(r["dev_ppm"]) < 1_000_000 for r in warm)
+
+
+def test_skew_advisor_invariants(spark):
+    from python_tool_setup_spark.queries.batch134 import (
+        q480_join_skew_salting_advisor,
+    )
+
+    rows = q480_join_skew_salting_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["max_key_rows"] * r["n_keys"] >= r["n_rows"]  # max>=mean
+        assert r["skew_ratio_micro"] >= 1_000_000
+        assert 1 <= r["salt_factor"]
+        assert r["recommend_salting"] == (
+            r["max_key_rows"] * r["n_keys"] >= 4 * r["n_rows"]
+        )
+        # salt factor never exceeds what splitting max to avg needs
+        assert r["salt_factor"] <= r["skew_ratio_micro"] // 1_000_000 + 1
