@@ -214,6 +214,8 @@ def all_queries() -> dict[str, Query]:
         batch132,
         batch133,
         batch134,
+        batch135,
+        batch136,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1721,3 +1721,86 @@ def test_skew_advisor_invariants(spark):
         )
         # salt factor never exceeds what splitting max to avg needs
         assert r["salt_factor"] <= r["skew_ratio_micro"] // 1_000_000 + 1
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries.batch135 import (
+        q481_incremental_agg_maintenance,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    merged = {
+        r["o_orderpriority"]: r
+        for r in q481_incremental_agg_maintenance(spark, SF_DIR).collect()
+    }
+    full = {
+        r["o_orderpriority"]: r
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(100 * F.col("o_totalprice")).cast("long")
+            ).alias("cents_sum"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k, m in merged.items():
+        assert m["n_orders"] == full[k]["n_orders"]
+        assert int(m["cents_sum"]) == full[k]["cents_sum"]
+        assert m["first_date"] <= m["last_date"]
+
+
+def test_mad_outliers_invariants(spark):
+    from python_tool_setup_spark.queries.batch135 import (
+        q482_grouped_mad_outliers,
+    )
+
+    rows = q482_grouped_mad_outliers(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mad_x4"] > 0  # prices are spread out
+        assert 0 <= r["n_outliers"] < r["n"] // 2  # robust: minority
+        assert r["outlier_ppm"] == round(
+            r["n_outliers"] * 1_000_000 / r["n"]
+        )
+
+
+def test_cardinality_audit_fk_vs_correlated(spark):
+    from python_tool_setup_spark.queries.batch136 import (
+        q483_join_cardinality_audit,
+    )
+
+    rows = {
+        r["join_name"]: r
+        for r in q483_join_cardinality_audit(spark, SF_DIR).collect()
+    }
+    # FK joins: containment estimate is exact-ish (every lineitem
+    # matches exactly one part; est = n_li * n_part / d = n_li)
+    fk = rows["lineitem_part"]
+    assert fk["actual_rows"] == fk["n_left"]
+    assert fk["within_2x"]
+    ok = rows["orders_customer"]
+    assert ok["actual_rows"] == ok["n_left"]
+    corr = rows["lineitem_orders_bydate"]
+    assert corr["est_rows"] > 0 and corr["actual_rows"] > 0
+
+
+def test_labeling_function_report_bounds(spark):
+    from python_tool_setup_spark.queries.batch136 import (
+        q484_labeling_function_report,
+    )
+
+    rows = q484_labeling_function_report(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    by = {r["lf_name"]: r for r in rows}
+    assert by["lf_short"]["polarity"] == 1
+    assert by["lf_long"]["polarity"] == -1
+    for r in rows:
+        assert 0 < r["coverage_ppm"] < 1_000_000  # non-degenerate
+        for c in ("overlap_ppm", "conflict_ppm", "majority_agree_ppm"):
+            assert 0 <= r[c] <= 1_000_000
+        assert r["conflict_ppm"] <= r["overlap_ppm"]  # conflict ⊆ overlap
