@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -153,21 +152,26 @@ def q477_benford_first_digit(
 _N_ZONE_BLOCKS = 64
 
 
-def _depth_oracle(layout: str, order_by: str) -> str:
+def _depth_oracle(layout: str, key: str) -> str:
     return f"""
     SELECT '{layout}' AS layout, n_blocks, avg_depth_micro, max_depth
     FROM (
-        WITH ranked AS (
-            SELECT l_shipdate,
-                   ROW_NUMBER() OVER (ORDER BY {order_by}) AS r,
-                   COUNT(*) OVER () AS n
-            FROM lineitem
+        WITH h AS (
+            SELECT {key} AS k, COUNT(*) AS cnt,
+                   MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cnt) AS n FROM h),
+        cum AS (
+            SELECT k, cnt, mn, mx,
+                   SUM(cnt) OVER (ORDER BY k) - cnt AS bef
+            FROM h
         ),
         blocks AS (
-            SELECT CAST(FLOOR((r - 1) * {_N_ZONE_BLOCKS} * 1.0 / n)
+            SELECT CAST(FLOOR(bef * {_N_ZONE_BLOCKS} * 1.0 / n)
                        AS BIGINT) AS blk,
-                   MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
-            FROM ranked GROUP BY 1
+                   MIN(mn) AS lo, MAX(mx) AS hi
+            FROM cum CROSS JOIN tot GROUP BY 1
         ),
         depth AS (
             SELECT a.blk, COUNT(*) AS d
@@ -189,11 +193,9 @@ def _depth_oracle(layout: str, order_by: str) -> str:
     """
     WITH both_layouts AS (
     """
-    + _depth_oracle("stored", "l_orderkey, l_linenumber")
+    + _depth_oracle("stored", "l_orderkey")
     + "\nUNION ALL\n"
-    + _depth_oracle(
-        "sorted_by_shipdate", "l_shipdate, l_orderkey, l_linenumber"
-    )
+    + _depth_oracle("sorted_by_shipdate", "l_shipdate")
     + """
     ),
     stored AS (SELECT avg_depth_micro AS sa FROM both_layouts
@@ -206,46 +208,56 @@ def _depth_oracle(layout: str, order_by: str) -> str:
     ORDER BY layout
     """,
     doc="Zone-map clustering depth (the measured WHY behind "
-    "Z-order/resort: split the table into 64 equal row-blocks in "
-    "a declared order, per-block min/max of the predicate column "
-    "= exactly the parquet/ORC zone map, then count how many "
-    "block ranges overlap each block — depth 1 means a point "
-    "predicate prunes to one block, depth ~64 means zone maps "
-    "prune nothing; Snowflake exposes the same statistic as "
-    "clustering_information): rows ranked by the block-offset "
-    "ranking (no unpartitioned window), block id by integer "
-    "rank*64/n, per-block min/max via one map-side-combined "
-    "aggregate, overlap depth by a broadcast self-join of the "
-    "64-row block table. Reported for the stored layout and the "
-    "post-sort best case; recommend_recluster when stored depth "
-    "is >= 2x the sorted depth. Scale: two linear rank passes + "
-    "O(blocks^2) metadata — blocks stays 64 at any table size.",
+    "Z-order/resort: split the table into 64 equal-count blocks "
+    "in a declared order — aligned to leading-key runs, the way "
+    "row groups are laid down when writing sorted data — take "
+    "per-block min/max of the predicate column (exactly the "
+    "parquet/ORC zone map) and count how many block ranges "
+    "overlap each block: depth 1 means a point predicate prunes "
+    "to one block, depth ~64 means zone maps prune nothing; "
+    "Snowflake exposes the same statistic as "
+    "clustering_information). Computed entirely in the KEY "
+    "domain, never the row domain: one per-key aggregate "
+    "(count + min/max of the predicate column), exclusive "
+    "prefix counts over the key histogram, integer block "
+    "assignment floor(before*64/n), then a broadcast self-join "
+    "of the <=64-row block table. Reported for the stored "
+    "(orderkey) layout and the post-sort best case; "
+    "recommend_recluster when stored depth >= 2x sorted. Scale: "
+    "the row pass is one map-side-combined groupBy; the prefix "
+    "runs over the key histogram (|keys| << |rows|), and the "
+    "depth math is O(64^2) metadata at any table size.",
 )
 def q478_zone_map_clustering_depth(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from python_tool_setup_spark.operators.blockrank import prefix_agg
+
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
+        "l_orderkey", "l_shipdate"
     )
 
-    def depth_for(layout: str, order: list) -> DataFrame:
-        ranked = prefix_rank(li, order, alias="r")
-        tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    def depth_for(layout: str, key: str) -> DataFrame:
+        h = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+        )
+        cum = prefix_agg(h, [("k", "asc")], {"bef": ("sum", "cnt")})
+        tot = h.agg(F.sum("cnt").alias("n"))
         blocks = (
-            ranked.crossJoin(F.broadcast(tot))
+            cum.crossJoin(F.broadcast(tot))
             .select(
                 F.floor(
-                    (F.col("r") - 1) * _N_ZONE_BLOCKS * 1.0 / F.col("n")
+                    F.col("bef") * _N_ZONE_BLOCKS * 1.0 / F.col("n")
                 )
                 .cast("long")
                 .alias("blk"),
-                "l_shipdate",
+                "mn",
+                "mx",
             )
             .groupBy("blk")
-            .agg(
-                F.min("l_shipdate").alias("lo"),
-                F.max("l_shipdate").alias("hi"),
-            )
+            .agg(F.min("mn").alias("lo"), F.max("mx").alias("hi"))
         )
         b = blocks.select(
             F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
@@ -268,17 +280,8 @@ def q478_zone_map_clustering_depth(
             F.max("d").cast("long").alias("max_depth"),
         )
 
-    stored = depth_for(
-        "stored", [("l_orderkey", "asc"), ("l_linenumber", "asc")]
-    )
-    srt = depth_for(
-        "sorted_by_shipdate",
-        [
-            ("l_shipdate", "asc"),
-            ("l_orderkey", "asc"),
-            ("l_linenumber", "asc"),
-        ],
-    )
+    stored = depth_for("stored", "l_orderkey")
+    srt = depth_for("sorted_by_shipdate", "l_shipdate")
     both = stored.unionByName(srt)
     sa = stored.select(F.col("avg_depth_micro").alias("sa"))
     ba = srt.select(F.col("avg_depth_micro").alias("ba"))

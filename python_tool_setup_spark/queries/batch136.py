@@ -56,9 +56,11 @@ def _card_oracle_block(
                 AS d_left,
             (SELECT CAST(COUNT(DISTINCT {rkey}) AS BIGINT) FROM {rt})
                 AS d_right,
-            (SELECT CAST(COUNT(*) AS BIGINT)
-             FROM {lt} a JOIN {rt} b ON {lkey.replace(lk, 'a.' + lk)}
-                 = {rkey.replace(rk, 'b.' + rk)}) AS actual_rows
+            (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+             FROM (SELECT {lkey} AS k, COUNT(*) AS c FROM {lt}
+                   GROUP BY 1) a
+             JOIN (SELECT {rkey} AS k, COUNT(*) AS c FROM {rt}
+                   GROUP BY 1) b ON a.k = b.k) AS actual_rows
     )
     """
 
@@ -101,10 +103,23 @@ def q483_join_cardinality_audit(
             F.count(F.lit(1)).cast("long").alias("n_right"),
             F.countDistinct(rkey).cast("long").alias("d_right"),
         )
-        act = (
-            left.select(lkey.alias("_k"))
-            .join(right.select(rkey.alias("_k")), "_k")
-            .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+        # actual join cardinality as sum of per-key count products —
+        # identical to COUNT(*) of the join, but O(input) instead of
+        # O(output): the correlated date join's true output grows
+        # quadratically in SF (dates don't scale with data), so
+        # materializing it just to count would dominate at scale.
+        lc = (
+            left.groupBy(lkey.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_cl"))
+        )
+        rc = (
+            right.groupBy(rkey.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_cr"))
+        )
+        act = lc.join(rc, "_k").agg(
+            F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
+            .cast("long")
+            .alias("actual_rows")
         )
         row = (
             ls.crossJoin(rs)
