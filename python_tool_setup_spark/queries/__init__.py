@@ -216,6 +216,8 @@ def all_queries() -> dict[str, Query]:
         batch134,
         batch135,
         batch136,
+        batch137,
+        batch138,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -1804,3 +1804,84 @@ def test_labeling_function_report_bounds(spark):
         for c in ("overlap_ppm", "conflict_ppm", "majority_agree_ppm"):
             assert 0 <= r[c] <= 1_000_000
         assert r["conflict_ppm"] <= r["overlap_ppm"]  # conflict ⊆ overlap
+
+
+def test_deletion_cascade_closes(spark):
+    from python_tool_setup_spark.queries.batch137 import (
+        q485_deletion_cascade_audit,
+    )
+
+    rows = {
+        r["table_name"]: r
+        for r in q485_deletion_cascade_audit(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["cascade_complete"]
+        assert r["n_residual_after_cascade"] == 0
+        assert 0 < r["n_exposed"] < r["n_rows"]
+    # ~1% of customers forgotten
+    c = rows["customer"]
+    assert 5_000 <= c["exposed_ppm"] <= 15_000
+
+
+def test_snapshot_diff_counts(spark):
+    from python_tool_setup_spark.queries.batch137 import (
+        q486_snapshot_diff_report,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    r = q486_snapshot_diff_report(spark, SF_DIR).collect()[0]
+    keys = [
+        x["o_orderkey"]
+        for x in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    exp_added = sum(1 for k in keys if k % 103 == 0 and k % 101 != 0)
+    exp_removed = sum(1 for k in keys if k % 101 == 0 and k % 103 != 0)
+    assert r["n_added"] == exp_added
+    assert r["n_removed"] == exp_removed
+    # changed = present in both AND (price bump or status flip)
+    exp_changed = sum(
+        1
+        for k in keys
+        if k % 101 != 0 and k % 103 != 0 and (k % 97 == 0 or k % 89 == 0)
+    )
+    assert r["n_changed"] == exp_changed
+    assert r["changed_o_orderpriority"] == 0
+    assert (
+        r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        == len([k for k in keys if k % 101 != 0 or k % 103 != 0])
+    )
+
+
+def test_derived_consistency_histogram(spark):
+    from python_tool_setup_spark.queries.batch138 import (
+        q487_derived_column_consistency,
+    )
+
+    rows = q487_derived_column_consistency(spark, SF_DIR).collect()
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert abs(total_ppm - 1_000_000) <= len(rows)  # shares partition
+    assert all(r["n_orders"] > 0 for r in rows)
+    # buckets come out in label order
+    labels = [r["bucket"] for r in rows]
+    assert labels == sorted(labels)
+
+
+def test_event_inversions_bounds(spark):
+    from python_tool_setup_spark.queries.batch138 import (
+        q488_event_order_inversions,
+    )
+
+    r = q488_event_order_inversions(spark, SF_DIR).collect()[0]
+    assert r["n_events"] > 0 and r["n_users"] > 0
+    assert 0 <= r["n_inversions"] < r["n_events"]
+    assert r["n_users_with_inversions"] <= min(
+        r["n_users"], r["n_inversions"]
+    ) or r["n_inversions"] == 0
+    if r["n_inversions"] == 0:
+        assert r["max_backstep_ms"] == 0
+    else:
+        assert r["max_backstep_ms"] > 0
