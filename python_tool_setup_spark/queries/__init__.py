@@ -218,6 +218,7 @@ def all_queries() -> dict[str, Query]:
         batch136,
         batch137,
         batch138,
+        batch139,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

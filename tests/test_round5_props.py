@@ -1885,3 +1885,46 @@ def test_event_inversions_bounds(spark):
         assert r["max_backstep_ms"] == 0
     else:
         assert r["max_backstep_ms"] > 0
+
+
+def test_locf_fill_accounting(spark):
+    from python_tool_setup_spark.queries.batch139 import (
+        q489_locf_gap_fill,
+    )
+
+    rows = q489_locf_gap_fill(spark, SF_DIR).collect()
+    assert len(rows) == 25  # every nation has a spine row set
+    for r in rows:
+        assert r["n_days"] == 31
+        assert (
+            r["n_observed"] + r["n_filled"] + r["n_leading_holes"]
+            == 31
+        )
+        # filled days only exist after a first observation
+        if r["n_observed"] == 0:
+            assert r["n_filled"] == 0 and r["n_leading_holes"] == 31
+        assert r["filled_sum_cents"] >= 0
+
+
+def test_cusum_closed_form(spark):
+    from python_tool_setup_spark.queries.batch139 import (
+        q490_cusum_changepoint,
+    )
+
+    rows = q490_cusum_changepoint(spark, SF_DIR).collect()
+    assert len(rows) >= 24
+    # replay the sequential recurrence and compare to the closed form
+    cents = [r["cents"] for r in rows]
+    n = len(cents)
+    mu = round(sum(cents) / n)
+    q = sum(c * c for c in cents)
+    import math
+
+    sigma = round(
+        math.sqrt((q - sum(cents) * sum(cents) / n) / (n - 1))
+    )
+    s2 = 0
+    for r, c in zip(rows, cents):
+        s2 = max(0, s2 + 2 * c - 2 * mu - sigma)
+        assert r["cusum_cents_x2"] == s2
+        assert r["alarm"] == (s2 > 8 * sigma)
