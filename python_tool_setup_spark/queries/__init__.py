@@ -219,6 +219,7 @@ def all_queries() -> dict[str, Query]:
         batch137,
         batch138,
         batch139,
+        batch140,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

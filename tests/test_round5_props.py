@@ -1928,3 +1928,58 @@ def test_cusum_closed_form(spark):
         s2 = max(0, s2 + 2 * c - 2 * mu - sigma)
         assert r["cusum_cents_x2"] == s2
         assert r["alarm"] == (s2 > 8 * sigma)
+
+
+def test_weighted_median_crossing(spark):
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries.batch140 import (
+        q491_grouped_weighted_median,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    rows = q491_grouped_weighted_median(spark, SF_DIR).collect()
+    assert len(rows) == 3  # returnflags A/N/R
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(100 * F.col("l_extendedprice"))
+            .cast("long")
+            .alias("cents"),
+            F.round("l_quantity").cast("long").alias("w"),
+        )
+        .collect()
+    )
+    for r in rows:
+        below = sum(
+            x["w"] for x in li if x["grp"] == r["grp"]
+            and x["cents"] <= r["weighted_median_cents"]
+        )
+        strictly_below = sum(
+            x["w"] for x in li if x["grp"] == r["grp"]
+            and x["cents"] < r["weighted_median_cents"]
+        )
+        tot = r["total_weight"]
+        # the crossing property of the lower weighted median
+        assert 2 * below >= tot
+        assert 2 * strictly_below < tot
+
+
+def test_kaplan_meier_monotone(spark):
+    from python_tool_setup_spark.queries.batch140 import (
+        q492_kaplan_meier_survival,
+    )
+
+    rows = q492_kaplan_meier_survival(spark, SF_DIR).collect()
+    assert rows, "some customers churn outside the horizon"
+    last = 1_000_001
+    risk_last = None
+    for r in rows:
+        assert 0 < r["n_events"] <= r["n_at_risk"]
+        assert r["survival_ppm"] < last  # strictly decreasing at events
+        last = r["survival_ppm"]
+        if risk_last is not None:
+            assert r["n_at_risk"] < risk_last  # at-risk shrinks
+        risk_last = r["n_at_risk"]
+    assert 0 <= rows[-1]["survival_ppm"] <= 1_000_000
