@@ -220,6 +220,7 @@ def all_queries() -> dict[str, Query]:
         batch138,
         batch139,
         batch140,
+        batch141,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

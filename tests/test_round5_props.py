@@ -1983,3 +1983,45 @@ def test_kaplan_meier_monotone(spark):
             assert r["n_at_risk"] < risk_last  # at-risk shrinks
         risk_last = r["n_at_risk"]
     assert 0 <= rows[-1]["survival_ppm"] <= 1_000_000
+
+
+def test_template_prefix_topk(spark):
+    from python_tool_setup_spark.queries.batch141 import (
+        q493_template_prefix_mining,
+    )
+
+    rows = q493_template_prefix_mining(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["prefix"]) <= 12
+        assert r["is_template"] == (r["share_ppm"] >= 10_000)
+
+
+def test_hill_estimator_vs_numpy(spark):
+    import math
+
+    from python_tool_setup_spark.queries.batch141 import (
+        q494_hill_tail_index,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    r = q494_hill_tail_index(spark, SF_DIR).collect()[0]
+    lens = sorted(
+        (
+            x["n_chars"]
+            for x in load_table(spark, SF_DIR, "documents")
+            .select("n_chars")
+            .collect()
+        ),
+        reverse=True,
+    )[: 100 + 1]
+    xk = min(lens)
+    terms = [math.log(x / xk) for x in lens if x > xk]
+    alpha = len(terms) and (len(terms)) / sum(terms)
+    # q494 uses k_used-1 = len(terms) in the numerator
+    assert r["x_k"] == xk
+    assert r["k_used"] == len(terms) + 1
+    assert abs(r["alpha_micro"] / 1e6 - alpha) < 0.01
+    assert r["heavy_tail"] == (r["alpha_micro"] < 2_000_000)
