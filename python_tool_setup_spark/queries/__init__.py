@@ -221,6 +221,7 @@ def all_queries() -> dict[str, Query]:
         batch139,
         batch140,
         batch141,
+        batch142,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

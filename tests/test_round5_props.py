@@ -2025,3 +2025,30 @@ def test_hill_estimator_vs_numpy(spark):
     assert r["k_used"] == len(terms) + 1
     assert abs(r["alpha_micro"] / 1e6 - alpha) < 0.01
     assert r["heavy_tail"] == (r["alpha_micro"] < 2_000_000)
+
+
+def test_k_anonymity_accounting(spark):
+    from python_tool_setup_spark.queries.batch142 import (
+        q495_k_anonymity_audit,
+    )
+
+    r = q495_k_anonymity_audit(spark, SF_DIR).collect()[0]
+    assert r["n_qi_groups"] > 0
+    assert 1 <= r["min_group_size"]
+    assert 0 <= r["n_below_k"] <= r["n_individuals"]
+    assert r["k_anonymous"] == (r["min_group_size"] >= 5)
+    assert r["below_k_ppm"] == round(
+        r["n_below_k"] * 1_000_000 / r["n_individuals"]
+    )
+
+
+def test_l_diversity_accounting(spark):
+    from python_tool_setup_spark.queries.batch142 import (
+        q496_l_diversity_audit,
+    )
+
+    r = q496_l_diversity_audit(spark, SF_DIR).collect()[0]
+    assert r["n_qi_groups"] > 0
+    assert r["min_diversity"] >= 1
+    assert r["l_diverse"] == (r["min_diversity"] >= 3)
+    assert (r["n_groups_below_l"] == 0) == (r["n_exposed"] == 0)
