@@ -55,6 +55,7 @@ def prefix_agg(
     order: list[tuple],
     aggs: dict[str, tuple],
     n_blocks: int = 32,
+    persist: bool = False,
 ) -> DataFrame:
     """Attach EXCLUSIVE ordered-prefix aggregates to every row.
 
@@ -71,20 +72,23 @@ def prefix_agg(
     ``_blk`` and ``_p_<alias>`` are reserved column names.
     """
     sort = _sort_exprs(order)
-    # _blk MUST be identical for the totals pass, the per-row pass, AND
-    # any downstream re-execution of the output lineage (e.g. a caller
-    # self-joining rank r to rank r-1). repartitionByRange re-samples
-    # its boundaries per physical execution, so exchange reuse is the
-    # only thing keeping the assignments consistent — and reuse is
-    # defeated by cached inputs, AQE replanning, or a caller whose two
-    # subtrees canonicalize differently. That failure is silent and
-    # produces duplicate/missing ranks. Pin the blocked layout with an
-    # unconditional persist: one materialization, every consumer reads
-    # the same rows-in-blocks. (The persisted set is the operator's
-    # working set — the same footprint a global sort would spill.)
+    # _blk MUST be identical for the totals pass and the per-row pass.
+    # Within one execution, exchange reuse guarantees that (one physical
+    # repartitionByRange feeds both subtrees) — four rounds of oracle
+    # evidence. Two cases DEFEAT reuse and silently produce
+    # duplicate/missing ranks, so they pin the blocked layout with a
+    # persist instead: (a) a CACHED input (the cache defeats reuse and
+    # the passes re-sample range boundaries independently); (b) a caller
+    # whose plan executes the OUTPUT lineage twice with differently-
+    # shaped subtrees — e.g. self-joining rank r to rank r-1 (q475) —
+    # which must opt in with persist=True. Persisting unconditionally
+    # is NOT free: it breaks pipelining and materializes the working
+    # set, a measured 2-3x slowdown across the prefix gate family.
     blocked = df.repartitionByRange(n_blocks, *sort).withColumn(
         "_blk", F.spark_partition_id()
-    ).persist()
+    )
+    if persist or df.is_cached:
+        blocked = blocked.persist()
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]
     )
@@ -126,8 +130,16 @@ def prefix_rank(
     order: list[tuple],
     alias: str = "rk",
     n_blocks: int = 32,
+    persist: bool = False,
 ) -> DataFrame:
     """1-based ``ROW_NUMBER() OVER (ORDER BY ...)`` equivalent under a
-    total order, with no unpartitioned window anywhere in the plan."""
-    out = prefix_agg(df, order, {alias: ("count", None)}, n_blocks)
+    total order, with no unpartitioned window anywhere in the plan.
+
+    Pass ``persist=True`` when the RESULT's lineage will be executed
+    more than once with different subtree shapes (e.g. self-joining
+    rank r to rank r-1) — re-execution re-samples range boundaries and
+    silently yields duplicate/missing ranks otherwise."""
+    out = prefix_agg(
+        df, order, {alias: ("count", None)}, n_blocks, persist=persist
+    )
     return out.withColumn(alias, (F.col(alias) + 1).cast("long"))

@@ -222,6 +222,8 @@ def all_queries() -> dict[str, Query]:
         batch140,
         batch141,
         batch142,
+        batch143,
+        batch144,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

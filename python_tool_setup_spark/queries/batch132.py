@@ -107,7 +107,9 @@ def q475_rle_encoding_advisor(
         "o_orderpriority",
         "o_orderstatus",
     )
-    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
+    ranked = prefix_rank(
+        o, [("o_orderkey", "asc")], alias="r", persist=True
+    )
     prev = ranked.select(
         (F.col("r") + 1).alias("pr"),
         *[F.col(c).alias(f"p_{c}") for c in cols],

@@ -1629,16 +1629,19 @@ def test_bh_fdr_stepup_invariants(spark):
 
 
 def test_prefix_rank_self_join_stable(spark):
-    # regression: prefix_rank output must be self-join-safe (the
-    # blocked layout is persisted, so rank r and rank r-1 come from
-    # ONE materialization, not two re-sampled range exchanges)
+    # regression: prefix_rank(persist=True) output must be
+    # self-join-safe — the persisted blocked layout means rank r and
+    # rank r-1 come from ONE materialization, not two re-sampled
+    # range exchanges (q475's shape)
     from pyspark.sql import functions as F
 
     from python_tool_setup_spark.operators.blockrank import prefix_rank
     from python_tool_setup_spark.tables import load_table
 
     o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
-    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
+    ranked = prefix_rank(
+        o, [("o_orderkey", "asc")], alias="r", persist=True
+    )
     prev = ranked.select((F.col("r") + 1).alias("pr"))
     joined = ranked.join(prev, F.col("r") == F.col("pr"), "left")
     n = o.count()
@@ -2052,3 +2055,36 @@ def test_l_diversity_accounting(spark):
     assert r["min_diversity"] >= 1
     assert r["l_diverse"] == (r["min_diversity"] >= 3)
     assert (r["n_groups_below_l"] == 0) == (r["n_exposed"] == 0)
+
+
+def test_conformal_coverage_holds(spark):
+    from python_tool_setup_spark.queries.batch143 import (
+        q497_conformal_calibration,
+    )
+
+    rows = q497_conformal_calibration(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_cal"] > 0 and r["n_test"] > 0
+        assert r["q90_halfwidth_cents"] > 0
+        # conformal guarantee: coverage should land near 90%
+        assert 850_000 <= r["coverage_ppm"] <= 980_000
+        assert r["coverage_holds"] == (r["coverage_ppm"] >= 880_000)
+
+
+def test_sliding_wau_invariants(spark):
+    from python_tool_setup_spark.queries.batch143 import (
+        q498_sliding_wau,
+    )
+
+    rows = q498_sliding_wau(spark, SF_DIR).collect()
+    assert len(rows) >= 7
+    for r in rows:
+        assert 1 <= r["dau"] <= r["wau"]  # union dominates any day
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+    # WAU at day d >= DAU of any single day inside the window
+    by_d = {r["d"]: r for r in rows}
+    ds = sorted(by_d)
+    for i in range(7, len(ds)):
+        w = by_d[ds[i]]["wau"]
+        assert w >= by_d[ds[i]]["dau"]
