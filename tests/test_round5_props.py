@@ -2088,3 +2088,47 @@ def test_sliding_wau_invariants(spark):
     for i in range(7, len(ds)):
         w = by_d[ds[i]]["wau"]
         assert w >= by_d[ds[i]]["dau"]
+
+
+def test_did_cells_and_significance(spark):
+    from python_tool_setup_spark.queries.batch144 import (
+        q499_diff_in_differences,
+    )
+
+    r = q499_diff_in_differences(spark, SF_DIR).collect()[0]
+    for c in ("n_treated_post", "n_treated_pre", "n_control_post",
+              "n_control_pre"):
+        assert r[c] > 0
+    # DiD equals the delta of deltas (to rounding of the cell means)
+    assert (
+        abs(
+            r["did_micro_cents"] / 1e6
+            - (r["treated_delta_cents"] - r["control_delta_cents"])
+        )
+        <= 1.5
+    )
+    assert r["significant"] == (abs(r["z"]) > 1.96)
+
+
+def test_keyset_page_equals_offset_page(spark):
+    from python_tool_setup_spark.queries.batch144 import (
+        q500_keyset_pagination,
+    )
+    from python_tool_setup_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    page = q500_keyset_pagination(spark, SF_DIR).collect()
+    assert len(page) == 20
+    full = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_orderkey").cast("long").alias("k"),
+        )
+        .orderBy("d", "k")
+        .limit(80)
+        .collect()
+    )
+    expect = full[60:80]
+    got = [(r["o_orderdate"], r["o_orderkey"]) for r in page]
+    assert got == [(r["d"], r["k"]) for r in expect]
