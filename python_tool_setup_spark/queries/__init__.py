@@ -224,6 +224,7 @@ def all_queries() -> dict[str, Query]:
         batch142,
         batch143,
         batch144,
+        batch145,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

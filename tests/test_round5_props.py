@@ -2132,3 +2132,39 @@ def test_keyset_page_equals_offset_page(spark):
     expect = full[60:80]
     got = [(r["o_orderdate"], r["o_orderkey"]) for r in page]
     assert got == [(r["d"], r["k"]) for r in expect]
+
+
+def test_brier_decomposition_identity(spark):
+    from python_tool_setup_spark.queries.batch145 import (
+        q501_brier_decomposition,
+    )
+
+    r = q501_brier_decomposition(spark, SF_DIR).collect()[0]
+    assert r["n_bins"] >= 2
+    assert 0 < r["n_pos"] < r["n_test"]
+    # Murphy decomposition identity assembled in integer nanos
+    assert (
+        r["brier_nano"]
+        == r["reliability_nano"]
+        - r["resolution_nano"]
+        + r["uncertainty_nano"]
+    )
+    # Brier of a calibrated-ish model stays below chance (0.25)
+    assert 0 < r["brier_nano"] < 260_000_000
+    assert r["uncertainty_nano"] <= 250_000_000  # p(1-p) <= 1/4
+
+
+def test_kish_neff_bounds(spark):
+    from python_tool_setup_spark.queries.batch145 import (
+        q502_kish_effective_sample_size,
+    )
+
+    rows = q502_kish_effective_sample_size(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["n_eff"] <= r["n"]  # weighting only loses info
+        assert r["design_effect_micro"] >= 1_000_000
+        assert 0 < r["efficiency_ppm"] <= 1_000_000
+        # design effect and efficiency are reciprocal (to rounding)
+        prod = r["design_effect_micro"] * r["efficiency_ppm"]
+        assert abs(prod - 10**12) < 10**10
