@@ -2168,3 +2168,85 @@ def test_kish_neff_bounds(spark):
         # design effect and efficiency are reciprocal (to rounding)
         prod = r["design_effect_micro"] * r["efficiency_ppm"]
         assert abs(prod - 10**12) < 10**10
+
+
+def test_capture_recapture_bounds(spark):
+    from python_tool_setup_spark.queries.batch146 import (
+        q503_capture_recapture_universe,
+    )
+
+    r = q503_capture_recapture_universe(spark, SF_DIR).collect()[0]
+    # observed distinct = captured-by-a + captured-by-b - overlap
+    assert (
+        r["n_observed_distinct"]
+        == r["n_capture_a"] + r["n_capture_b"] - r["n_overlap"]
+    )
+    # the estimate can never be below what we've already seen
+    # (Lincoln-Petersen with positive overlap)
+    if r["n_overlap"] > 0:
+        assert r["n_hat_universe"] >= r["n_observed_distinct"] - 1
+    assert 0 < r["coverage_ppm"] <= 1_000_100
+
+
+def test_good_turing_accounting(spark):
+    from python_tool_setup_spark.queries.batch146 import (
+        q504_good_turing_unseen_mass,
+    )
+
+    r = q504_good_turing_unseen_mass(spark, SF_DIR).collect()[0]
+    assert 0 < r["vocab_size"] <= r["total_tokens"]
+    assert r["singletons"] + r["doubletons"] <= r["vocab_size"]
+    assert r["unseen_mass_ppm"] == round(
+        r["singletons"] * 1_000_000 / r["total_tokens"]
+    )
+    # tiny word-vocab corpus: the vocabulary must be nearly closed
+    assert r["vocab_nearly_closed"]
+
+
+def test_delta_method_vs_python(spark):
+    from python_tool_setup_spark.queries.batch147 import (
+        q505_ratio_metric_delta_method,
+    )
+    from python_tool_setup_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = q505_ratio_metric_delta_method(spark, SF_DIR).collect()[0]
+    rows = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(100 * F.col("o_totalprice")).cast("long")
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .collect()
+    )
+    xs = [q["x"] for q in rows]
+    ys = [q["y"] for q in rows]
+    n = len(xs)
+    S, T = sum(xs), sum(ys)
+    R = S / T
+    vs = (sum(x * x for x in xs) - S * S / n) / (n - 1)
+    vt = (sum(y * y for y in ys) - T * T / n) / (n - 1)
+    cov = (sum(x * y for x, y in zip(xs, ys)) - S * T / n) / (n - 1)
+    var_r = (vs - 2 * R * cov + R * R * vt) / (n * (T / n) ** 2)
+    assert r["n_clusters"] == n
+    assert abs(r["var_ratio_nano"] / 1e9 - var_r) / var_r < 1e-6
+    assert r["stderr_cents"] > 0
+
+
+def test_cuped_reduction_bounds(spark):
+    from python_tool_setup_spark.queries.batch147 import (
+        q506_cuped_variance_reduction,
+    )
+
+    r = q506_cuped_variance_reduction(spark, SF_DIR).collect()[0]
+    assert r["n_units"] > 0
+    # rho^2 lies in [0, 1]
+    assert 0 <= r["variance_reduction_ppm"] <= 1_000_000
+    assert r["cuped_worth_it"] == (
+        r["variance_reduction_ppm"] >= 100_000
+    )
+    # pre/post totals of the same customers correlate positively
+    assert r["theta_micro"] > 0
