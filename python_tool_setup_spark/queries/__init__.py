@@ -225,6 +225,8 @@ def all_queries() -> dict[str, Query]:
         batch143,
         batch144,
         batch145,
+        batch146,
+        batch147,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -23,7 +23,7 @@ from python_tool_setup_spark.tables import load_table
 # doubles on both engines). Delta method for R = S/T over n clusters:
 # var(R) ~ (var_s - 2 R cov + R^2 var_t) / (n * mean_t^2).
 _RATIO_EXPR = "CAST(s AS DOUBLE) / t"
-_VARR_NANO_EXPR = (
+_VARR_MICRO_EXPR = (
     "CAST(ROUND(("
     " (CAST(qs AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
     " - 2 * (CAST(s AS DOUBLE) / t)"
@@ -31,7 +31,7 @@ _VARR_NANO_EXPR = (
     " + (CAST(s AS DOUBLE) / t) * (CAST(s AS DOUBLE) / t)"
     "   * ((CAST(qt AS DOUBLE) - CAST(t AS DOUBLE) * t / n) / (n - 1))"
     ") / (n * (CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n))"
-    " * 1000000000) AS BIGINT)"
+    " * 1000000) AS BIGINT)"
 )
 
 
@@ -57,8 +57,8 @@ _VARR_NANO_EXPR = (
            CAST(t AS BIGINT) AS sum_orders,
            CAST(ROUND({_RATIO_EXPR}) AS BIGINT)
                AS revenue_per_order_cents,
-           {_VARR_NANO_EXPR} AS var_ratio_nano,
-           CAST(ROUND(SQRT({_VARR_NANO_EXPR} / 1000000000.0) * 100)
+           {_VARR_MICRO_EXPR} AS var_ratio_micro,
+           CAST(ROUND(SQRT({_VARR_MICRO_EXPR} / 1000000.0))
                AS BIGINT) AS stderr_cents
     FROM s
     """,
@@ -71,7 +71,7 @@ _VARR_NANO_EXPR = (
     "(exact cents / HUGEINT-DECIMAL(38) squares and cross "
     "products), then one 6-value reduction; ratio, variance and "
     "standard error derived through shared expression text, "
-    "nano-quantized. Scale: the estimator is one groupBy + one "
+    "micro-quantized. Scale: the estimator is one groupBy + one "
     "1-row reduce at any data size — no bootstrap resampling "
     "needed for a clustered ratio SE.",
 )
@@ -106,10 +106,8 @@ def q505_ratio_metric_delta_method(
         F.round(F.expr(_RATIO_EXPR))
         .cast("long")
         .alias("revenue_per_order_cents"),
-        F.expr(_VARR_NANO_EXPR).alias("var_ratio_nano"),
-        F.round(
-            F.sqrt(F.expr(_VARR_NANO_EXPR) / 1000000000.0) * 100
-        )
+        F.expr(_VARR_MICRO_EXPR).alias("var_ratio_micro"),
+        F.round(F.sqrt(F.expr(_VARR_MICRO_EXPR) / 1000000.0))
         .cast("long")
         .alias("stderr_cents"),
     )

@@ -2232,7 +2232,7 @@ def test_delta_method_vs_python(spark):
     cov = (sum(x * y for x, y in zip(xs, ys)) - S * T / n) / (n - 1)
     var_r = (vs - 2 * R * cov + R * R * vt) / (n * (T / n) ** 2)
     assert r["n_clusters"] == n
-    assert abs(r["var_ratio_nano"] / 1e9 - var_r) / var_r < 1e-6
+    assert abs(r["var_ratio_micro"] / 1e6 - var_r) / var_r < 1e-6
     assert r["stderr_cents"] > 0
 
 
