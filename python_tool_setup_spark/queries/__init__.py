@@ -227,6 +227,7 @@ def all_queries() -> dict[str, Query]:
         batch145,
         batch146,
         batch147,
+        batch148,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2250,3 +2250,43 @@ def test_cuped_reduction_bounds(spark):
     )
     # pre/post totals of the same customers correlate positively
     assert r["theta_micro"] > 0
+
+
+def test_obf_boundaries_monotone(spark):
+    from python_tool_setup_spark.queries.batch148 import (
+        q507_group_sequential_obf,
+    )
+
+    rows = q507_group_sequential_obf(spark, SF_DIR).collect()
+    assert [r["look"] for r in rows] == [1, 2, 3, 4]
+    bounds = [r["obf_bound_micro"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True)  # OBF shrinks
+    assert bounds[-1] == 2_024_000
+    ns = [r["n_treat"] + r["n_control"] for r in rows]
+    assert ns == sorted(ns)  # cumulative looks grow
+    stop = rows[0]["stopped_at_look"]
+    for r in rows:
+        assert r["stopped_at_look"] == stop
+        assert r["crossed"] == (
+            abs(round(r["z"] * 1_000_000)) > r["obf_bound_micro"]
+        )
+    # A/A split by key parity: no real effect, so no early stop
+    assert stop == 0 or stop == 4
+
+
+def test_expected_loss_symmetry(spark):
+    from python_tool_setup_spark.queries.batch148 import (
+        q508_expected_loss_decision,
+    )
+
+    r = q508_expected_loss_decision(spark, SF_DIR).collect()[0]
+    # both losses are nonnegative and the shipped arm has the
+    # smaller one; their difference equals |diff| (exact identity:
+    # E[max(0,-D)] - E[max(0,D)] = -E[D])
+    lt, lc = r["loss_ship_t_microcents"], r["loss_ship_c_microcents"]
+    assert lt >= 0 and lc >= 0
+    assert r["ship_treatment"] == (lt <= lc)
+    assert (
+        abs((lc - lt) / 1e6 - (r["mean_t_cents"] - r["mean_c_cents"]))
+        <= 2
+    )
