@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Query]:
         batch146,
         batch147,
         batch148,
+        batch149,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2290,3 +2290,33 @@ def test_expected_loss_symmetry(spark):
         abs((lc - lt) / 1e6 - (r["mean_t_cents"] - r["mean_c_cents"]))
         <= 2
     )
+
+
+def test_basket_lift_consistency(spark):
+    from python_tool_setup_spark.queries.batch149 import (
+        q509_market_basket_lift,
+    )
+
+    rows = q509_market_basket_lift(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 15
+    lifts = [r["lift_micro"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"]
+        assert r["n_both"] >= 20
+        assert 0 < r["support_ppm"] <= r["confidence_a_to_b_ppm"]
+        assert r["positive_affinity"] == (r["lift_micro"] > 1_000_000) or (
+            r["lift_micro"] == 1_000_000
+        )
+
+
+def test_elasticity_near_zero_on_uniform(spark):
+    from python_tool_setup_spark.queries.batch149 import (
+        q510_price_elasticity,
+    )
+
+    r = q510_price_elasticity(spark, SF_DIR).collect()[0]
+    assert r["n_price_points"] == 10  # discount 0.01..0.10
+    # uniform synthetic demand: measured elasticity ~0, not elastic
+    assert abs(r["elasticity_micro"]) < 3_000_000
+    assert r["elastic"] == (abs(r["elasticity_micro"]) > 1_000_000)
