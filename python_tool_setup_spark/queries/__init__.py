@@ -229,6 +229,7 @@ def all_queries() -> dict[str, Query]:
         batch147,
         batch148,
         batch149,
+        batch150,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

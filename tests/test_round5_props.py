@@ -2320,3 +2320,36 @@ def test_elasticity_near_zero_on_uniform(spark):
     # uniform synthetic demand: measured elasticity ~0, not elastic
     assert abs(r["elasticity_micro"]) < 3_000_000
     assert r["elastic"] == (abs(r["elasticity_micro"]) > 1_000_000)
+
+
+def test_clipping_only_at_max_gain(spark):
+    from python_tool_setup_spark.queries.batch150 import (
+        q511_audio_clipping_audit,
+    )
+
+    rows = q511_audio_clipping_audit(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    for r in rows:
+        gain = 1 + (r["doc_id"] % 5) * 20
+        if gain < 81:
+            # below full scale: no clipping possible (498*61 < 32767)
+            assert not r["is_clipped"] and r["clipped_ppm"] == 0
+            assert r["peak"] <= 498 * gain
+        else:
+            assert r["is_clipped"] and r["clipped_ppm"] > 0
+            assert r["peak"] in (32767, 32768)
+        assert 0 < r["rms_milli"]
+
+
+def test_png_header_matches_staging_rule(spark):
+    from python_tool_setup_spark.queries.batch150 import (
+        q512_png_header_audit,
+    )
+
+    rows = q512_png_header_audit(spark, SF_DIR).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r["width"] == 1 + r["doc_id"] % 7
+        assert r["bit_depth"] == 8 and r["color_type"] == 0
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert r["height"] >= 1
