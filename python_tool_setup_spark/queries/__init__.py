@@ -230,6 +230,7 @@ def all_queries() -> dict[str, Query]:
         batch148,
         batch149,
         batch150,
+        batch151,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

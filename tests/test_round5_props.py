@@ -2353,3 +2353,38 @@ def test_png_header_matches_staging_rule(spark):
         assert r["bit_depth"] == 8 and r["color_type"] == 0
         assert r["n_pixels"] == r["width"] * r["height"]
         assert r["height"] >= 1
+
+
+def test_kmv_estimate_sane(spark):
+    from python_tool_setup_spark.queries.batch151 import (
+        q513_kmv_intersection_estimate,
+    )
+
+    r = q513_kmv_intersection_estimate(spark, SF_DIR).collect()[0]
+    assert r["exact_a"] > 0 and r["exact_b"] > 0
+    assert 0 <= r["exact_intersection"] <= min(
+        r["exact_a"], r["exact_b"]
+    )
+    assert 0 <= r["kmv_intersection_k"] <= 64
+    # union estimate in a sane band around the exact union
+    exact_union = (
+        r["exact_a"] + r["exact_b"] - r["exact_intersection"]
+    )
+    assert 0.4 * exact_union <= r["kmv_union_estimate"] <= 2.5 * exact_union
+
+
+def test_freshness_audit_bounds(spark):
+    from python_tool_setup_spark.queries.batch151 import (
+        q514_source_freshness_audit,
+    )
+
+    rows = q514_source_freshness_audit(spark, SF_DIR).collect()
+    assert {r["table_name"] for r in rows} == {
+        "events",
+        "lineitem",
+        "orders",
+    }
+    for r in rows:
+        assert r["n_rows"] > 0 and r["span_days"] >= 0
+        assert 0 <= r["last30"] <= r["n_rows"]
+        assert r["hist30_micro"] > 0
