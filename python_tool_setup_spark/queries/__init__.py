@@ -231,6 +231,7 @@ def all_queries() -> dict[str, Query]:
         batch149,
         batch150,
         batch151,
+        batch152,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

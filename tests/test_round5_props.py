@@ -2388,3 +2388,34 @@ def test_freshness_audit_bounds(spark):
         assert r["n_rows"] > 0 and r["span_days"] >= 0
         assert 0 <= r["last30"] <= r["n_rows"]
         assert r["hist30_micro"] > 0
+
+
+def test_mutual_information_bounds(spark):
+    from python_tool_setup_spark.queries.batch152 import (
+        q515_mutual_information,
+    )
+
+    r = q515_mutual_information(spark, SF_DIR).collect()[0]
+    assert r["n_cells"] <= 15  # 5 priorities x 3 statuses
+    assert r["mi_nano"] >= -5  # MI >= 0 (tiny rounding slack)
+    # MI <= min(H(X), H(Y))
+    assert r["mi_nano"] <= min(r["hx_nano"], r["hy_nano"]) + 5
+    assert 0 <= r["nmi_micro"] <= 1_000_005
+    # priorities are ~independent of status in TPC-H
+    assert not r["dependent"]
+
+
+def test_rbo_bounds(spark):
+    from python_tool_setup_spark.queries.batch152 import (
+        q516_rank_biased_overlap,
+    )
+
+    r = q516_rank_biased_overlap(spark, SF_DIR).collect()[0]
+    assert r["k"] == 50
+    assert 0 <= r["overlap_at_k"] <= 50
+    assert 0 <= r["rbo_min_ppm"] <= 1_000_000
+    # same shared small vocabulary on both sides: rankings agree a lot
+    assert r["jaccard_at_k_ppm"] >= 500_000
+    # RBO_min is bounded above by plain overlap fraction... not in
+    # general, but both should signal high agreement here
+    assert r["rbo_min_ppm"] >= 300_000
