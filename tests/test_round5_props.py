@@ -2401,8 +2401,13 @@ def test_mutual_information_bounds(spark):
     # MI <= min(H(X), H(Y))
     assert r["mi_nano"] <= min(r["hx_nano"], r["hy_nano"]) + 5
     assert 0 <= r["nmi_micro"] <= 1_000_005
-    # priorities are ~independent of status in TPC-H
-    assert not r["dependent"]
+    assert r["dependent"] == (r["mi_nano"] >= 1_000_000)
+    # priority and status are ~independent in TPC-H, but the plug-in
+    # MI estimator carries finite-sample bias ~ (cells-1)/(2N) nats —
+    # at the test SF that bias dominates, so bound MI by a few
+    # multiples of it instead of expecting ~0
+    bias_nano = (r["n_cells"] - 1) / (2 * r["n"]) * 1e9
+    assert r["mi_nano"] <= 5 * bias_nano + 1_000_000
 
 
 def test_rbo_bounds(spark):
