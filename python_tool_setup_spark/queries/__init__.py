@@ -232,6 +232,7 @@ def all_queries() -> dict[str, Query]:
         batch150,
         batch151,
         batch152,
+        batch153,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

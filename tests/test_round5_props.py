@@ -2424,3 +2424,46 @@ def test_rbo_bounds(spark):
     # RBO_min is bounded above by plain overlap fraction... not in
     # general, but both should signal high agreement here
     assert r["rbo_min_ppm"] >= 300_000
+
+
+def test_nrr_triangle_invariants(spark):
+    from python_tool_setup_spark.queries.batch153 import (
+        q517_revenue_cohort_nrr,
+    )
+
+    rows = q517_revenue_cohort_nrr(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_quarter"], []).append(r)
+    for cq, rs in by_cohort.items():
+        ages = [r["age_quarters"] for r in rs]
+        assert ages[0] == 0 and ages == sorted(ages)
+        base = rs[0]
+        assert base["nrr_ppm"] == 1_000_000  # age 0 is the base
+        for r in rs:
+            assert r["revenue_cents"] > 0
+            assert r["nrr_ppm"] == round(
+                r["revenue_cents"] * 1_000_000 / base["revenue_cents"]
+            )
+
+
+def test_pipeline_funnel_monotone(spark):
+    from python_tool_setup_spark.queries.batch153 import (
+        q518_pipeline_loss_accounting,
+    )
+
+    rows = q518_pipeline_loss_accounting(spark, SF_DIR).collect()
+    assert [r["stage"] for r in rows] == [
+        "0_raw",
+        "1_exact_dedup",
+        "2_quality_len",
+        "3_lang_en",
+    ]
+    ns = [r["n_rows"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # funnel only shrinks
+    assert rows[0]["surviving_ppm"] == 1_000_000
+    assert rows[0]["dropped_here"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["dropped_here"] == prev["n_rows"] - cur["n_rows"]
+    assert rows[-1]["n_rows"] > 0  # something survives end-to-end
