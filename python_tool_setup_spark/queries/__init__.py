@@ -233,6 +233,7 @@ def all_queries() -> dict[str, Query]:
         batch151,
         batch152,
         batch153,
+        batch154,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2467,3 +2467,40 @@ def test_pipeline_funnel_monotone(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["dropped_here"] == prev["n_rows"] - cur["n_rows"]
     assert rows[-1]["n_rows"] > 0  # something survives end-to-end
+
+
+def test_seasonal_indices_average_to_one(spark):
+    from python_tool_setup_spark.queries.batch154 import (
+        q519_seasonal_decomposition,
+    )
+
+    rows = q519_seasonal_decomposition(spark, SF_DIR).collect()
+    assert [r["month_of_year"] for r in rows] == list(range(1, 13))
+    for r in rows:
+        assert r["n_years"] >= 2
+        assert (
+            r["min_ratio_micro"]
+            <= r["seasonal_index_micro"]
+            <= r["max_ratio_micro"]
+        )
+    # multiplicative seasonal indices average ~1 across the year
+    mean_idx = sum(r["seasonal_index_micro"] for r in rows) / 12
+    assert abs(mean_idx - 1_000_000) < 60_000
+
+
+def test_cell_residuals_sum_structure(spark):
+    from python_tool_setup_spark.queries.batch154 import (
+        q520_chisq_cell_residuals,
+    )
+
+    rows = q520_chisq_cell_residuals(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    # expected counts reproduce the observed total
+    assert (
+        abs(sum(r["expected"] for r in rows)
+            - sum(r["observed"] for r in rows))
+        <= len(rows)
+    )
+    for r in rows:
+        assert r["expected"] > 0
+        assert r["notable_cell"] == (abs(r["std_residual_milli"]) > 2000)
