@@ -234,6 +234,7 @@ def all_queries() -> dict[str, Query]:
         batch152,
         batch153,
         batch154,
+        batch155,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -107,9 +107,7 @@ def q475_rle_encoding_advisor(
         "o_orderpriority",
         "o_orderstatus",
     )
-    ranked = prefix_rank(
-        o, [("o_orderkey", "asc")], alias="r", persist=True
-    )
+    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
     prev = ranked.select(
         (F.col("r") + 1).alias("pr"),
         *[F.col(c).alias(f"p_{c}") for c in cols],

@@ -1629,19 +1629,16 @@ def test_bh_fdr_stepup_invariants(spark):
 
 
 def test_prefix_rank_self_join_stable(spark):
-    # regression: prefix_rank(persist=True) output must be
-    # self-join-safe — the persisted blocked layout means rank r and
-    # rank r-1 come from ONE materialization, not two re-sampled
-    # range exchanges (q475's shape)
+    # regression: prefix_rank output must be self-join-safe for
+    # numeric leading keys — _blk is a pure expression of the row, so
+    # rank r and rank r-1 agree across re-executions (q475's shape)
     from pyspark.sql import functions as F
 
     from python_tool_setup_spark.operators.blockrank import prefix_rank
     from python_tool_setup_spark.tables import load_table
 
     o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
-    ranked = prefix_rank(
-        o, [("o_orderkey", "asc")], alias="r", persist=True
-    )
+    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
     prev = ranked.select((F.col("r") + 1).alias("pr"))
     joined = ranked.join(prev, F.col("r") == F.col("pr"), "left")
     n = o.count()
@@ -2504,3 +2501,56 @@ def test_cell_residuals_sum_structure(spark):
     for r in rows:
         assert r["expected"] > 0
         assert r["notable_cell"] == (abs(r["std_residual_milli"]) > 2000)
+
+
+def test_cvm_aa_split_not_rejected(spark):
+    from python_tool_setup_spark.queries.batch155 import (
+        q521_cramer_von_mises,
+    )
+
+    r = q521_cramer_von_mises(spark, SF_DIR).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    # A/A parity split: same distribution, test must not reject
+    assert not r["distributions_differ"]
+    assert r["t_micro"] < 461_000
+    assert int(r["u_stat"]) > 0
+
+
+def test_kendall_tau_on_uniform_grid(spark):
+    from python_tool_setup_spark.queries.batch155 import (
+        q522_kendall_tau_b,
+    )
+
+    r = q522_kendall_tau_b(spark, SF_DIR).collect()[0]
+    c, d = int(r["concordant"]), int(r["discordant"])
+    n0 = int(r["n_pairs"])
+    assert 0 < c and 0 < d
+    assert c + d <= n0 - int(r["ties_x"])  # ordered pairs exclude x-ties
+    # discount and quantity are independent in the fixture
+    assert abs(r["tau_b_micro"]) < 100_000
+    assert not r["correlated"]
+
+
+def test_prefix_desc_order_deterministic(spark):
+    # width-bucket _blk must be order-consistent for DESC leading
+    # keys too: rank by value desc twice, self-join r to r-1
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.operators.blockrank import prefix_rank
+    from python_tool_setup_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.round(100 * F.col("o_totalprice")).cast("long").alias("c"),
+    )
+    ranked = prefix_rank(
+        o, [("c", "desc"), ("o_orderkey", "asc")], alias="r"
+    )
+    n = o.count()
+    assert ranked.agg(F.countDistinct("r")).collect()[0][0] == n
+    prev = ranked.select((F.col("r") + 1).alias("pr"))
+    assert ranked.join(prev, F.col("r") == F.col("pr"), "left").count() == n
+    # rank 1 is the maximum value
+    top = ranked.filter(F.col("r") == 1).collect()[0]
+    mx = o.agg(F.max("c")).collect()[0][0]
+    assert top["c"] == mx
