@@ -235,6 +235,7 @@ def all_queries() -> dict[str, Query]:
         batch153,
         batch154,
         batch155,
+        batch156,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2554,3 +2554,41 @@ def test_prefix_desc_order_deterministic(spark):
     top = ranked.filter(F.col("r") == 1).collect()[0]
     mx = o.agg(F.max("c")).collect()[0][0]
     assert top["c"] == mx
+
+
+def test_join_order_estimator_exact(spark):
+    from python_tool_setup_spark.queries.batch156 import (
+        q523_join_order_benefit,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    rows = {
+        r["plan_order"]: r
+        for r in q523_join_order_benefit(spark, SF_DIR).collect()
+    }
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    a = rows["a_lineitem_orders_first"]
+    b = rows["b_orders_customer_first"]
+    # FK joins: intermediates equal the fact-side row counts exactly
+    assert a["intermediate_rows"] == li_n
+    assert b["intermediate_rows"] == o_n
+    assert a["final_rows"] == b["final_rows"] == li_n
+    # the smaller intermediate is recommended
+    assert b["recommended"] and not a["recommended"]
+    assert b["cost_ratio_micro"] == 1_000_000
+    assert a["cost_ratio_micro"] > 1_000_000
+
+
+def test_nested_percentiles_ordering(spark):
+    from python_tool_setup_spark.queries.batch156 import (
+        q524_nested_percentiles,
+    )
+
+    r = q524_nested_percentiles(spark, SF_DIR).collect()[0]
+    assert r["n_users"] > 0
+    assert r["p50_of_p95_milli"] <= r["p95_of_p95_milli"]
+    assert r["global_p95_milli"] > 0
+    assert r["heavy_users_hide_tail"] == (
+        r["p95_of_p95_milli"] >= r["global_p95_milli"]
+    )
