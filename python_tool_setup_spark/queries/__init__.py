@@ -236,6 +236,7 @@ def all_queries() -> dict[str, Query]:
         batch154,
         batch155,
         batch156,
+        batch157,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

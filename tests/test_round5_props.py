@@ -2592,3 +2592,36 @@ def test_nested_percentiles_ordering(spark):
     assert r["heavy_users_hide_tail"] == (
         r["p95_of_p95_milli"] >= r["global_p95_milli"]
     )
+
+
+def test_rate_limit_accounting(spark):
+    from python_tool_setup_spark.queries.batch157 import (
+        q525_rate_limit_audit,
+    )
+
+    r = q525_rate_limit_audit(spark, SF_DIR).collect()[0]
+    assert r["n_users"] > 0
+    assert r["max_burst"] >= 1
+    assert r["n_bursting_users"] <= r["n_users"]
+    if r["n_violation_windows"] == 0:
+        assert r["n_bursting_users"] == 0 and r["max_burst"] <= 3
+    else:
+        assert r["n_bursting_users"] >= 1 and r["max_burst"] > 3
+
+
+def test_qini_aa_null_calibration(spark):
+    from python_tool_setup_spark.queries.batch157 import (
+        q526_qini_curve,
+    )
+
+    rows = q526_qini_curve(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for prev, cur in zip(rows, rows[1:]):
+        # cumulative counts grow with depth
+        assert cur["cum_treated"] >= prev["cum_treated"]
+        assert cur["cum_control"] >= prev["cum_control"]
+        assert cur["cum_pos_treated"] >= prev["cum_pos_treated"]
+    last = rows[-1]
+    assert last["cum_pos_treated"] <= last["cum_treated"]
+    # A/A parity arms: final-depth uplift must be near zero
+    assert abs(last["uplift_ppm"]) < 120_000
