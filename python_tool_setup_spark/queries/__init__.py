@@ -237,6 +237,7 @@ def all_queries() -> dict[str, Query]:
         batch155,
         batch156,
         batch157,
+        batch158,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2625,3 +2625,34 @@ def test_qini_aa_null_calibration(spark):
     assert last["cum_pos_treated"] <= last["cum_treated"]
     # A/A parity arms: final-depth uplift must be near zero
     assert abs(last["uplift_ppm"]) < 120_000
+
+
+def test_rolling_correlation_bounds(spark):
+    from python_tool_setup_spark.queries.batch158 import (
+        q527_rolling_correlation,
+    )
+
+    rows = q527_rolling_correlation(spark, SF_DIR).collect()
+    assert len(rows) >= 24
+    idxs = [r["month_idx"] for r in rows]
+    assert idxs == sorted(idxs)
+    for r in rows:
+        assert r["window_months"] == 12
+        assert -1_000_000 <= r["corr_micro"] <= 1_000_000
+        assert r["strongly_coupled"] == (abs(r["corr_micro"]) > 700_000)
+
+
+def test_mus_sample_size_near_target(spark):
+    from python_tool_setup_spark.queries.batch158 import (
+        q528_monetary_unit_sampling,
+    )
+
+    rows = q528_monetary_unit_sampling(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    pts = sum(r["n_sampling_points"] for r in rows)
+    # systematic PPS: total sampling points ~= target (off-by-ones
+    # from the integer interval floor)
+    assert 195 <= pts <= 206
+    for r in rows:
+        assert r["n_sampled"] <= r["n_sampling_points"]
+        assert r["sampled_cents"] > 0
