@@ -189,6 +189,13 @@ def q307_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         lnkey.alias("lnkey_nano"),
     )
     top = keyed.orderBy(F.col("lnkey_nano").desc(), "doc_id").limit(_SAMPLE_K)
-    return prefix_rank(
-        top, [("lnkey_nano", "desc"), ("doc_id", "asc")], alias="rk"
-    ).select("doc_id", "w", "lnkey_nano", F.col("rk").cast("long").alias("rk"))
+    return (
+        prefix_rank(
+            top, [("lnkey_nano", "desc"), ("doc_id", "asc")], alias="rk"
+        )
+        .select(
+            "doc_id", "w", "lnkey_nano",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("rk")
+    )
