@@ -295,6 +295,11 @@ def all_queries() -> dict[str, Query]:
         # exact-similarity join + warehouse/scale patterns
         "q333_", "q283_", "q284_", "q285_", "q287_", "q263_",
         "q224_", "q228_", "q273_", "q313_", "q282_",
+        # round-5 flagships (encoding/planning advisors, lakehouse
+        # ops, governance, inference, sketches)
+        "q475_", "q478_", "q485_", "q490_", "q492_", "q499_",
+        "q505_", "q507_", "q513_", "q517_", "q521_", "q526_",
+        "q528_",
     )
     priority = {
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)
