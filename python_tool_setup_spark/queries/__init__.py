@@ -238,6 +238,7 @@ def all_queries() -> dict[str, Query]:
         batch156,
         batch157,
         batch158,
+        batch159,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2656,3 +2656,42 @@ def test_mus_sample_size_near_target(spark):
     for r in rows:
         assert r["n_sampled"] <= r["n_sampling_points"]
         assert r["sampled_cents"] > 0
+
+
+def test_graph_distance_invariants(spark):
+    from python_tool_setup_spark.queries.batch159 import (
+        q529_graph_distance_metrics,
+    )
+
+    rows = q529_graph_distance_metrics(spark, SF_DIR).collect()
+    assert len(rows) == 97  # dense projection reaches all residues
+    for r in rows:
+        assert 1 <= r["eccentricity"] <= 6
+        assert r["n_reachable"] <= 96
+        assert r["harmonic_micro"] <= r["n_reachable"] * 1_000_000
+        if r["vertex"] == 0:
+            assert r["dist_from_v0"] == 0
+        else:
+            assert 1 <= r["dist_from_v0"] <= r["eccentricity"]
+
+
+def test_table_profile_sanity(spark):
+    from python_tool_setup_spark.queries.batch159 import (
+        q530_table_profile,
+    )
+
+    rows = {
+        r["column_name"]: r
+        for r in q530_table_profile(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    n = rows["o_orderkey"]["n_rows"]
+    assert rows["o_orderkey"]["n_distinct"] == n  # PK
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+    assert rows["o_orderpriority"]["n_distinct"] <= 5
+    for r in rows.values():
+        assert r["n_rows"] == n and r["null_ppm"] == 0
+        assert r["min_text"] <= r["max_text"]
