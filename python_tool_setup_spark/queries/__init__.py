@@ -239,6 +239,7 @@ def all_queries() -> dict[str, Query]:
         batch157,
         batch158,
         batch159,
+        batch160,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

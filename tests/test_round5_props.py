@@ -2695,3 +2695,62 @@ def test_table_profile_sanity(spark):
     for r in rows.values():
         assert r["n_rows"] == n and r["null_ppm"] == 0
         assert r["min_text"] <= r["max_text"]
+
+
+def test_binary_segmentation_replay(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries.batch160 import (
+        q531_binary_segmentation,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    r = q531_binary_segmentation(spark, SF_DIR).collect()[0]
+    months = sorted(
+        (x["idx"], x["cents"])
+        for x in load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("idx")
+        )
+        .agg(
+            F.sum(
+                F.round(100 * F.col("o_totalprice")).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    vals = [c for _, c in months]
+    n = len(vals)
+    best = None
+    for k in range(2, n - 1):
+        l, rr = vals[:k], vals[k:]
+        ml, mr = sum(l) / k, sum(rr) / (n - k)
+        ssq = sum((x - ml) ** 2 for x in l) + sum(
+            (x - mr) ** 2 for x in rr
+        )
+        t = abs(ml - mr) / math.sqrt(
+            (ssq / (n - 2)) * (1 / k + 1 / (n - k))
+        )
+        key = (round(t * 1e6), -months[k - 1][0])
+        if best is None or key > best[0]:
+            best = (key, months[k - 1][0], k)
+    assert r["split_after_month"] == best[1]
+    assert r["n_left"] == best[2]
+    assert r["n_left"] + r["n_right"] == n
+    assert r["significant_shift"] == (r["t_micro"] > 1_960_000)
+
+
+def test_wilcoxon_paired_structure(spark):
+    from python_tool_setup_spark.queries.batch160 import (
+        q532_wilcoxon_signed_rank,
+    )
+
+    r = q532_wilcoxon_signed_rank(spark, SF_DIR).collect()[0]
+    n = r["n_pairs"]
+    assert n >= 24
+    # doubled T+ lies within the doubled rank-sum range [0, n(n+1)]
+    assert 0 <= r["t_plus_x2"] <= n * (n + 1)
+    assert r["regions_differ"] == (abs(r["z"]) > 1.96)
