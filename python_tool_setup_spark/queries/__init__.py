@@ -240,6 +240,7 @@ def all_queries() -> dict[str, Query]:
         batch158,
         batch159,
         batch160,
+        batch161,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2754,3 +2754,32 @@ def test_wilcoxon_paired_structure(spark):
     # doubled T+ lies within the doubled rank-sum range [0, n(n+1)]
     assert 0 <= r["t_plus_x2"] <= n * (n + 1)
     assert r["regions_differ"] == (abs(r["z"]) > 1.96)
+
+
+def test_mann_whitney_aa_split(spark):
+    from python_tool_setup_spark.queries.batch161 import (
+        q533_mann_whitney_u,
+    )
+
+    r = q533_mann_whitney_u(spark, SF_DIR).collect()[0]
+    n1, n2 = r["n_a"], r["n_b"]
+    assert n1 > 0 and n2 > 0
+    # doubled U lies in [0, 2*n1*n2]
+    assert 0 <= int(r["u_x2"]) <= 2 * n1 * n2
+    # A/A parity split: no rejection
+    assert not r["distributions_differ"]
+    assert abs(r["z"]) < 1.96
+
+
+def test_runs_test_bounds(spark):
+    from python_tool_setup_spark.queries.batch161 import (
+        q534_runs_test,
+    )
+
+    r = q534_runs_test(spark, SF_DIR).collect()[0]
+    n1, n2 = r["n_above"], r["n_below"]
+    assert n1 > 0 and n2 > 0
+    # median split: counts balance to within one
+    assert abs(n1 - n2) <= 1
+    assert 1 <= r["n_runs"] <= n1 + n2
+    assert r["non_random"] == (abs(r["z"]) > 1.96)
