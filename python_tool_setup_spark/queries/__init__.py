@@ -241,6 +241,7 @@ def all_queries() -> dict[str, Query]:
         batch159,
         batch160,
         batch161,
+        batch162,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2783,3 +2783,30 @@ def test_runs_test_bounds(spark):
     assert abs(n1 - n2) <= 1
     assert 1 <= r["n_runs"] <= n1 + n2
     assert r["non_random"] == (abs(r["z"]) > 1.96)
+
+
+def test_friedman_rank_sums(spark):
+    from python_tool_setup_spark.queries.batch162 import (
+        q535_friedman_test,
+    )
+
+    rows = q535_friedman_test(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    n = rows[0]["n_blocks"]
+    # rank sums over n blocks of ranks 1..5 total n*15
+    assert sum(r["rank_sum"] for r in rows) == n * 15
+    for r in rows:
+        assert n * 1 <= r["rank_sum"] <= n * 5
+        assert r["regions_differ"] == (r["chi2_micro"] > 9_487_729)
+
+
+def test_kruskal_wallis_null(spark):
+    from python_tool_setup_spark.queries.batch162 import (
+        q536_kruskal_wallis,
+    )
+
+    r = q536_kruskal_wallis(spark, SF_DIR).collect()[0]
+    assert r["n_groups"] == 5
+    assert r["h_micro"] >= -1_000  # H >= 0 up to term rounding
+    # priorities are exchangeable labels: must not reject
+    assert not r["groups_differ"]
