@@ -242,6 +242,7 @@ def all_queries() -> dict[str, Query]:
         batch160,
         batch161,
         batch162,
+        batch163,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

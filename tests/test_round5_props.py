@@ -2810,3 +2810,32 @@ def test_kruskal_wallis_null(spark):
     assert r["h_micro"] >= -1_000  # H >= 0 up to term rounding
     # priorities are exchangeable labels: must not reject
     assert not r["groups_differ"]
+
+
+def test_mcnemar_cells_partition(spark):
+    from python_tool_setup_spark.queries.batch163 import (
+        q537_mcnemar_test,
+    )
+    from python_tool_setup_spark.tables import load_table
+
+    r = q537_mcnemar_test(spark, SF_DIR).collect()[0]
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert (
+        r["n_both"] + r["n_only_1996"] + r["n_only_1997"]
+        + r["n_neither"]
+        == n_cust
+    )
+    assert r["behavior_shifted"] == (r["chi2_micro"] > 3_841_459)
+
+
+def test_cochran_armitage_null(spark):
+    from python_tool_setup_spark.queries.batch163 import (
+        q538_cochran_armitage_trend,
+    )
+
+    r = q538_cochran_armitage_trend(spark, SF_DIR).collect()[0]
+    assert r["n_year_groups"] >= 5
+    assert 0 < r["n_urgent"] < r["n_orders"]
+    # priorities are date-independent: no trend
+    assert not r["trend_present"]
+    assert abs(r["z"]) < 1.96
