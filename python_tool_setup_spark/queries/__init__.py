@@ -243,6 +243,7 @@ def all_queries() -> dict[str, Query]:
         batch161,
         batch162,
         batch163,
+        batch164,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2839,3 +2839,30 @@ def test_cochran_armitage_null(spark):
     # priorities are date-independent: no trend
     assert not r["trend_present"]
     assert abs(r["z"]) < 1.96
+
+
+def test_p_chart_in_control(spark):
+    from python_tool_setup_spark.queries.batch164 import (
+        q539_p_chart,
+    )
+
+    r = q539_p_chart(spark, SF_DIR).collect()[0]
+    assert r["n_days"] > 100
+    assert 0 < r["pbar_ppm"] < 1_000_000
+    # stationary fixture: 3-sigma false alarms stay rare
+    assert r["ooc_ppm"] < 20_000
+    assert r["process_in_control"]
+
+
+def test_xbar_r_chart_structure(spark):
+    from python_tool_setup_spark.queries.batch164 import (
+        q540_xbar_r_chart,
+    )
+
+    r = q540_xbar_r_chart(spark, SF_DIR).collect()[0]
+    assert r["n_subgroups"] >= 50
+    assert r["center_cents"] > 0 and r["rbar_cents"] > 0
+    assert 0 <= r["n_xbar_ooc"] <= r["n_subgroups"]
+    assert r["xbar_in_control"] == (
+        r["n_xbar_ooc"] * 50 < r["n_subgroups"]
+    )
