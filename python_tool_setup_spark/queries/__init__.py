@@ -244,6 +244,7 @@ def all_queries() -> dict[str, Query]:
         batch162,
         batch163,
         batch164,
+        batch165,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

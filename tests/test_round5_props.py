@@ -2868,3 +2868,39 @@ def test_xbar_r_chart_structure(spark):
     assert r["xbar_in_control"] == (
         r["n_xbar_ooc"] * 50 < r["n_subgroups"]
     )
+
+
+def test_chao1_bounds(spark):
+    from python_tool_setup_spark.queries.batch165 import (
+        q541_chao1_richness,
+    )
+
+    r = q541_chao1_richness(spark, SF_DIR).collect()[0]
+    assert r["observed_types"] > 0
+    assert r["chao1_estimate"] >= r["observed_types"]
+    assert 0 < r["type_coverage_ppm"] <= 1_000_000
+    assert (
+        r["singletons"] + r["doubletons"] <= r["observed_types"]
+    )
+
+
+def test_good_turing_discount_structure(spark):
+    from python_tool_setup_spark.queries.batch165 import (
+        q542_good_turing_discounts,
+    )
+
+    rows = q542_good_turing_discounts(spark, SF_DIR).collect()
+    assert rows
+    rs = [r["r"] for r in rows]
+    assert rs == sorted(rs)  # the smallest observed counts, in order
+    for r in rows:
+        assert r["n_r"] > 0
+        # r* = (r+1) n_{r+1} / n_r, micro-quantized
+        expect = round(
+            (r["r"] + 1) * r["n_r_plus_1"] / r["n_r"] * 1e6
+        )
+        assert abs(r["r_star_micro"] - expect) <= 1
+        if r["r_star_micro"] != r["r"] * 1_000_000:
+            assert r["mass_released"] == (
+                r["r_star_micro"] < r["r"] * 1_000_000
+            )
