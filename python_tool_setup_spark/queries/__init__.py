@@ -245,6 +245,7 @@ def all_queries() -> dict[str, Query]:
         batch163,
         batch164,
         batch165,
+        batch166,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

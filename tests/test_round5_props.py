@@ -2904,3 +2904,32 @@ def test_good_turing_discount_structure(spark):
             assert r["mass_released"] == (
                 r["r_star_micro"] < r["r"] * 1_000_000
             )
+
+
+def test_partial_correlation_null_confounder(spark):
+    from python_tool_setup_spark.queries.batch166 import (
+        q543_partial_correlation,
+    )
+
+    r = q543_partial_correlation(spark, SF_DIR).collect()[0]
+    for c in ("r_xy_micro", "r_xz_micro", "r_yz_micro",
+              "r_xy_given_z_micro"):
+        assert -1_000_000 <= r[c] <= 1_000_000
+    # quantity and extended price are strongly positively related
+    assert r["r_xy_micro"] > 500_000
+    # discount is independent: partial ~= raw
+    assert r["confounder_negligible"]
+
+
+def test_smd_aa_balanced(spark):
+    from python_tool_setup_spark.queries.batch166 import (
+        q544_covariate_balance_smd,
+    )
+
+    rows = q544_covariate_balance_smd(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_treat"] > 0 and r["n_control"] > 0
+        # A/A parity arms balance on every covariate
+        assert r["balanced"], r
+        assert abs(r["smd_milli"]) < 100
