@@ -246,6 +246,7 @@ def all_queries() -> dict[str, Query]:
         batch164,
         batch165,
         batch166,
+        batch167,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

@@ -2935,3 +2935,31 @@ def test_smd_aa_balanced(spark):
         assert r["balanced"] == (abs(r["smd_milli"]) < 100)
         # A/A arms: |SMD| stays within sampling noise ~ 3*sqrt(4/n)
         assert abs(r["smd_milli"]) < 3 * math.sqrt(4 / n) * 1000, r
+
+
+def test_split_half_low_on_iid(spark):
+    from python_tool_setup_spark.queries.batch167 import (
+        q545_split_half_reliability,
+    )
+
+    r = q545_split_half_reliability(spark, SF_DIR).collect()[0]
+    assert r["n_customers"] > 0
+    assert -1_000_000 <= r["half_r_micro"] <= 1_000_000
+    # i.i.d. order values: no stable per-customer trait
+    assert not r["metric_reliable"]
+    assert r["metric_reliable"] == (
+        r["spearman_brown_micro"] >= 700_000
+    )
+
+
+def test_icc_near_zero_on_iid(spark):
+    from python_tool_setup_spark.queries.batch167 import (
+        q546_intraclass_correlation,
+    )
+
+    r = q546_intraclass_correlation(spark, SF_DIR).collect()[0]
+    assert r["n_customers"] > 0 and r["n_orders"] > r["n_customers"]
+    assert r["ms_between"] > 0 and r["ms_within"] > 0
+    # i.i.d. fixture: between-customer share ~0
+    assert r["clustering_negligible"]
+    assert abs(r["icc_micro"]) < 100_000
