@@ -247,6 +247,7 @@ def all_queries() -> dict[str, Query]:
         batch165,
         batch166,
         batch167,
+        batch168,
     )
 
     # Self-maintaining rotation for the driver's 50-entry CORRECTNESS

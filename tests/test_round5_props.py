@@ -2963,3 +2963,30 @@ def test_icc_near_zero_on_iid(spark):
     # i.i.d. fixture: between-customer share ~0
     assert r["clustering_negligible"]
     assert abs(r["icc_micro"]) < 100_000
+
+
+def test_cronbach_alpha_null(spark):
+    from python_tool_setup_spark.queries.batch168 import (
+        q547_cronbach_alpha,
+    )
+
+    r = q547_cronbach_alpha(spark, SF_DIR).collect()[0]
+    assert r["n_subjects"] > 0
+    assert r["sum_item_var"] > 0 and r["total_var"] > 0
+    # i.i.d. items: alpha ~ 0, never near the 0.7 bar
+    assert not r["internally_consistent"]
+    assert r["alpha_micro"] < 500_000
+
+
+def test_bland_altman_coverage(spark):
+    from python_tool_setup_spark.queries.batch168 import (
+        q548_bland_altman,
+    )
+
+    r = q548_bland_altman(spark, SF_DIR).collect()[0]
+    assert r["n_subjects"] > 0
+    assert r["loa_half_width"] > 0
+    assert 0 <= r["n_outside_loa"] <= r["n_subjects"]
+    # ~5% fall outside 1.96-sd limits; allow sampling slack
+    assert r["outside_ppm"] <= 120_000
+    assert r["methods_agree"] == (r["outside_ppm"] < 80_000)
