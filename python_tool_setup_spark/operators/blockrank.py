@@ -26,14 +26,37 @@ strategies:
   can change it. Blocks are equal-width in the value domain, not
   equal-count; a skewed leading key degrades balance but never
   correctness (and every current caller's leading key is
-  near-uniform or histogram-bounded).
+  near-uniform or histogram-bounded). NULL leading keys go to the
+  first block under ``asc`` (Spark sorts NULLS FIRST ascending) and
+  the last block under ``desc`` (NULLS LAST); NaN float/double keys
+  go to the opposite end (Spark sorts NaN greater than any value).
 - **Pinned range layout** (leading sort column is a string or an
   opaque expression): ``repartitionByRange`` + ``spark_partition_id``
   gives equal-count blocks, but the range boundaries are re-sampled
   per physical execution and exchange reuse is NOT guaranteed to
   unify the passes (measured: intermittent wrong prefixes at sf0.01
-  under AQE) — so this path always persists the blocked layout to
-  pin one materialization.
+  under AQE) — so this path always pins ONE materialization via an
+  eager ``localCheckpoint`` (RDD-backed, so storage is released by
+  the ContextCleaner when the output is garbage-collected — a plain
+  ``persist`` would sit in the CacheManager forever unless somebody
+  remembered to unpersist, which across a 500-gate sweep nobody
+  does).
+
+LINEAGE CONTRACT (``cache_input``): the decomposition executes its
+input lineage up to three times (bounds aggregate, per-block totals,
+final join-back). For a bare pruned scan that is cheaper than caching;
+for anything with a join/aggregate/window upstream — and especially
+for CHAINED prefix calls — re-execution multiplies upstream work
+~3x per link (the q323 RFM incident: three chained calls -> ~4^3
+recompute explosion, 62 s for a 5 s query). So by default
+(``cache_input=None``) the input is pinned with an eager
+``localCheckpoint`` whenever its analyzed plan is anything beyond
+scan/filter/project — which also freezes nondeterministic inputs
+(limit without total order, sample), closing the corrupt-prefix risk
+of re-executed nondeterminism. Pass ``cache_input=False`` only when
+the caller has already persisted the input (an already-persisted
+input is never re-pinned), or ``True`` to force pinning a trivial
+scan.
 
 Exactness: sums here are over integers (the repo's engine-exact
 posture quantizes before summing), so regrouping the addition is
@@ -43,6 +66,10 @@ The reference has no distributed-ranking surface at all (its whole
 computational content is an ETL framework, framework.py:1-351); this
 is the Spark-native scale path for the rank/cumsum family the query
 gates need.
+
+Reserved column names: ``_blk``, ``_p_<alias>``, ``_brk_mn``,
+``_brk_mx`` (the bound columns are renamed away from anything a
+caller plausibly owns).
 """
 
 from __future__ import annotations
@@ -64,6 +91,25 @@ _NUMERIC_TYPES = (
     T.DoubleType,
     T.DecimalType,
     T.BooleanType,
+)
+
+_FLOAT_TYPES = (T.FloatType, T.DoubleType)
+
+# Analyzed-plan node names whose re-execution is cheap AND
+# deterministic: a pruned scan plus row-local transforms. Anything
+# else (joins, aggregates, windows, generators, python maps, limits,
+# samples, set ops...) is either expensive to run three times or not
+# guaranteed to reproduce the same rows — both get pinned.
+_TRIVIAL_NODES = (
+    "Project",
+    "Filter",
+    "Relation",
+    "LogicalRDD",
+    "LocalRelation",
+    "SubqueryAlias",
+    "View",
+    "Repartition",
+    "RepartitionByExpression",
 )
 
 
@@ -102,12 +148,61 @@ def _proxy(df: DataFrame, order: list[tuple]):
     return None
 
 
+def _leading_is_float(df: DataFrame, order: list[tuple]) -> bool:
+    col0, _ = order[0]
+    if not isinstance(col0, str):
+        return False
+    try:
+        return isinstance(df.schema[col0].dataType, _FLOAT_TYPES)
+    except KeyError:
+        return False
+
+
+def _is_persisted(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        return False
+
+
+def _is_trivial(df: DataFrame) -> bool:
+    """True when every node of the analyzed plan is a deterministic,
+    cheap-to-re-execute scan/filter/project shape. On any doubt
+    (unparseable plan, unknown node) returns False so the caller
+    pins — wrong answer in that direction only costs one
+    materialization, never correctness."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:")
+        if not stripped:
+            continue
+        node = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if not node:
+            continue
+        if not any(node == t or node.startswith(t) for t in _TRIVIAL_NODES):
+            return False
+    return True
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize ONCE and truncate lineage. RDD-backed local
+    checkpoint: storage is dropped by the ContextCleaner when the
+    result is garbage-collected (unlike Dataset.persist, which leaks
+    in the CacheManager until an explicit unpersist)."""
+    return df.localCheckpoint(eager=True)
+
+
 def prefix_agg(
     df: DataFrame,
     order: list[tuple],
     aggs: dict[str, tuple],
     n_blocks: int = 32,
     persist: bool = False,
+    cache_input: bool | None = None,
 ) -> DataFrame:
     """Attach EXCLUSIVE ordered-prefix aggregates to every row.
 
@@ -125,8 +220,18 @@ def prefix_agg(
     numeric leading keys (useful when equal-count blocks matter more
     than avoiding the materialization).
 
-    ``_blk`` and ``_p_<alias>`` are reserved column names.
+    ``cache_input``: lineage contract — see the module docstring.
+    None (default) pins non-trivial inputs once via eager
+    localCheckpoint; True always pins; False never does (caller
+    asserts the input is already persisted or a cheap scan).
+
+    ``_blk``, ``_p_<alias>``, ``_brk_mn``, ``_brk_mx`` are reserved
+    column names.
     """
+    if cache_input is True or (
+        cache_input is None and not _is_persisted(df) and not _is_trivial(df)
+    ):
+        df = _pin(df)
     sort = _sort_exprs(order)
     proxy = None if persist else _proxy(df, order)
     if proxy is not None:
@@ -134,37 +239,60 @@ def prefix_agg(
         # the row against a broadcast min/max — immune to exchange
         # re-sampling, AQE re-plans, and output-lineage re-execution.
         _, direction = order[0]
+        # NaN would poison min/max (Spark's max treats NaN as the
+        # largest double) and the bucket arithmetic; bounds are over
+        # finite values only, NaN rows get an explicit end block.
+        finite = (
+            F.nanvl(proxy, F.lit(None).cast("double"))
+            if _leading_is_float(df, order)
+            else proxy
+        )
         bounds = df.agg(
-            F.min(proxy).alias("_mn"), F.max(proxy).alias("_mx")
+            F.min(finite).alias("_brk_mn"),
+            F.max(finite).alias("_brk_mx"),
         )
         pos = (
-            (F.col("_mx") - proxy)
+            (F.col("_brk_mx") - proxy)
             if direction == "desc"
-            else (proxy - F.col("_mn"))
+            else (proxy - F.col("_brk_mn"))
         )
-        span = F.col("_mx") - F.col("_mn")
-        blk = F.when(span <= 0, F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_blocks - 1),
-                F.floor(pos * n_blocks / span),
+        span = F.col("_brk_mx") - F.col("_brk_mn")
+        core = F.when(
+            span.isNull() | (span <= 0), F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_blocks - 1),
+                    F.floor(pos * n_blocks / span),
+                ),
             )
         )
+        # Spark sort order: NULL first asc / last desc; NaN greater
+        # than every value (last asc / first desc). Matching end
+        # blocks keep the within-block window ordering global.
+        null_blk = 0 if direction != "desc" else n_blocks - 1
+        nan_blk = n_blocks - 1 if direction != "desc" else 0
+        blk = F.when(proxy.isNull(), F.lit(null_blk))
+        if _leading_is_float(df, order):
+            blk = blk.when(F.isnan(proxy), F.lit(nan_blk))
+        blk = blk.otherwise(core)
         blocked = (
             df.crossJoin(F.broadcast(bounds))
             .withColumn("_blk", blk.cast("int"))
-            .drop("_mn", "_mx")
+            .drop("_brk_mn", "_brk_mx")
             .repartition(n_blocks, "_blk")
         )
     else:
         # Pinned range layout: equal-count blocks from the sampled
-        # range exchange, persisted because the sampling is NOT
-        # stable across physical executions (and exchange reuse has
-        # been observed to miss intermittently under AQE, silently
-        # corrupting the prefixes).
-        blocked = (
-            df.repartitionByRange(n_blocks, *sort)
-            .withColumn("_blk", F.spark_partition_id())
-            .persist()
+        # range exchange, pinned (eager localCheckpoint) because the
+        # sampling is NOT stable across physical executions (and
+        # exchange reuse has been observed to miss intermittently
+        # under AQE, silently corrupting the prefixes).
+        blocked = _pin(
+            df.repartitionByRange(n_blocks, *sort).withColumn(
+                "_blk", F.spark_partition_id()
+            )
         )
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]
@@ -208,13 +336,18 @@ def prefix_rank(
     alias: str = "rk",
     n_blocks: int = 32,
     persist: bool = False,
+    cache_input: bool | None = None,
 ) -> DataFrame:
     """1-based ``ROW_NUMBER() OVER (ORDER BY ...)`` equivalent under a
     total order, with no unpartitioned window anywhere in the plan.
-    See :func:`prefix_agg` for the block-assignment determinism
-    contract (numeric leading keys get pure-expression blocks; string
-    leading keys get a persisted range layout)."""
+    See :func:`prefix_agg` for the block-assignment determinism and
+    input-lineage (``cache_input``) contracts."""
     out = prefix_agg(
-        df, order, {alias: ("count", None)}, n_blocks, persist=persist
+        df,
+        order,
+        {alias: ("count", None)},
+        n_blocks,
+        persist=persist,
+        cache_input=cache_input,
     )
     return out.withColumn(alias, (F.col(alias) + 1).cast("long"))

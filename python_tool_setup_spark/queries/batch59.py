@@ -65,6 +65,13 @@ from python_tool_setup_spark.tables import load_table
 )
 def q323_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # One row per user — pinned ONCE (eager localCheckpoint), because
+    # everything downstream (three histograms + three rank joins)
+    # re-reads it. The r5 version chained three quintile() calls whose
+    # unpinned lineage re-executed multiplicatively (~4^3: 62 s solo
+    # for a 5 s query — the round-5 scale-killer); all three scores
+    # are independent functions of per_user, so they are now derived
+    # from the same pinned frame and attached in one pass.
     per_user = ev.groupBy("user_id").agg(
         F.datediff(
             F.lit("2024-01-30").cast("date"), F.max(F.col("ts").cast("date"))
@@ -75,32 +82,36 @@ def q323_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("monetary"),
-    )
+    ).localCheckpoint(eager=True)
+    n_tot = per_user.count()  # scalar off the pinned frame
 
-    def quintile(df: DataFrame, col: str, descending: bool, out: str) -> DataFrame:
-        """Block-offset population quintile: rank = block offset +
-        within-block row_number, score = 5*(rank-1) div n."""
-        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    scored = per_user
+    for col, descending, out in (
+        ("recency", False, "r_score"),
+        ("frequency", True, "f_score"),
+        ("monetary", True, "m_score"),
+    ):
+        # Block-offset population quintile: rank = value-histogram
+        # exclusive prefix + within-value row_number, score =
+        # 5*(rank-1) div n. The histogram is metadata-sized; its
+        # offsets broadcast back.
+        hist = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         offsets = prefix_agg(
             hist,
             [(col, "desc" if descending else "asc")],
             {"_off": ("sum", "cnt")},
-        ).select(col, "_off")
-        n_tot = hist.agg(F.sum("cnt").alias("_n"))
-        joined = df.join(F.broadcast(offsets), col).crossJoin(
-            F.broadcast(n_tot)
-        )
+            # hist re-executions only re-read the pinned per_user
+            # checkpoint — cheaper than three more eager pin jobs
+            cache_input=False,
+        ).select(col, F.col("_off").alias(f"_off_{out}"))
         wb = Window.partitionBy(col).orderBy("user_id")
-        rank = F.col("_off") + F.row_number().over(wb)
-        return (
-            joined.withColumn("_rank", rank)
-            .withColumn(out, F.expr("div(5 * (_rank - 1), _n)"))
-            .drop("_off", "_n", "_rank")
+        rank = F.col(f"_off_{out}") + F.row_number().over(wb)
+        scored = (
+            scored.join(F.broadcast(offsets), col)
+            .withColumn("_rank", rank)
+            .withColumn(out, F.expr(f"div(5 * (_rank - 1), {n_tot})"))
+            .drop(f"_off_{out}", "_rank")
         )
-
-    scored = quintile(per_user, "recency", False, "r_score")
-    scored = quintile(scored, "frequency", True, "f_score")
-    scored = quintile(scored, "monetary", True, "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

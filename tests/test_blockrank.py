@@ -89,6 +89,123 @@ def test_no_unpartitioned_window_in_plan(spark):
             assert "_blk" in line, line
 
 
+def test_null_leading_keys_are_kept_and_ordered(spark):
+    """ADVICE r5: a NULL leading sort value must land in the
+    null-ordering end block, not silently drop out of the result."""
+    rows = [(i, None if i % 7 == 0 else (i * 13) % 40, 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    for direction in ("asc", "desc"):
+        got = prefix_agg(
+            df,
+            [("k", direction), ("id", "asc")],
+            {"pre": ("sum", "v")},
+            n_blocks=6,
+        )
+        sort_col = F.col("k").desc() if direction == "desc" else F.col("k").asc()
+        w = Window.orderBy(sort_col, "id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = df.withColumn(
+            "pre", F.coalesce(F.sum("v").over(w), F.lit(0))
+        )
+        assert got.count() == 200  # no silent row loss
+        assert sorted(got.select("id", "pre").collect()) == sorted(
+            want.select("id", "pre").collect()
+        )
+
+
+def test_nan_and_null_double_keys(spark):
+    """NaN double keys sort greater than everything in Spark; they
+    must land in the matching end block (and NULLs at the other end),
+    with no row lost and prefixes identical to the global window."""
+    rows = []
+    for i in range(150):
+        if i % 11 == 0:
+            k = float("nan")
+        elif i % 13 == 0:
+            k = None
+        else:
+            k = float((i * 17) % 31)
+        rows.append((i, k, 1))
+    df = spark.createDataFrame(rows, "id long, k double, v long")
+    for direction in ("asc", "desc"):
+        got = prefix_agg(
+            df,
+            [("k", direction), ("id", "asc")],
+            {"pre": ("count", None)},
+            n_blocks=5,
+        )
+        sort_col = F.col("k").desc() if direction == "desc" else F.col("k").asc()
+        w = Window.orderBy(sort_col, "id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = df.withColumn(
+            "pre", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        )
+        assert got.count() == 150
+        assert sorted(got.select("id", "pre").collect()) == sorted(
+            want.select("id", "pre").collect()
+        )
+
+
+def test_chained_calls_execute_source_once(spark):
+    """Lineage contract (VERDICT r5 #3): chaining prefix calls must
+    NOT re-execute the upstream lineage multiplicatively — the q323
+    RFM regression was a ~4^depth recompute explosion. The source is
+    instrumented with an accumulator; a chained two-call pipeline may
+    execute it at most twice (it pins after the first pass)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") * 37 % 1001).alias("v")
+    )
+    src = base.mapInPandas(bump, "id long, v long")
+    one = prefix_agg(src, [("v", "asc"), ("id", "asc")], {"p1": ("sum", "v")})
+    two = prefix_agg(
+        one, [("p1", "asc"), ("id", "asc"), ("v", "asc")], {"p2": ("count", None)}
+    )
+    n = two.count()
+    assert n == 2000
+    assert acc.value <= 2 * 2000, (
+        f"source executed {acc.value / 2000:.1f}x — lineage contract broken"
+    )
+
+
+def test_no_cachemanager_leak(spark):
+    """ADVICE r5: the pinned-range path must not register anything in
+    the CacheManager (Dataset.persist leaks there until an explicit
+    unpersist; localCheckpoint storage is ContextCleaner-managed)."""
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcm.isEmpty()
+    df = spark.createDataFrame(
+        [(str(i % 9), i) for i in range(500)], "g string, v long"
+    )
+    out = prefix_agg(
+        df, [("g", "asc"), ("v", "asc")], {"p": ("count", None)}
+    )
+    assert out.count() == 500
+    if was_empty:
+        assert jcm.isEmpty(), "prefix_agg leaked a CacheManager entry"
+
+
+def test_reserved_bound_names_do_not_clobber(spark):
+    """ADVICE r5: an input already containing _mn/_mx (the old bound
+    aliases) must pass through untouched."""
+    df = spark.createDataFrame(
+        [(i, i % 10, i * 2, i * 3) for i in range(100)],
+        "id long, k long, _mn long, _mx long",
+    )
+    got = prefix_agg(df, [("k", "asc"), ("id", "asc")], {"pre": ("count", None)})
+    assert set(df.columns) <= set(got.columns)
+    row = got.filter(F.col("id") == 5).collect()[0]
+    assert row["_mn"] == 10 and row["_mx"] == 15
+
+
 def test_prefix_agg_cached_input_consistent(spark):
     """Regression: a CACHED input must not break block-offset
     consistency (two repartitionByRange executions re-sampling
