@@ -145,13 +145,18 @@ _SKEW_KEYS = [
     ("orders.o_custkey", "orders", "o_custkey"),
 ]
 
-_AVG_MICRO_EXPR = "CAST(ROUND(n_rows * 1000000.0 / n_keys) AS BIGINT)"
+# chain heads CAST AS DOUBLE: `int * 1000000.0 / int` is DECIMAL
+# division on Spark (scale-rounded) but DOUBLE on DuckDB — latent
+# q521-class half-ulp hash flake in shared expression text.
+_AVG_MICRO_EXPR = (
+    "CAST(ROUND(CAST(n_rows AS DOUBLE) * 1000000.0 / n_keys) AS BIGINT)"
+)
 _SKEW_MICRO_EXPR = (
     "CAST(ROUND(CAST(max_key_rows AS DOUBLE) * 1000000 * n_keys"
     " / n_rows) AS BIGINT)"
 )
 _TOP1_PPM_EXPR = (
-    "CAST(ROUND(max_key_rows * 1000000.0 / n_rows) AS BIGINT)"
+    "CAST(ROUND(CAST(max_key_rows AS DOUBLE) * 1000000.0 / n_rows) AS BIGINT)"
 )
 # salt factor that would split the hottest key into ~4x-average chunks
 _SALT_EXPR = (

@@ -257,6 +257,8 @@ def q490_cusum_changepoint(
         ).alias("adj2"),
         "sigma",
     )
+    # bounded-domain: idx is a calendar-month index (~tens of rows at
+    # any data size) — the single task holds months, not data
     wc = Window.orderBy("idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

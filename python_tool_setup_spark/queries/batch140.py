@@ -214,11 +214,16 @@ def q492_kaplan_meier_survival(
     terms = risk.filter(F.col("d") > 0).select(
         "dur", "d", "n_risk", F.expr(_KM_LOG_EXPR).alias("log_term")
     )
-    wc = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = terms.select(
-        "dur", "d", "n_risk", F.sum("log_term").over(wc).alias("log_cum")
+    # inclusive prefix = exclusive block-offset prefix + own term;
+    # the duration domain is bounded (~2.4k rows) but the zero-
+    # unpartitioned-window invariant is kept mechanical, not argued.
+    cum = prefix_agg(
+        terms, [("dur", "asc")], {"log_ex": ("sum", "log_term")}
+    ).select(
+        "dur",
+        "d",
+        "n_risk",
+        (F.col("log_ex") + F.col("log_term")).alias("log_cum"),
     )
     return cum.select(
         F.col("dur").cast("long").alias("t_days"),

@@ -196,6 +196,7 @@ def q518_pipeline_loss_accounting(
             F.col(name).alias("n_rows"),
         )
         stages = row if stages is None else stages.unionByName(row)
+    # bounded-domain: one row per pipeline stage (fixed _STAGES list)
     w = Window.orderBy("stage")
     tot = stages.filter(F.col("stage") == "0_raw").select(
         F.col("n_rows").alias("n0")

@@ -22,12 +22,16 @@ from python_tool_setup_spark.tables import load_table
 # CvM critical value at alpha=0.05 (asymptotic): T > 0.461 rejects.
 _CVM_CRIT_MICRO = 461_000
 
-_CVM_T_EXPR = (
-    "CAST(ROUND(CAST(u AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * m * (n + m))"
-    " * 1000000"
-    " - (4.0 * n * m - 1) / (6.0 * (n + m)) * 1000000) AS BIGINT)"
-)
+# t_micro = round(1e6 * T), T = U/(nm(n+m)) - (4nm-1)/(6(n+m)), as ONE
+# exact rational: num/den with num = 6e6*U - 1e6*nm*(4nm-1) and
+# den = 6nm(n+m); round-half-away-from-zero via integer division
+# (num + den/2) div den (den is even: den/2 = 3nm(n+m) exactly).
+# NOTHING is ever cast to double — the r5 driver red row came from the
+# two engines rounding the >2^53 U to double differently at a half-ulp
+# (Spark's Decimal->double conversion is not correctly rounded once
+# the unscaled value leaves the long range), flipping the final ROUND
+# by 1. Headroom: num ~ 2e30 at sf1, DECIMAL(38)/HUGEINT cap ~1e38
+# holds through sf~30; past that, scale the micro quantum down.
 
 
 @register(
@@ -62,13 +66,26 @@ _CVM_T_EXPR = (
                    ELSE CAST(d AS HUGEINT) * d END) AS sb
         FROM disp
     ),
-    u AS (SELECT n, m, n * sa + m * sb AS u FROM s)
+    u AS (SELECT n, m, n * sa + m * sb AS u,
+                 CAST(n AS HUGEINT) * m AS nm
+          FROM s),
+    t AS (SELECT n, m, u,
+                 6000000 * u - 1000000 * nm * (4 * nm - 1) AS num,
+                 6 * nm * (n + m) AS den,
+                 3 * nm * (n + m) AS half
+          FROM u),
+    r AS (SELECT n, m, u,
+                 CASE WHEN num >= 0
+                      THEN CAST((num + half) // den AS BIGINT)
+                      ELSE -CAST(((-num) + half) // den AS BIGINT)
+                 END AS t_micro
+          FROM t)
     SELECT CAST(n AS BIGINT) AS n_a,
            CAST(m AS BIGINT) AS n_b,
            CAST(u AS DECIMAL(38, 0)) AS u_stat,
-           {_CVM_T_EXPR} AS t_micro,
-           {_CVM_T_EXPR} > {_CVM_CRIT_MICRO} AS distributions_differ
-    FROM u
+           t_micro,
+           t_micro > {_CVM_CRIT_MICRO} AS distributions_differ
+    FROM r
     """,
     doc="Two-sample Cramér-von Mises (distribution equality "
     "weighting the WHOLE CDF gap, not just its maximum like "
@@ -79,11 +96,15 @@ _CVM_T_EXPR = (
     "identically on both engines — and each row's within-sample "
     "index comes from the SAME ordered prefix (exclusive count "
     "of own-sample rows), so the whole statistic is exact "
-    "integer arithmetic (HUGEINT/DECIMAL(38) squares) until one "
-    "final quantized division; A/A parity split expects "
-    "no rejection. Spark side ranks via the block-offset prefix "
-    "machinery — no unpartitioned window. Scale: one range "
-    "exchange + one aggregate.",
+    "integer arithmetic END TO END — t_micro is the half-away "
+    "round of the single exact fraction (6e6*U - 1e6*nm(4nm-1)) "
+    "/ (6nm(n+m)) done with integer division on both engines, "
+    "never a double (Decimal->double casts past 2^53 are not "
+    "correctly rounded in the JVM and flipped the r5 ROUND by "
+    "1); A/A parity split expects no rejection. Spark side "
+    "ranks via the block-offset prefix machinery — no "
+    "unpartitioned window. Scale: one range exchange + one "
+    "aggregate.",
 )
 def q521_cramer_von_mises(
     spark: SparkSession, sf_dir: str
@@ -136,13 +157,43 @@ def q521_cramer_von_mises(
         (F.col("n") * F.col("sa") + F.col("m") * F.col("sb")).alias(
             "u"
         ),
+        (F.col("n").cast("decimal(38,0)") * F.col("m")).alias("nm"),
     )
-    return u.select(
+    t = u.select(
+        "n",
+        "m",
+        "u",
+        (
+            F.lit(6000000) * F.col("u")
+            - F.lit(1000000)
+            * F.col("nm")
+            * (F.lit(4) * F.col("nm") - 1)
+        ).alias("num"),
+        (F.lit(6) * F.col("nm") * (F.col("n") + F.col("m"))).alias(
+            "den"
+        ),
+        (F.lit(3) * F.col("nm") * (F.col("n") + F.col("m"))).alias(
+            "half"
+        ),
+    )
+    # round-half-away-from-zero in pure integer arithmetic (den even,
+    # half = den/2 exactly); `div` is Spark's integral division.
+    r = t.select(
+        "n",
+        "m",
+        "u",
+        F.expr(
+            "CASE WHEN num >= 0"
+            " THEN CAST((num + half) div den AS BIGINT)"
+            " ELSE -CAST(((-num) + half) div den AS BIGINT) END"
+        ).alias("t_micro"),
+    )
+    return r.select(
         F.col("n").cast("long").alias("n_a"),
         F.col("m").cast("long").alias("n_b"),
         F.col("u").cast("decimal(38,0)").alias("u_stat"),
-        F.expr(_CVM_T_EXPR).alias("t_micro"),
-        (F.expr(_CVM_T_EXPR) > _CVM_CRIT_MICRO).alias(
+        "t_micro",
+        (F.col("t_micro") > _CVM_CRIT_MICRO).alias(
             "distributions_differ"
         ),
     )

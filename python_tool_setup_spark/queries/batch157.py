@@ -211,6 +211,8 @@ def q526_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("treat"), F.col("pos")).otherwise(0)
         ).alias("pc"),
     )
+    # bounded-domain: bkt is a fixed score-bucket index (config-
+    # bounded, not data-bounded)
     wc = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

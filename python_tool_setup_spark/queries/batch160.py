@@ -100,11 +100,14 @@ def q531_binary_segmentation(
             "cents"
         )
     )
+    # bounded-domain: idx is a calendar-month index (~tens of rows at
+    # any data size); same for the row_number below
     wc = Window.orderBy("idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     pre = m.select(
         "idx",
+        # bounded-domain: month index
         F.row_number().over(Window.orderBy("idx")).alias("pos"),
         F.sum("cents").over(wc).alias("sl"),
         F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
@@ -267,6 +270,8 @@ def q532_wilcoxon_signed_rank(
         "idx", "d", F.abs("d").alias("ad")
     )
     hist = nz.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
+    # bounded-domain: ad is the |month-delta difference| magnitude
+    # domain — derived from the calendar-month series, ~tens of rows
     wc = Window.orderBy("ad").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -23,7 +24,7 @@ from python_tool_setup_spark.tables import load_table
 # Var = 4 * (n1 n2 / (n(n-1))) * ((n^3 - n - sum(t^3 - t)) / 12)
 _MWU_Z_EXPR = (
     "ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
-    " / SQRT(4.0 * n1 * n2 / (CAST(n AS DOUBLE) * (n - 1))"
+    " / SQRT(4.0 * CAST(n1 AS DOUBLE) * n2 / (CAST(n AS DOUBLE) * (n - 1))"
     "   * ((CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE))"
     "      / 12)), 4)"
 )
@@ -91,15 +92,10 @@ def q533_mann_whitney_u(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col("is_a").cast("long")).alias("ca"),
     )
-    wc = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.select(
-        "cents",
-        "c",
-        "ca",
-        F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("bef"),
-    )
+    # cents are near-distinct, so the histogram is close to
+    # table-sized: the prefix runs through the block-offset
+    # decomposition, not a single-task global window.
+    cum = prefix_agg(hist, [("cents", "asc")], {"bef": ("sum", "c")})
     tie3 = hist.agg(
         F.sum(
             F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
@@ -137,10 +133,15 @@ def q533_mann_whitney_u(
 
 
 # ---------------------------------------------------------------- q534
+# every multiplicative chain starts from a CAST(... AS DOUBLE): a
+# bare `2.0 * n1 * n2 / k` is DECIMAL-typed division on Spark
+# (rounded at scale 6) but DOUBLE on DuckDB — a latent half-ulp hash
+# flake of the q521 class, plus a DuckDB DECIMAL overflow at sf>=0.1.
 _RUNS_Z_EXPR = (
     "ROUND((CAST(runs AS DOUBLE)"
-    " - (2.0 * n1 * n2 / (n1 + n2) + 1))"
-    " / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1))"
+    " / SQRT(2.0 * CAST(n1 AS DOUBLE) * n2"
+    "   * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)"
     "   / ((CAST(n1 AS DOUBLE) + n2) * (n1 + n2)"
     "      * (n1 + n2 - 1))), 4)"
 )
@@ -227,6 +228,7 @@ def q534_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seq = signs.select(
         "above",
+        # bounded-domain: idx is a calendar-month index (~tens of rows)
         F.lag("above").over(Window.orderBy("idx")).alias("prev"),
     )
     s = seq.agg(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -58,9 +59,9 @@ _CHI2_4_MICRO = 9_487_729
     ),
     stat AS (
         SELECT n,
-               CAST(ROUND((12.0 * sumsq
+               CAST(ROUND((12.0 * CAST(sumsq AS DOUBLE)
                    / (n * {_FRIED_K} * ({_FRIED_K} + 1))
-                   - 3.0 * n * ({_FRIED_K} + 1)) * 1000000)
+                   - 3.0 * CAST(n AS DOUBLE) * ({_FRIED_K} + 1)) * 1000000)
                    AS BIGINT) AS chi2_micro
         FROM s
     )
@@ -171,8 +172,12 @@ def q535_friedman_test(
 _KW_TERM_EXPR = (
     "CAST(ROUND(CAST(r2j AS DOUBLE) * r2j / nj / n) AS BIGINT)"
 )
+# chain heads CAST(... AS DOUBLE): bare decimal-literal * int / int
+# is DECIMAL division on Spark but DOUBLE on DuckDB (q521-class
+# half-ulp hash flake).
 _KW_H_EXPR = (
-    "CAST(ROUND((3.0 * sum_q / (n + 1) - 3.0 * (n + 1))"
+    "CAST(ROUND((3.0 * CAST(sum_q AS DOUBLE) / (n + 1)"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1))"
     " / (1.0 - CAST(tie3 AS DOUBLE)"
     "    / (CAST(n AS DOUBLE) * n * n - n)) * 1000000) AS BIGINT)"
 )
@@ -244,14 +249,9 @@ def q536_kruskal_wallis(
         ),
     )
     hist = pooled.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.select(
-        "cents",
-        "c",
-        F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("bef"),
-    )
+    # cents are near-distinct (histogram ~ table-sized): block-offset
+    # prefix, no single-task global window.
+    cum = prefix_agg(hist, [("cents", "asc")], {"bef": ("sum", "c")})
     ranked = pooled.join(cum, "cents").select(
         "grp", (2 * F.col("bef") + F.col("c") + 1).alias("r2")
     )

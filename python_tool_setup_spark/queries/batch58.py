@@ -242,6 +242,9 @@ def q322_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.w"), F.col("b.w")).alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("nxy"))
+        # pinned: both `tot` and `top` consume the pair counts — an
+        # unpinned lineage would run the positional self-join twice
+        .localCheckpoint(eager=True)
     )
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     tot = pairs.agg(F.sum("nxy").alias("tp"))

@@ -1,0 +1,65 @@
+"""Mechanical check of the zero-unpartitioned-window invariant.
+
+An unpartitioned ``Window.orderBy(...)`` funnels every row through one
+task (``WindowExec: No Partition Defined``) — the single-task job
+killer at scale. The engine routes every data-sized ordered prefix
+through ``operators.blockrank``; the ONLY unpartitioned windows allowed
+in the package are over provably bounded domains (calendar months,
+fixed bucket/stage lists), and each such site must carry an inline
+``# bounded-domain: <why>`` annotation within the two lines above it
+(or on the same line). A new unannotated site fails this test, so the
+invariant can never silently rot again (round-5 lesson: q492 shipped
+an unannotated global window in the same round that declared the
+invariant sweep-clean).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "python_tool_setup_spark",
+)
+
+_PATTERN = re.compile(r"Window\s*\.\s*orderBy\(")
+_MARK = "bounded-domain:"
+
+
+def _py_files():
+    for root, _, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                yield os.path.join(root, f)
+
+
+def test_every_unpartitioned_window_is_annotated_bounded_domain():
+    offenders = []
+    for path in _py_files():
+        with open(path, encoding="utf-8") as fh:
+            lines = fh.readlines()
+        for i, line in enumerate(lines):
+            if not _PATTERN.search(line):
+                continue
+            context = "".join(lines[max(0, i - 2) : i + 1])
+            if _MARK not in context:
+                offenders.append(f"{os.path.relpath(path, PKG)}:{i + 1}")
+    assert not offenders, (
+        "unpartitioned Window.orderBy without a '# bounded-domain:' "
+        f"annotation (route through operators.blockrank instead): "
+        f"{offenders}"
+    )
+
+
+def test_bounded_domain_exemption_count_is_stable():
+    """The exemption list should only ever shrink or be consciously
+    grown — bump the ceiling here WITH a justification comment at the
+    new site."""
+    n = 0
+    for path in _py_files():
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if _PATTERN.search(line):
+                    n += 1
+    assert n <= 7, f"{n} unpartitioned-window sites (ceiling 7)"
