@@ -504,3 +504,235 @@ def q106_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ------------------------------------------------------------ q549 (S9)
+@register(
+    "q549_existence_probe",
+    """
+    SELECT probe, present FROM (VALUES
+        ('customer', TRUE), ('documents', TRUE), ('embeddings', TRUE),
+        ('events', TRUE), ('lineitem', TRUE), ('nation', TRUE),
+        ('orders', TRUE), ('part', TRUE), ('region', TRUE),
+        ('supplier', TRUE),
+        ('missing_path', FALSE),
+        ('staged_before_delete', TRUE),
+        ('staged_after_delete', FALSE)
+    ) AS t(probe, present)
+    ORDER BY probe
+    """,
+    doc="Existence probe (S9 — the reference's check_file_exists "
+    "INTENT, framework.py:233-246, not its always-true bug: ours "
+    "actually returns False for absent paths): Hadoop-FS "
+    "path_exists over every fixture table path, a guaranteed-"
+    "missing path, and a put -> exists -> delete -> not-exists "
+    "object lifecycle. Scale: pure namenode/listing metadata, "
+    "no data read.",
+)
+def q549_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.fs import (
+        delete_path,
+        path_exists,
+        put_object,
+    )
+    from python_tool_setup_spark.tables import TABLE_NAMES
+
+    rows = [
+        (t, bool(path_exists(spark, table_path(sf_dir, t))))
+        for t in TABLE_NAMES
+    ]
+    rows.append(
+        (
+            "missing_path",
+            bool(path_exists(spark, sf_dir + "/definitely_not_here.parquet")),
+        )
+    )
+    staged = staging_dir("probe_") + "/object.txt"
+    put_object(spark, staged, b"probe")
+    rows.append(("staged_before_delete", bool(path_exists(spark, staged))))
+    delete_path(spark, staged)
+    rows.append(("staged_after_delete", bool(path_exists(spark, staged))))
+    return spark.createDataFrame(
+        rows, "probe string, present boolean"
+    ).orderBy("probe")
+
+
+# ----------------------------------------------------------- q550 (S14)
+@register(
+    "q550_uri_routing",
+    """
+    SELECT uri, pipeline, cross_scheme_rejected FROM (VALUES
+        ('s3://bucket/raw',       'S3Ingestion',    TRUE),
+        ('s3a://bucket/raw',      'S3Ingestion',    TRUE),
+        ('s3n://bucket/raw',      'S3Ingestion',    TRUE),
+        ('abfss://c@acct.dfs.core.windows.net/raw', 'AzureIngestion', TRUE),
+        ('abfs://c@acct.dfs.core.windows.net/raw',  'AzureIngestion', TRUE),
+        ('wasbs://c@acct.blob.core.windows.net/raw','AzureIngestion', TRUE),
+        ('adl://acct.azuredatalakestore.net/raw',   'AzureIngestion', TRUE),
+        ('/local/dir/raw',        'LocalIngestion', TRUE),
+        ('file:///tmp/raw',       'LocalIngestion', TRUE)
+    ) AS t(uri, pipeline, cross_scheme_rejected)
+    ORDER BY uri
+    """,
+    doc="Cloud URI routing & validation (S14 — the reference's "
+    "scheme-keyed pipeline factory and per-cloud URI guards, "
+    "framework.py:276-302): make_ingestion routes every "
+    "s3/s3a/s3n URI to S3Ingestion, every abfss/abfs/wasbs/adl "
+    "URI to AzureIngestion, everything else local; and the "
+    "OPPOSITE cloud's validator must reject the URI with "
+    "IngestionError (local accepts anything). Pure routing "
+    "metadata — no cloud call is made.",
+)
+def q550_uri_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.config import IngestionError
+    from python_tool_setup_spark.ingestion.clouds import (
+        AzureIngestion,
+        S3Ingestion,
+    )
+
+    uris = [
+        "s3://bucket/raw",
+        "s3a://bucket/raw",
+        "s3n://bucket/raw",
+        "abfss://c@acct.dfs.core.windows.net/raw",
+        "abfs://c@acct.dfs.core.windows.net/raw",
+        "wasbs://c@acct.blob.core.windows.net/raw",
+        "adl://acct.azuredatalakestore.net/raw",
+        "/local/dir/raw",
+        "file:///tmp/raw",
+    ]
+    rows = []
+    for uri in uris:
+        cfg = IngestionConfig(source_path=uri, target_path="/tmp/sink")
+        pipe = make_ingestion(spark, cfg)
+        name = type(pipe).__name__
+        # the pipeline chosen FOR the uri must accept it...
+        pipe.validate_source_uri()
+        # ...and a WRONG cloud's validator must reject it (for local
+        # paths the S3 validator is the wrong cloud)
+        other = (
+            AzureIngestion(spark, cfg)
+            if name == "S3Ingestion"
+            else S3Ingestion(spark, cfg)
+        )
+        try:
+            other.validate_source_uri()
+            rejected = False
+        except IngestionError:
+            rejected = True
+        rows.append((uri, name, rejected))
+    return spark.createDataFrame(
+        rows, "uri string, pipeline string, cross_scheme_rejected boolean"
+    ).orderBy("uri")
+
+
+# ------------------------------------------------------------ q551 (M4)
+@register(
+    "q551_tblproperties_roundtrip",
+    """
+    SELECT prop_key, prop_value FROM (
+        SELECT 'delta.autoOptimize.optimizeWrite' AS prop_key,
+               'true' AS prop_value
+        UNION ALL SELECT 'layer', 'gold'
+        UNION ALL SELECT 'steward', 'data''platform'
+        UNION ALL SELECT 'n_rows', CAST(COUNT(*) AS VARCHAR) FROM nation
+    ) ORDER BY prop_key
+    """,
+    doc="TBLPROPERTIES / autoOptimize passthrough round-trip (M4 — "
+    "the reference forwards table properties incl. the Databricks "
+    "autoOptimize keys verbatim, framework.py:96-98,248-254): "
+    "ingest nation into a managed table with properties set "
+    "(including a quote-escaping case), read them back via SHOW "
+    "TBLPROPERTIES, and return them beside the table's row count "
+    "so data and metadata round-trip in one gate.",
+)
+def q551_tblproperties_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_tool_setup_spark.sources.fs import delete_path
+
+    db = "gate_props"
+    spark.sql(f"DROP TABLE IF EXISTS {db}.nation_p")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    delete_path(spark, f"{wh}/{db}.db/nation_p")
+    want = {
+        "delta.autoOptimize.optimizeWrite": "true",
+        "layer": "gold",
+        "steward": "data'platform",  # exercises the ''-escaping path
+    }
+    cfg = IngestionConfig(
+        source_path=table_path(sf_dir, "nation"),
+        source_format="parquet",
+        database=db,
+        table="nation_p",
+        write_mode="overwrite",
+        table_properties=want,
+    )
+    make_ingestion(spark, cfg).run()
+    got = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.nation_p").collect()
+    }
+    rows = [(k, got.get(k)) for k in want]
+    n = spark.table(f"{db}.nation_p").count()
+    rows.append(("n_rows", str(n)))
+    return spark.createDataFrame(
+        rows, "prop_key string, prop_value string"
+    ).orderBy("prop_key")
+
+
+# ------------------------------------------------------------ q552 (M5)
+_PLAN_WANT = [
+    "IngestionPipeline plan:",
+    "mode         : batch / merge",
+    "source       : json @ s3a://lake/raw/events",
+    "target       : table analytics.events_silver "
+    "(external @ s3a://lake/silver/events) [parquet]",
+    "merge_keys   : ['event_id']",
+    "partition_by : ['event_date']",
+    "zorder_by    : ['user_id']",
+    "checkpoint   : s3a://lake/_chk/events",
+    "properties   : {'layer': 'silver'}",
+]
+
+
+@register(
+    "q552_dry_run_plan",
+    """
+    SELECT pos, plan_line FROM (VALUES
+        (0, 'IngestionPipeline plan:'),
+        (1, 'mode         : batch / merge'),
+        (2, 'source       : json @ s3a://lake/raw/events'),
+        (3, 'target       : table analytics.events_silver (external @ s3a://lake/silver/events) [parquet]'),
+        (4, 'merge_keys   : [''event_id'']'),
+        (5, 'partition_by : [''event_date'']'),
+        (6, 'zorder_by    : [''user_id'']'),
+        (7, 'checkpoint   : s3a://lake/_chk/events'),
+        (8, 'properties   : {''layer'': ''silver''}')
+    ) AS t(pos, plan_line)
+    ORDER BY pos
+    """,
+    doc="Dry-run pipeline plan (M5 — the reference's EXPLAIN-style "
+    "plan rendering, framework.py:128-137): a fully-loaded merge "
+    "config (cloud source, external catalog target, merge keys, "
+    "partition + zorder layout, checkpoint, properties) renders "
+    "its human-readable plan WITHOUT touching any filesystem; "
+    "the gate pins every line of the contract.",
+)
+def q552_dry_run_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = IngestionConfig(
+        source_path="s3a://lake/raw/events",
+        source_format="json",
+        database="analytics",
+        table="events_silver",
+        target_path="s3a://lake/silver/events",
+        write_mode="merge",
+        merge_keys=["event_id"],
+        partition_by=["event_date"],
+        zorder_by=["user_id"],
+        checkpoint_path="s3a://lake/_chk/events",
+        table_properties={"layer": "silver"},
+    )
+    lines = [ln.strip() for ln in cfg.plan().splitlines()]
+    assert lines == _PLAN_WANT, lines
+    return spark.createDataFrame(
+        list(enumerate(lines)), "pos int, plan_line string"
+    ).orderBy("pos")
