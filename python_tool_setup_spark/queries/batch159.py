@@ -96,11 +96,17 @@ def q529_graph_distance_metrics(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     verts = e.select(F.col("u").alias("v")).distinct()
-    # dist frontier expansion: bounded rounds of (dist x edges) min
+    # dist frontier expansion: bounded rounds of (dist x edges) min.
+    # Iterative-lineage rule: the edge projection (the ONLY data pass)
+    # is pinned once, and each round's frontier is checkpointed —
+    # otherwise round k re-executes the lineitem distinct k times and
+    # the union-join plan tree doubles per round.
+    e2 = e.select(
+        F.col("u").alias("fv"), F.col("v").alias("nv")
+    ).localCheckpoint(eager=True)
     dist = verts.select(
         F.col("v").alias("src"), F.col("v"), F.lit(0).alias("d")
-    )
-    e2 = e.select(F.col("u").alias("fv"), F.col("v").alias("nv"))
+    ).localCheckpoint(eager=True)
     for _ in range(_BFS_ROUNDS):
         step = (
             dist.join(F.broadcast(e2), dist.v == e2.fv)
@@ -110,6 +116,9 @@ def q529_graph_distance_metrics(
             dist.unionByName(step)
             .groupBy("src", "v")
             .agg(F.min("d").alias("d"))
+            # vertex-domain metadata (<= V^2 rows): cheap to pin,
+            # keeps the next round's plan flat
+            .localCheckpoint(eager=True)
         )
     return (
         dist.groupBy(F.col("src").cast("long").alias("vertex"))
