@@ -117,8 +117,10 @@ def q529_graph_distance_metrics(
             .groupBy("src", "v")
             .agg(F.min("d").alias("d"))
             # vertex-domain metadata (<= V^2 rows): cheap to pin,
-            # keeps the next round's plan flat
-            .localCheckpoint(eager=True)
+            # keeps the next round's plan flat. Lazy: the rounds
+            # materialize as a cascade inside the final action instead
+            # of 6 separate driver-submitted jobs.
+            .localCheckpoint(eager=False)
         )
     return (
         dist.groupBy(F.col("src").cast("long").alias("vertex"))
