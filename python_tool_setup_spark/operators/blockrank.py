@@ -228,12 +228,21 @@ def prefix_agg(
     ``_blk``, ``_p_<alias>``, ``_brk_mn``, ``_brk_mx`` are reserved
     column names.
     """
-    if cache_input is True or (
-        cache_input is None and not _is_persisted(df) and not _is_trivial(df)
-    ):
-        df = _pin(df)
     sort = _sort_exprs(order)
     proxy = None if persist else _proxy(df, order)
+    if proxy is not None and (
+        cache_input is True
+        or (
+            cache_input is None
+            and not _is_persisted(df)
+            and not _is_trivial(df)
+        )
+    ):
+        # width path reads the input three times (bounds, totals,
+        # join-back) — pin it once. The pinned-range path below reads
+        # it exactly ONCE into the checkpointed blocked layout, so
+        # pinning there would be a pure second materialization.
+        df = _pin(df)
     if proxy is not None:
         # Deterministic width buckets: _blk is a pure expression of
         # the row against a broadcast min/max — immune to exchange

@@ -106,7 +106,10 @@ def q451_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    dec = "decimal(38,0)"
+    # exact-integer sums in LONG, not DECIMAL(38): q <= 1e6 and dim=64
+    # bound every dot/norm by 6.4e13 << 2^63, and long aggregation is
+    # several times faster JVM-side than decimal
+    dec = "long"
     norms = elems.groupBy("vec_id").agg(
         F.sum(F.col("q").cast(dec) * F.col("q")).alias("n2")
     )
