@@ -310,6 +310,14 @@ def all_queries() -> dict[str, Query]:
         "q475_", "q478_", "q485_", "q490_", "q492_", "q499_",
         "q505_", "q507_", "q513_", "q517_", "q521_", "q526_",
         "q528_",
+        # round-6 tier: the four newly driver-visible SURVEY §2
+        # surfaces + the 3-level catalog gate, the RFM/PMI perf
+        # rewrites, and the stats gates whose shared expressions
+        # moved to the double path — each should earn an official
+        # CORRECTNESS row on its post-round-6 form
+        "q549_", "q550_", "q551_", "q552_", "q553_",
+        "q323_", "q322_", "q533_", "q534_", "q535_", "q536_",
+        "q529_",
     )
     priority = {
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)
