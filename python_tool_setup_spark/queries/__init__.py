@@ -318,6 +318,13 @@ def all_queries() -> dict[str, Query]:
         "q549_", "q550_", "q551_", "q552_", "q553_",
         "q323_", "q322_", "q533_", "q534_", "q535_", "q536_",
         "q529_",
+        # round-7 tier: the three latent decimal-final-schema gates
+        # the r6 judge sweep flagged (q404 vw_sum, q481 cents_sum,
+        # q522 pair counts) — repaired to BIGINT/string finals in r7
+        # alongside the two red rows (q521/q533, which sit in the
+        # stale_fail tier and sample first automatically); each needs
+        # an official green row on its repaired form
+        "q404_", "q481_", "q522_",
     )
     priority = {
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)

@@ -35,17 +35,23 @@ _GAP_MS = 30 * 60 * 1000
                nxt_ms - t_ms AS dt_ms,
                CAST(ROUND(1e6 * value) AS BIGINT) AS v_micro
         FROM seq WHERE nxt_ms IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_segments,
+               CAST(SUM(dt_ms) AS HUGEINT) AS dt_sum,
+               SUM(CAST(v_micro AS HUGEINT) * dt_ms) AS vw
+        FROM seg GROUP BY event_type
     )
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_segments,
-           CAST(SUM(dt_ms) AS BIGINT) AS dt_ms_sum,
-           CAST(SUM(CAST(v_micro AS DECIMAL(38, 0)) * dt_ms)
-               AS DECIMAL(38, 0)) AS vw_sum,
-           CAST(ROUND(CAST(SUM(CAST(v_micro AS DECIMAL(38, 0)) * dt_ms)
-                           AS DOUBLE)
-                      / CAST(SUM(dt_ms) AS DOUBLE)) AS BIGINT)
-               AS twap_micro
-    FROM seg GROUP BY event_type ORDER BY event_type
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(dt_sum AS BIGINT) AS dt_ms_sum,
+           CAST(vw AS VARCHAR) AS vw_sum,
+           CAST(CASE WHEN vw >= 0
+                THEN (2 * vw + dt_sum) // (2 * dt_sum)
+                ELSE -((2 * (-vw) + dt_sum) // (2 * dt_sum))
+                END AS BIGINT) AS twap_micro
+    FROM agg ORDER BY event_type
     """,
     doc="Time-weighted average value per event type (TWAP: each "
     "reading weighted by the milliseconds until the same user's "
@@ -73,21 +79,35 @@ def q404_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt_ms") - F.col("t_ms")).alias("dt_ms"),
         F.round(F.lit(1e6) * F.col("value")).cast("long").alias("v_micro"),
     )
-    vw = F.sum(F.col("v_micro").cast("decimal(38,0)") * F.col("dt_ms")).cast(
-        "decimal(38,0)"
+    # vw_sum leaves as a STRING, never DECIMAL: the weighted sum
+    # passes 2^63 at modest SFs (~1e15 per segment) and a DECIMAL
+    # final hash-diverges on the driver (DuckDB pandas fetch coerces
+    # DECIMAL/HUGEINT to float64, Spark toPandas keeps Decimal — the
+    # q521 class). twap_micro is the half-away round of the exact
+    # fraction vw/dt via integer division on BOTH engines — the old
+    # ROUND(CAST(vw AS DOUBLE)/...) re-entered the not-correctly-
+    # rounded Decimal->double cast past 2^53.
+    agg = seg.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("dt_ms").cast("long").alias("dt_ms_sum"),
+        F.sum(F.col("v_micro").cast("decimal(38,0)") * F.col("dt_ms"))
+        .cast("decimal(38,0)")
+        .alias("vw"),
     )
-    return (
-        seg.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_segments"),
-            F.sum("dt_ms").cast("long").alias("dt_ms_sum"),
-            vw.alias("vw_sum"),
-            F.round(vw.cast("double") / F.sum("dt_ms").cast("double"))
-            .cast("long")
-            .alias("twap_micro"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        "dt_ms_sum",
+        F.col("vw").cast("string").alias("vw_sum"),
+        F.expr(
+            "CAST(CASE WHEN vw >= 0"
+            " THEN (2 * vw + dt_ms_sum)"
+            "      div (2 * CAST(dt_ms_sum AS DECIMAL(38,0)))"
+            " ELSE -((2 * (-vw) + dt_ms_sum)"
+            "        div (2 * CAST(dt_ms_sum AS DECIMAL(38,0))))"
+            " END AS BIGINT)"
+        ).alias("twap_micro"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------- q405

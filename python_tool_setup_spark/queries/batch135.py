@@ -32,16 +32,24 @@ _IVM_CUTOFF = "1997-01-01"
 @register(
     "q481_incremental_agg_maintenance",
     """
+    WITH g AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                   AS cents_sum,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM orders
+        GROUP BY o_orderpriority
+    )
     SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
-               AS DECIMAL(38, 0)) AS cents_sum,
-           CAST(MIN(o_orderdate) AS DATE) AS first_date,
-           CAST(MAX(o_orderdate) AS DATE) AS last_date,
-           CAST(ROUND(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
-               * 1.0 / COUNT(*)) AS BIGINT) AS avg_cents
-    FROM orders
-    GROUP BY o_orderpriority
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents_sum AS BIGINT) AS cents_sum,
+           CAST(first_date AS DATE) AS first_date,
+           CAST(last_date AS DATE) AS last_date,
+           CAST((2 * cents_sum + n_orders) // (2 * CAST(n_orders AS HUGEINT))
+               AS BIGINT) AS avg_cents
+    FROM g
     ORDER BY o_orderpriority
     """,
     doc="Incremental aggregate maintenance (the merge-refresh "
@@ -100,15 +108,24 @@ def q481_incremental_agg_maintenance(
             F.max("last_date").alias("last_date"),
         )
     )
+    # Finals leave as BIGINT, never DECIMAL (the driver-hash
+    # divergence class — see q521's note): cents_sum ~ 4.5e16 even at
+    # sf10000, well inside 2^63; the merge algebra above still runs
+    # DECIMAL(38)-exact. avg_cents is the half-away round of the
+    # exact fraction via integer division on both engines — the old
+    # ROUND(cents_sum * 1.0 / n) was decimal-typed division on Spark
+    # but promoted differently on DuckDB (the q534-class latent
+    # divergence).
     return merged.select(
         "o_orderpriority",
         "n_orders",
-        "cents_sum",
+        F.col("cents_sum").cast("long").alias("cents_sum"),
         F.col("first_date").cast("date").alias("first_date"),
         F.col("last_date").cast("date").alias("last_date"),
-        F.round(F.col("cents_sum") * 1.0 / F.col("n_orders"))
-        .cast("long")
-        .alias("avg_cents"),
+        F.expr(
+            "CAST((2 * cents_sum + n_orders)"
+            " div (2 * CAST(n_orders AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("avg_cents"),
     ).orderBy("o_orderpriority")
 
 

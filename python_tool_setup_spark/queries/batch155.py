@@ -82,7 +82,7 @@ _CVM_CRIT_MICRO = 461_000
           FROM t)
     SELECT CAST(n AS BIGINT) AS n_a,
            CAST(m AS BIGINT) AS n_b,
-           CAST(u AS DECIMAL(38, 0)) AS u_stat,
+           CAST(u AS VARCHAR) AS u_stat,
            t_micro,
            t_micro > {_CVM_CRIT_MICRO} AS distributions_differ
     FROM r
@@ -188,10 +188,16 @@ def q521_cramer_von_mises(
             " ELSE -CAST(((-num) + half) div den AS BIGINT) END"
         ).alias("t_micro"),
     )
+    # u_stat leaves as a STRING, never DECIMAL: u ~ n^4 passes 2^63
+    # already at sf0.1, and a DECIMAL final hash-diverges on the
+    # driver regardless (DuckDB's pandas fetch coerces DECIMAL/HUGEINT
+    # to float64 while Spark keeps Decimal — equal values, different
+    # hash strings; the r5/r6 red rows). Scale-0 decimal-to-string is
+    # plain digits on both engines.
     return r.select(
         F.col("n").cast("long").alias("n_a"),
         F.col("m").cast("long").alias("n_b"),
-        F.col("u").cast("decimal(38,0)").alias("u_stat"),
+        F.col("u").cast("string").alias("u_stat"),
         "t_micro",
         (F.col("t_micro") > _CVM_CRIT_MICRO).alias(
             "distributions_differ"
@@ -239,11 +245,11 @@ _TAU_EXPR = (
         FROM pairs p CROSS JOIN marg m
         CROSS JOIN mx CROSS JOIN my
     )
-    SELECT CAST(c AS DECIMAL(38, 0)) AS concordant,
-           CAST(d AS DECIMAL(38, 0)) AS discordant,
-           CAST(n0 AS DECIMAL(38, 0)) AS n_pairs,
-           CAST(tx AS DECIMAL(38, 0)) AS ties_x,
-           CAST(ty AS DECIMAL(38, 0)) AS ties_y,
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(tx AS BIGINT) AS ties_x,
+           CAST(ty AS BIGINT) AS ties_y,
            {_TAU_EXPR} AS tau_b_micro,
            ABS({_TAU_EXPR}) > 100000 AS correlated
     FROM s
@@ -338,12 +344,16 @@ def q522_kendall_tau_b(
             "ty",
         )
     )
+    # Pair counts leave as BIGINT, never DECIMAL (the driver-hash
+    # divergence class — see q521): n_pairs = n(n-1)/2 stays under
+    # 2^63 up to n ~ 4.3e9 lineitem rows (~sf700); internal math
+    # stays DECIMAL(38)/HUGEINT-exact above that regardless.
     return s.select(
-        F.col("c").cast("decimal(38,0)").alias("concordant"),
-        F.col("d").cast("decimal(38,0)").alias("discordant"),
-        F.col("n0").cast("decimal(38,0)").alias("n_pairs"),
-        F.col("tx").cast("decimal(38,0)").alias("ties_x"),
-        F.col("ty").cast("decimal(38,0)").alias("ties_y"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("tx").cast("long").alias("ties_x"),
+        F.col("ty").cast("long").alias("ties_y"),
         F.expr(_TAU_EXPR).alias("tau_b_micro"),
         (F.abs(F.expr(_TAU_EXPR)) > 100000).alias("correlated"),
     )

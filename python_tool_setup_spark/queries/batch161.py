@@ -63,7 +63,7 @@ _MWU_Z_EXPR = (
     )
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
-           CAST(u2 AS DECIMAL(38, 0)) AS u_x2,
+           CAST(u2 AS BIGINT) AS u_x2,
            CAST({_MWU_Z_EXPR} AS DOUBLE) AS z,
            ABS({_MWU_Z_EXPR}) > 1.96 AS distributions_differ
     FROM u
@@ -88,14 +88,21 @@ def q533_mann_whitney_u(
             "cents"
         ),
     )
+    # cents are near-distinct, so the histogram is close to
+    # table-sized: the prefix runs through the block-offset
+    # decomposition, not a single-task global window. Pin the
+    # histogram ONCE here — prefix_agg (cache_input=False), tie3,
+    # and the rank aggregate all read this same materialization,
+    # instead of prefix_agg pinning a private copy while tie3
+    # re-runs the pooled scan + groupBy from lineage.
     hist = pooled.groupBy("cents").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col("is_a").cast("long")).alias("ca"),
+    ).localCheckpoint(eager=True)
+    cum = prefix_agg(
+        hist, [("cents", "asc")], {"bef": ("sum", "c")},
+        cache_input=False,
     )
-    # cents are near-distinct, so the histogram is close to
-    # table-sized: the prefix runs through the block-offset
-    # decomposition, not a single-task global window.
-    cum = prefix_agg(hist, [("cents", "asc")], {"bef": ("sum", "c")})
     tie3 = hist.agg(
         F.sum(
             F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
@@ -121,10 +128,14 @@ def q533_mann_whitney_u(
             - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
         ).alias("u2"),
     )
+    # u_x2 leaves as BIGINT, never DECIMAL (the driver-hash
+    # divergence class — see q521's note): u2 = 2U <= 2*n1*n2 ~ n^2/2
+    # stays under 2^63 up to n ~ 4.3e9 orders; internal rank math
+    # stays DECIMAL(38)-exact regardless.
     return u.select(
         F.col("n1").cast("long").alias("n_a"),
         F.col("n2").cast("long").alias("n_b"),
-        F.col("u2").cast("decimal(38,0)").alias("u_x2"),
+        F.col("u2").cast("long").alias("u_x2"),
         F.expr(_MWU_Z_EXPR).cast("double").alias("z"),
         (F.abs(F.expr(_MWU_Z_EXPR)) > 1.96).alias(
             "distributions_differ"

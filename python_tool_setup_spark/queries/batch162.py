@@ -248,10 +248,20 @@ def q536_kruskal_wallis(
             "cents"
         ),
     )
-    hist = pooled.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     # cents are near-distinct (histogram ~ table-sized): block-offset
-    # prefix, no single-task global window.
-    cum = prefix_agg(hist, [("cents", "asc")], {"bef": ("sum", "c")})
+    # prefix, no single-task global window. Pin the histogram ONCE —
+    # prefix_agg (cache_input=False), tie3, and the rank join-back
+    # all read this same materialization instead of prefix_agg
+    # pinning a private copy while tie3 re-runs the scan + groupBy.
+    hist = (
+        pooled.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cum = prefix_agg(
+        hist, [("cents", "asc")], {"bef": ("sum", "c")},
+        cache_input=False,
+    )
     ranked = pooled.join(cum, "cents").select(
         "grp", (2 * F.col("bef") + F.col("c") + 1).alias("r2")
     )

@@ -5,10 +5,22 @@ given sf dir, compares row count, sorted-column-name schema, and an
 order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Fidelity contract (round 7): the r1-r6 mimic collapsed every value
+through ``f"{v:.9g}"``/``str`` float re-formatting, which normalized
+``Decimal('56332097')`` (Spark toPandas) and ``56332097.0`` (DuckDB
+pandas fetch of a DECIMAL/HUGEINT final) to the SAME string — masking
+exactly the class that failed the driver in r5/r6 (q521, q533). This
+version fetches BOTH engines via their pandas path (``toPandas()`` /
+``.df()``) and stringifies cell values verbatim, so a DECIMAL final
+column diverges here exactly as it does on the driver. It also flags
+any decimal/interval column in a final schema as a contract violation
+even when the values happen to hash equal.
 """
 
 from __future__ import annotations
 
+import datetime
 import sys
 import time
 
@@ -20,22 +32,43 @@ from python_tool_setup_spark.queries import all_queries
 from python_tool_setup_spark.session import get_spark
 from python_tool_setup_spark.tables import TABLE_NAMES, table_path
 
+# Final-schema types that are banned from gate outputs because the two
+# engines' pandas fetches represent them differently (DuckDB coerces
+# DECIMAL/HUGEINT to float64; Spark keeps Decimal objects), so equal
+# values hash differently on the driver.
+_BANNED_SPARK_TYPES = ("decimal", "interval")
 
-def normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = f"{v:.9g}"
-            elif isinstance(v, bool):
-                v = str(bool(v))
-            else:
-                v = str(v)
-            vals.append(v)
-        out.append(tuple(vals))
+
+def _cell(v) -> str:
+    """Stringify one pandas cell the way the driver's value hash sees it.
+
+    No numeric re-formatting: a float64 must stringify as a float and a
+    Decimal as a Decimal, or the mimic masks driver divergence. The ONE
+    normalization kept is temporal: pandas represents a DATE column as
+    datetime64 on one engine and datetime.date objects on the other, a
+    representation (not value) difference the driver's green history on
+    date-emitting gates (q481-class DATE finals, q25 timestamps) shows
+    it tolerates — normalize both to ISO text.
+    """
+    # pandas.Timestamp is a datetime subclass; date-valued timestamps
+    # print as dates so datetime64 vs datetime.date columns agree.
+    if isinstance(v, datetime.datetime):
+        if v.hour == v.minute == v.second == v.microsecond == 0 and (
+            getattr(v, "nanosecond", 0) == 0
+        ):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def normalize(pdf):
+    cols = sorted(pdf.columns)
+    out = [
+        tuple(_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
     out.sort()
     return out
 
@@ -57,34 +90,46 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.spark_fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            banned = [
+                f.name
+                for f in sdf.schema.fields
+                if any(b in f.dataType.simpleString() for b in _BANNED_SPARK_TYPES)
+            ]
+            if banned:
+                print(
+                    f"FAIL {name}: banned final-schema type on {banned} "
+                    "(decimal/interval finals hash-diverge on the driver)"
+                )
+                failures.append(name)
+                continue
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
         if q.oracle is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, "
+            print(f"ok   {name}: rows-only ({len(spdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            ores = con.execute(q.oracle)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(q.oracle).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: schema {sorted(scols)} != {sorted(ocols)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            print(
+                f"FAIL {name}: schema {sorted(spdf.columns)} != "
+                f"{sorted(opdf.columns)}"
+            )
             failures.append(name)
             continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
+        if len(spdf) != len(opdf):
+            print(f"FAIL {name}: rowcount {len(spdf)} != {len(opdf)}")
             failures.append(name)
             continue
-        s_n = normalize([tuple(r) for r in srows], scols)
-        o_n = normalize(orows, ocols)
+        s_n = normalize(spdf)
+        o_n = normalize(opdf)
         if s_n != o_n:
             diff = [i for i, (a, b) in enumerate(zip(s_n, o_n)) if a != b][:3]
             print(f"FAIL {name}: value mismatch at sorted rows {diff}")
@@ -93,7 +138,7 @@ def main() -> int:
                 print(f"   duckdb: {o_n[i]}")
             failures.append(name)
             continue
-        print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+        print(f"ok   {name}: {len(spdf)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
