@@ -325,6 +325,12 @@ def all_queries() -> dict[str, Query]:
         # stale_fail tier and sample first automatically); each needs
         # an official green row on its repaired form
         "q404_", "q481_", "q522_",
+        # plus the three the r7 ORACLE-side lint found beyond the
+        # judge's Spark-side sweep: DuckDB SUM(BIGINT) finals are
+        # HUGEINT, which the driver's pandas fetch coerces to float64
+        # while Spark's BIGINT stays int64 — same hash divergence,
+        # repaired with final BIGINT casts in the oracle SQL
+        "q406_", "q415_", "q477_",
     )
     priority = {
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)

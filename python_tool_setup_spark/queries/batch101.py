@@ -38,7 +38,10 @@ _ACC = 1000  # percentile_approx accuracy -> rank error <= n/_ACC
     reg AS (SELECT r_name, SUM(cents) AS r_cents FROM rev GROUP BY r_name),
     tot AS (SELECT SUM(cents) AS g_cents FROM rev)
     SELECT rev.r_name, rev.n_name,
-           rev.cents,
+           -- SUM(BIGINT) is HUGEINT in DuckDB; pandas-fetch coerces
+           -- HUGEINT to float64 while Spark's BIGINT stays int64 —
+           -- the driver-hash divergence class. Re-land on BIGINT.
+           CAST(rev.cents AS BIGINT) AS cents,
            CAST(ROUND(1e6 * rev.cents / reg.r_cents) AS BIGINT)
                AS share_of_region_micro,
            CAST(ROUND(1e6 * rev.cents / (SELECT g_cents FROM tot))

@@ -232,7 +232,10 @@ def q414_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT CAST((SELECT COUNT(*) FROM norm) AS BIGINT) AS n_dedup,
-           (SELECT cents FROM money) AS cents_sum,
+           -- SUM(BIGINT) is HUGEINT in DuckDB; pandas-fetch coerces
+           -- HUGEINT to float64 (driver-hash divergence vs Spark's
+           -- int64) — re-land on BIGINT.
+           CAST((SELECT cents FROM money) AS BIGINT) AS cents_sum,
            TRUE AS layouts_agree
     """,
     doc="Partition-invariance audit: the normalized-text dedup "

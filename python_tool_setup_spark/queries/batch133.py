@@ -72,7 +72,10 @@ _TERM_NANO_EXPR = (
            CAST(ROUND(cnt * 1000000.0 / n) AS BIGINT) AS obs_ppm,
            exp_ppm,
            term_nano AS chi2_term_nano,
-           chi.chi2_nano AS chi2_nano,
+           -- SUM(BIGINT) is HUGEINT in DuckDB; pandas-fetch coerces
+           -- HUGEINT to float64 (driver-hash divergence vs Spark's
+           -- int64) — re-land on BIGINT.
+           CAST(chi.chi2_nano AS BIGINT) AS chi2_nano,
            chi.chi2_nano <= {_CHI2_CRIT_NANO} AS benford_ok
     FROM scored CROSS JOIN chi
     ORDER BY digit
