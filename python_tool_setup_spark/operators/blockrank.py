@@ -51,12 +51,21 @@ for CHAINED prefix calls — re-execution multiplies upstream work
 recompute explosion, 62 s for a 5 s query). So by default
 (``cache_input=None``) the input is pinned with an eager
 ``localCheckpoint`` whenever its analyzed plan is anything beyond
-scan/filter/project — which also freezes nondeterministic inputs
-(limit without total order, sample), closing the corrupt-prefix risk
-of re-executed nondeterminism. Pass ``cache_input=False`` only when
-the caller has already persisted the input (an already-persisted
-input is never re-pinned), or ``True`` to force pinning a trivial
-scan.
+scan/filter/project OR contains a nondeterministic expression
+(rand/uuid/monotonically_increasing_id/shuffle/... — a Project over
+rand() is node-trivial but re-executes to DIFFERENT rows; limit
+without total order and sample are non-trivial NODES and pin that
+way), closing the corrupt-prefix risk of re-executed nondeterminism.
+An already-persisted input is never re-pinned (checked for both the
+default and ``cache_input=True``). Pass ``cache_input=False`` only
+when the caller has already materialized the input some other way or
+accepts trivial-scan re-reads; ``True`` forces pinning a trivial scan.
+
+Pin strategy: eager ``localCheckpoint`` by default (ContextCleaner
+reclaims it on GC — no CacheManager leak), which is NOT recomputable:
+executor loss / dynamic-allocation decommission fails the job. Set
+``spark.python_tool_setup.blockrank.pin=persist`` on such clusters to
+use replicated disk persistence instead (see ``_pin``).
 
 Exactness: sums here are over integers (the repo's engine-exact
 posture quantizes before summing), so regrouping the addition is
@@ -104,12 +113,34 @@ _TRIVIAL_NODES = (
     "Project",
     "Filter",
     "Relation",
+    "Range",
     "LogicalRDD",
     "LocalRelation",
     "SubqueryAlias",
     "View",
     "Repartition",
     "RepartitionByExpression",
+)
+
+# Expression text that marks a plan NON-reproducible across the width
+# path's three executions (bounds, totals, join-back) even when every
+# NODE is a trivial Project/Filter: re-executed nondeterminism can
+# yield different rows/values per pass and silently corrupt prefixes.
+# current_timestamp()/now() are consistent WITHIN one query but the
+# bounds aggregate is a SEPARATE execution from the main plan, so they
+# count too. A false positive (e.g. the token inside a string literal)
+# only costs one pin, never correctness.
+_NONDETERMINISTIC_TOKENS = (
+    "rand(",
+    "randn(",
+    "random(",
+    "uuid()",
+    "shuffle(",
+    "monotonically_increasing_id()",
+    "current_timestamp()",
+    "current_date(",
+    "now()",
+    "input_file_name()",
 )
 
 
@@ -168,13 +199,18 @@ def _is_persisted(df: DataFrame) -> bool:
 
 def _is_trivial(df: DataFrame) -> bool:
     """True when every node of the analyzed plan is a deterministic,
-    cheap-to-re-execute scan/filter/project shape. On any doubt
-    (unparseable plan, unknown node) returns False so the caller
-    pins — wrong answer in that direction only costs one
-    materialization, never correctness."""
+    cheap-to-re-execute scan/filter/project shape AND no expression in
+    the plan is nondeterministic (a Project over rand()/uuid()/... is
+    node-trivial but NOT re-execution-safe). On any doubt (unparseable
+    plan, unknown node) returns False so the caller pins — wrong
+    answer in that direction only costs one materialization, never
+    correctness."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
+        return False
+    lowered = plan.lower()
+    if any(tok in lowered for tok in _NONDETERMINISTIC_TOKENS):
         return False
     for line in plan.splitlines():
         stripped = line.lstrip(" +-:")
@@ -189,10 +225,33 @@ def _is_trivial(df: DataFrame) -> bool:
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Materialize ONCE and truncate lineage. RDD-backed local
-    checkpoint: storage is dropped by the ContextCleaner when the
-    result is garbage-collected (unlike Dataset.persist, which leaks
-    in the CacheManager until an explicit unpersist)."""
+    """Materialize ONCE and truncate lineage.
+
+    Default strategy — RDD-backed eager ``localCheckpoint``: storage
+    is dropped by the ContextCleaner when the result is garbage-
+    collected (unlike ``Dataset.persist``, which leaks in the
+    CacheManager until an explicit unpersist). CAVEAT: a local
+    checkpoint lives ONLY on its executors and is NOT recomputable —
+    executor loss or dynamic-allocation decommission fails the job (a
+    documented Spark restriction). On clusters with dynamic allocation
+    or preemptible executors set
+    ``spark.python_tool_setup.blockrank.pin=persist`` to use replicated
+    disk persistence instead (recomputable and executor-loss-tolerant,
+    at the cost of living in the CacheManager until unpersist/GC of
+    the session)."""
+    mode = "localCheckpoint"
+    try:
+        mode = df.sparkSession.conf.get(
+            "spark.python_tool_setup.blockrank.pin", "localCheckpoint"
+        )
+    except Exception:
+        pass
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY_2)
+        out.count()  # eager, like localCheckpoint(eager=True)
+        return out
     return df.localCheckpoint(eager=True)
 
 
@@ -230,13 +289,9 @@ def prefix_agg(
     """
     sort = _sort_exprs(order)
     proxy = None if persist else _proxy(df, order)
-    if proxy is not None and (
+    if proxy is not None and not _is_persisted(df) and (
         cache_input is True
-        or (
-            cache_input is None
-            and not _is_persisted(df)
-            and not _is_trivial(df)
-        )
+        or (cache_input is None and not _is_trivial(df))
     ):
         # width path reads the input three times (bounds, totals,
         # join-back) — pin it once. The pinned-range path below reads

@@ -331,6 +331,10 @@ def all_queries() -> dict[str, Query]:
         # while Spark's BIGINT stays int64 — same hash divergence,
         # repaired with final BIGINT casts in the oracle SQL
         "q406_", "q415_", "q477_",
+        # and the one the full driver-faithful sweep found: a NULLABLE
+        # date final renders None (Spark toPandas) vs NaT (DuckDB
+        # datetime64 fetch) — repaired to string gap brackets
+        "q345_",
     )
     priority = {
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)

@@ -109,9 +109,13 @@ def q344_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_gap_days,
-           CAST(MIN(CASE WHEN n = 0 THEN day END) AS DATE)
+           -- gap brackets leave as STRINGS: a NULLABLE date final
+           -- renders None via Spark's toPandas but NaT via DuckDB's
+           -- datetime64 fetch — the driver's value hash diverges on
+           -- the no-gaps case; NULL strings render None on BOTH.
+           STRFTIME(MIN(CASE WHEN n = 0 THEN day END), '%Y-%m-%d')
                AS first_gap_day,
-           CAST(MAX(CASE WHEN n = 0 THEN day END) AS DATE)
+           STRFTIME(MAX(CASE WHEN n = 0 THEN day END), '%Y-%m-%d')
                AS last_gap_day,
            CAST(SUM(n) AS BIGINT) AS n_orders
     FROM flagged
@@ -151,7 +155,11 @@ def q345_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_gap_days"),
-        F.min(F.when(F.col("n") == 0, F.col("day"))).alias("first_gap_day"),
-        F.max(F.when(F.col("n") == 0, F.col("day"))).alias("last_gap_day"),
+        F.date_format(
+            F.min(F.when(F.col("n") == 0, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_gap_day"),
+        F.date_format(
+            F.max(F.when(F.col("n") == 0, F.col("day"))), "yyyy-MM-dd"
+        ).alias("last_gap_day"),
         F.sum("n").cast("long").alias("n_orders"),
     )

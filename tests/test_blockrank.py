@@ -236,3 +236,84 @@ def test_prefix_agg_cached_input_consistent(spark):
             assert r["mx"] == run
     finally:
         df.unpersist()
+
+
+def test_nondeterministic_trivial_shape_is_pinned(spark):
+    """ADVICE r6 (medium): a Project containing rand()/uuid()/... is
+    node-trivial but NOT re-execution-safe — _is_trivial must return
+    False so the default contract pins it, and the width path's three
+    passes must all see the SAME frozen rows."""
+    from python_tool_setup_spark.operators.blockrank import _is_trivial
+
+    det = spark.range(100).select("id", (F.col("id") * 3).alias("v"))
+    assert _is_trivial(det), "plain scan+project should stay trivial"
+    nondet = spark.range(100).select("id", F.rand(0).alias("x"))
+    assert not _is_trivial(nondet), "rand() projection must pin"
+    assert not _is_trivial(
+        spark.range(10).select(F.shuffle(F.array(F.lit(1), F.lit(2))).alias("a"))
+    )
+
+    # End-to-end: prefix ranks over a nondeterministic column must be
+    # consistent with the OUTPUT's own x values (frozen input), i.e.
+    # sorting the result by (x, id) walks cnt = 0..n-1 in order.
+    got = prefix_agg(
+        spark.range(500).select("id", F.rand(42).alias("x")),
+        [("x", "asc"), ("id", "asc")],
+        {"cnt": ("count", None)},
+        n_blocks=6,
+    ).collect()
+    assert sorted(r["cnt"] for r in got) == list(range(500))
+    by_x = sorted(got, key=lambda r: (r["x"], r["id"]))
+    assert [r["cnt"] for r in by_x] == list(range(500))
+
+
+def test_persisted_input_never_repinned(spark, monkeypatch):
+    """ADVICE r6 (low): cache_input=True on an already-persisted input
+    must NOT double-materialize it (the docstring's 'never re-pinned'
+    claim now holds for True as well as the default)."""
+    import python_tool_setup_spark.operators.blockrank as br
+
+    calls = []
+    real_pin = br._pin
+    monkeypatch.setattr(br, "_pin", lambda df: calls.append(1) or real_pin(df))
+    df = (
+        spark.range(300)
+        .select("id", (F.col("id") * 37 % 101).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    try:
+        df.count()
+        out = br.prefix_agg(
+            df, [("v", "asc")], {"p": ("sum", "c")}, cache_input=True
+        )
+        assert out.count() == df.count()
+        assert not calls, "persisted input was re-pinned"
+    finally:
+        df.unpersist()
+
+
+def test_pin_strategy_persist_conf(spark):
+    """ADVICE r6 (low): on clusters where localCheckpoint's
+    non-recomputability is unacceptable (dynamic allocation), the pin
+    strategy is configurable to replicated-disk persist; semantics
+    must be identical."""
+    import python_tool_setup_spark.operators.blockrank as br
+
+    key = "spark.python_tool_setup.blockrank.pin"
+    spark.conf.set(key, "persist")
+    try:
+        df = (
+            spark.range(400)
+            .select((F.col("id") % 37).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        got = br.prefix_agg(df, [("k", "asc")], {"p": ("sum", "s")})
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = df.withColumn("p", F.coalesce(F.sum("s").over(w), F.lit(0)))
+        assert sorted(got.collect()) == sorted(want.collect())
+    finally:
+        spark.conf.unset(key)
+        spark.catalog.clearCache()
