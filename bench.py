@@ -50,15 +50,24 @@ def main() -> None:
             # load window that inflates whatever gates it overlaps by
             # 5-10x (PLANS.md bench-noise notes, three rounds running).
             # A gate far above both an absolute floor and the run's
-            # median-so-far is re-measured ONCE and the MIN reported —
-            # a genuinely slow gate re-measures slow, so real costs
-            # survive; both samples are published on stderr.
+            # median-so-far is re-measured; when the two samples agree
+            # (within 2x) the min is reported — a genuinely slow gate
+            # re-measures slow, so real costs survive — and when they
+            # DISAGREE a third sample votes and the MEDIAN is reported,
+            # so a warm-cache retry can't systematically report a
+            # slow-but-cacheable gate at its warm floor (ADVICE r6).
+            # All samples are published in the stdout payload
+            # ("retried") and on stderr.
             done = sorted(v for v in timings.values() if v >= 0)
             med = done[len(done) // 2] if done else 0.0
             if t > max(5.0, 4 * med) and len(done) >= 20:
-                t2 = run_once(name)
-                retried[name] = [t, t2]
-                t = min(t, t2)
+                samples = [t, run_once(name)]
+                if max(samples) > 2 * min(samples):
+                    samples.append(run_once(name))
+                    t = sorted(samples)[1]
+                else:
+                    t = min(samples)
+                retried[name] = samples
             timings[name] = t
         except Exception as exc:  # noqa: BLE001
             print(f"bench error in {name}: {exc}", file=sys.stderr)
@@ -88,7 +97,9 @@ def main() -> None:
     short = {n.split("_", 1)[0]: round(t, 1) for n, t in timings.items()}
     by_cost = sorted(short.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
     reported: dict[str, float] = {}
-    budget = 1700
+    # (down from 1700: the "retried" field can take ~200 chars and the
+    # driver keeps only the last ~2000 of stdout)
+    budget = 1500
     used = 0
     for k, v in by_cost:
         entry = len(k) + len(json.dumps(v)) + 4
@@ -96,6 +107,19 @@ def main() -> None:
             break
         reported[k] = v
         used += entry
+    # Retry evidence goes in the PRIMARY payload (not just stderr,
+    # which the driver mostly discards): per retried gate, every raw
+    # sample — so the grader sees both the spike and the floor.
+    # Capped to the 8 slowest retried gates to respect the budget.
+    retried_short = dict(
+        sorted(
+            (
+                (n.split("_", 1)[0], [round(s, 1) for s in samples])
+                for n, samples in retried.items()
+            ),
+            key=lambda kv: -max(kv[1]),
+        )[:8]
+    )
     print(
         json.dumps(
             {
@@ -105,6 +129,7 @@ def main() -> None:
                 "queries": dict(sorted(reported.items())),
                 "n_queries": len(timings),
                 "n_reported": len(reported),
+                "retried": retried_short,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),
