@@ -1419,7 +1419,13 @@ def test_date_spine_gaps_reference(spark):
     assert r["n_days"] == 365
     assert r["n_gap_days"] == len(gaps)
     assert r["n_orders"] == n_orders
+    # gap brackets are ISO strings since r7 (nullable DATE finals
+    # render None on Spark's pandas fetch but NaT on DuckDB's —
+    # the driver-hash divergence class)
     if gaps:
-        assert (r["first_gap_day"], r["last_gap_day"]) == (gaps[0], gaps[-1])
+        assert (r["first_gap_day"], r["last_gap_day"]) == (
+            gaps[0].isoformat(),
+            gaps[-1].isoformat(),
+        )
     else:
         assert r["first_gap_day"] is None and r["last_gap_day"] is None
