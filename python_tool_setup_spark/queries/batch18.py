@@ -272,12 +272,20 @@ def q211_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q212_product_profit",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS profit
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS profit
     FROM (
         SELECT n_name AS nation,
                CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.5 * p_retailprice * l_quantity AS amount
+               -- cent-quantize PER ROW: the row-local double is
+               -- bit-identical on both engines, but a raw double SUM
+               -- is order-dependent and ROUND(sum, 2) flips by a cent
+               -- when the true value sits on a .005 knife edge
+               -- (caught by the r7 multi-seed fixture sweep); the
+               -- integer cents sum is order-free and exact.
+               CAST(ROUND(100 * (l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity)) AS BIGINT)
+                 AS cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN part ON p_partkey = l_partkey
@@ -304,10 +312,16 @@ def q212_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%o%"))
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # cent-quantized per row: row-local doubles are bit-identical
+    # across engines; only the SUM order isn't — integer cents make
+    # the aggregate order-free (see the oracle comment).
+    cents = F.round(
+        100
+        * (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+    ).cast("long")
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
@@ -317,7 +331,11 @@ def q212_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(
+            F.round(F.sum(cents).cast("double") / 100, 2).alias(
+                "profit"
+            )
+        )
         .orderBy("nation", "o_year")
     )
 
