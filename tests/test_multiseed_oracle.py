@@ -1,0 +1,69 @@
+"""Oracle parity on a NON-driver dataset (the knife-edge regression).
+
+The driver's fixtures are fixed, so a ROUND(SUM(double), n) gate that
+is deterministic-green on them can still flip a final digit on other
+data: the engines' floating SUM orders differ (Spark partial-agg merge
+vs DuckDB sequential scan), and when a group's true sum sits within an
+ulp of a rounding boundary the two orders round apart. seed=7/sf0.001
+deterministically reproduces the boundary that caught q212 (TPC-H Q9
+profit, one cent off) in round 7 — fixed by per-row cent quantization.
+This module regenerates that exact dataset and re-runs q212 plus a
+sample of the other money-sum gates against the DuckDB oracle on it,
+so the fix (and the class) can't silently regress.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+from python_tool_setup_spark.queries import all_queries
+from python_tool_setup_spark.testing import compare_query, oracle_connection
+
+_spec = importlib.util.spec_from_file_location(
+    "make_fixtures",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "make_fixtures.py",
+    ),
+)
+make_fixtures = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("make_fixtures", make_fixtures)
+_spec.loader.exec_module(make_fixtures)
+
+# q212 is the proven knife edge; the rest are cheap neighbors from the
+# ROUND(SUM(double)) census (TPC-H money shapes over the same columns).
+GATES = [
+    "q212_product_profit",
+    "q01_pricing_summary",
+    "q181_shipping_priority",
+    "q182_returned_item_revenue",
+    "q210_nation_pair_volume",
+    "q211_market_share",
+    "q86_tpch_q5ish",
+]
+
+
+@pytest.fixture(scope="module")
+def seed7_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("seed7"))
+    make_fixtures.generate(out, sf=0.001, seed=7)
+    return out
+
+
+@pytest.fixture(scope="module")
+def seed7_oracle(seed7_dir):
+    con = oracle_connection(seed7_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GATES)
+def test_money_gate_on_knife_edge_dataset(spark, seed7_oracle, seed7_dir, name):
+    q = all_queries()[name]
+    mismatch = compare_query(spark, seed7_oracle, q, seed7_dir)
+    assert mismatch is None, f"{name} on seed7 data: {mismatch}"
