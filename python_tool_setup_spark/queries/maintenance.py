@@ -132,7 +132,14 @@ def q63_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice * (1 - l_discount)), 2) AS net
+           -- cent-quantize PER ROW (the q212 recipe): row-local
+           -- doubles are bit-identical across engines, but a raw
+           -- double SUM is order-dependent and flips the final cent
+           -- on a .005 knife edge (caught by the r7 multi-seed
+           -- sweep, seed 314 / sf0.008).
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS net
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -172,11 +179,14 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUCKETED[sf_dir] = (lt, rt)
     lt, rt = _BUCKETED[sf_dir]
     joined = bucketed_join(spark, lt, rt, ["o_orderkey"])
+    # cent-quantized per row (the q212 recipe): integer cents make the
+    # aggregate order-free — see the oracle comment.
+    cents = F.round(
+        100 * F.col("o_totalprice") * (1 - F.col("l_discount"))
+    ).cast("long")
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice") * (1 - F.col("l_discount"))), 2).alias(
-            "net"
-        ),
+        F.round(F.sum(cents).cast("double") / 100, 2).alias("net"),
     )
 
 

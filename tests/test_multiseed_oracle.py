@@ -67,3 +67,20 @@ def test_money_gate_on_knife_edge_dataset(spark, seed7_oracle, seed7_dir, name):
     q = all_queries()[name]
     mismatch = compare_query(spark, seed7_oracle, q, seed7_dir)
     assert mismatch is None, f"{name} on seed7 data: {mismatch}"
+
+
+def test_q64_on_its_knife_edge_dataset(spark, tmp_path_factory):
+    """seed=314/sf0.008 deterministically reproduces the boundary that
+    caught q64 (bucketed-join net revenue, one cent off) — the second
+    r7 multi-seed catch, fixed with the same per-row cent
+    quantization."""
+    out = str(tmp_path_factory.mktemp("seed314"))
+    make_fixtures.generate(out, sf=0.008, seed=314)
+    con = oracle_connection(out)
+    try:
+        mismatch = compare_query(
+            spark, con, all_queries()["q64_bucketed_join"], out
+        )
+    finally:
+        con.close()
+    assert mismatch is None, f"q64 on seed314 data: {mismatch}"
