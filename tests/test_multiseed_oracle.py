@@ -69,6 +69,25 @@ def test_money_gate_on_knife_edge_dataset(spark, seed7_oracle, seed7_dir, name):
     assert mismatch is None, f"{name} on seed7 data: {mismatch}"
 
 
+def test_q208_on_its_knife_edge_dataset(spark, tmp_path_factory):
+    """seed=911/sf0.009 deterministically reproduces the decimal
+    half-boundary that caught q208 (TPC-H Q2 unit cost, 4th decimal):
+    ROUND(x, 4) itself resolves ...x.xxxx5 ties differently per engine
+    (Spark rounds the exact binary expansion, DuckDB the FP-scaled
+    value) — the third r7 multi-seed catch, fixed by scaling by 1e4
+    BEFORE a scale-0 round (dyadic ties, engine-agreeing)."""
+    out = str(tmp_path_factory.mktemp("seed911"))
+    make_fixtures.generate(out, sf=0.009, seed=911)
+    con = oracle_connection(out)
+    try:
+        mismatch = compare_query(
+            spark, con, all_queries()["q208_mincost_supplier"], out
+        )
+    finally:
+        con.close()
+    assert mismatch is None, f"q208 on seed911 data: {mismatch}"
+
+
 def test_q64_on_its_knife_edge_dataset(spark, tmp_path_factory):
     """seed=314/sf0.008 deterministically reproduces the boundary that
     caught q64 (bucketed-join net revenue, one cent off) — the second
