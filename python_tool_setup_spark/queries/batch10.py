@@ -348,7 +348,11 @@ def q180_decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q181_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- cent-quantized per row: order-free exact sum (the q212
+           -- recipe) — also keeps the revenue-ranked LIMIT stable
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -387,8 +391,17 @@ def q181_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
+            # cent-quantized per row - order-free exact sum
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        100
+                        * F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).cast("double")
+                / 100,
+                2,
             ).alias("revenue")
         )
         .select(
@@ -407,7 +420,11 @@ def q181_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q182_returned_item_revenue",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- cent-quantized per row: order-free exact sum (the q212
+           -- recipe) - also keeps the revenue-ranked LIMIT stable
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue,
            ROUND(MAX(c_acctbal), 2) AS acctbal
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -436,8 +453,17 @@ def q182_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
+            # cent-quantized per row - order-free exact sum
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        100
+                        * F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).cast("double")
+                / 100,
+                2,
             ).alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )

@@ -154,11 +154,16 @@ def q209_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nn AS (SELECT MIN(n_name) AS na, MAX(n_name) AS nb FROM nation)
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           -- cent-quantized per row (the q212 recipe): a raw double
+           -- SUM is order-dependent across engines and flips the
+           -- final cent on a .005 knife edge (caught by the r7
+           -- multi-seed sweep, seed 8128 / sf0.013).
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(ROUND(100 * l_extendedprice * (1 - l_discount))
+                   AS BIGINT) AS cents
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -211,8 +216,18 @@ def q210_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
+            # cent-quantized per row — order-free exact sum (see the
+            # oracle comment)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        100
+                        * F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).cast("double")
+                / 100,
+                2,
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")

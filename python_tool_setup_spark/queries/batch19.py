@@ -64,15 +64,20 @@ def q214_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q215_top_supplier",
     """
     WITH revenue AS (
-        SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        -- cent-quantized per row (q212 recipe): exact integer sums
+        -- make BOTH the argmax tie and the final round order-free
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(100 * l_extendedprice * (1 - l_discount))
+                   AS BIGINT)) AS rev_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(rev_c AS DOUBLE) / 100, 2) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    WHERE rev_c = (SELECT MAX(rev_c) FROM revenue)
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 (top supplier) shape: the supplier(s) with maximum "
@@ -91,20 +96,26 @@ def q215_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # cent-quantized per row: exact integer sums make BOTH the argmax
+    # tie and the final round order-free (q212 recipe)
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_rev"
-        )
+        F.sum(
+            F.round(
+                100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("long")
+        ).alias("rev_c")
     )
-    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    mx = revenue.agg(F.max("rev_c").alias("mx"))
     return (
         revenue.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("mx"))
+        .filter(F.col("rev_c") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_rev", 2).alias("total_revenue"),
+            F.round(F.col("rev_c").cast("double") / 100, 2).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )
@@ -118,7 +129,9 @@ def q215_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey AS ak, 0.5 * AVG(l_quantity) AS qlim
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    -- cent-quantized sum + scale-first round (q212/q208 recipes)
+    SELECT ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+               AS DOUBLE) / 7.0) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pavg ON ak = l_partkey
@@ -152,7 +165,21 @@ def q216_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
         .join(pavg, li["l_partkey"] == pavg["ak"])
         .filter(F.col("l_quantity") < F.col("qlim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # cent-quantized sum + scale-first round (q212/q208
+            # recipes)
+            (
+                F.round(
+                    F.sum(
+                        F.round(100 * F.col("l_extendedprice")).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 7.0
+                )
+                / 100.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -215,7 +242,11 @@ def q217_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q218_disjunctive_predicates",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT
+        -- cent-quantized per row: order-free exact sum (q212 recipe)
+        ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+            * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+            AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 15)
@@ -252,8 +283,17 @@ def q218_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             | arm("Brand#3", 30, 20, 35)
         )
         .agg(
+            # cent-quantized per row - order-free exact sum
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        100
+                        * F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).cast("double")
+                / 100,
+                2,
             ).alias("revenue")
         )
     )

@@ -402,7 +402,11 @@ def q248_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- cent-quantized per row: order-free exact sum (q212
+           -- recipe; raw double SUMs are engine-order-dependent)
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue
     FROM lineitem
     WHERE l_quantity > 25
     GROUP BY l_returnflag
@@ -428,8 +432,9 @@ def q249_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q249_lineitem
         |> WHERE l_quantity > 25
         |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                         AS revenue
+                     ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+                         * (1 - l_discount)) AS BIGINT)) AS DOUBLE)
+                         / 100, 2) AS revenue
            GROUP BY l_returnflag
         |> WHERE n > 100
         |> SELECT l_returnflag, n, revenue

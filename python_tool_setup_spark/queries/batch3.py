@@ -45,7 +45,10 @@ _Z_HI = datetime.datetime(1994, 6, 10)
     SELECT
         CAST(COUNT(*) AS BIGINT) AS n_rows,
         ROUND(SUM(l_quantity), 2) AS sum_qty,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        -- cent-quantized per row: order-free exact sum (q212 recipe)
+        ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+            * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+            AS revenue,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM f
          WHERE mn <= TIMESTAMP '1994-06-10 00:00:00'
            AND mx >= TIMESTAMP '1994-03-15 00:00:00') AS files_read,
@@ -86,8 +89,17 @@ def q116_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        # cent-quantized per row — order-free exact sum
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(
+                F.round(
+                    100
+                    * F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                ).cast("long")
+            ).cast("double")
+            / 100,
+            2,
         ).alias("revenue"),
     ).select(
         "n_rows",

@@ -273,7 +273,11 @@ def q85_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_tpch_q5ish",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- cent-quantized per row: order-free exact sum (the q212
+           -- recipe; raw double SUMs are engine-order-dependent)
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -310,10 +314,19 @@ def q86_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
     )
+    # cent-quantized per row — order-free exact sum
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(
+                    100
+                    * F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                ).cast("long")
+            ).cast("double")
+            / 100,
+            2,
+        ).alias("revenue")
     )
 
 

@@ -33,18 +33,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q01_pricing_summary",
     """
+    WITH t AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               -- cent-quantized PER ROW: row-local doubles are
+               -- bit-identical across engines, but raw double SUMs
+               -- are order-dependent (Spark partial-agg merge vs
+               -- DuckDB sequential) and ROUND(sum, 2) flips a cent on
+               -- a .005 knife edge — the class the r7 multi-seed
+               -- sweeps caught on q212/q64/q210. Integer cents sums
+               -- are order-free and exact.
+               CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS price_c,
+               CAST(ROUND(100 * l_extendedprice * (1 - l_discount))
+                   AS BIGINT) AS disc_c,
+               CAST(ROUND(100 * l_extendedprice * (1 - l_discount)
+                   * (1 + l_tax)) AS BIGINT) AS charge_c,
+               CAST(ROUND(100 * l_discount) AS BIGINT) AS dpct_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / 100, 2)
+                                          AS sum_base_price,
+           ROUND(CAST(SUM(disc_c) AS DOUBLE) / 100, 2)
+                                          AS sum_disc_price,
+           ROUND(CAST(SUM(charge_c) AS DOUBLE) / 100, 2)
                                           AS sum_charge,
-           ROUND(AVG(l_quantity), 4)      AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           -- scale-first rounds: ROUND(x, 4) itself resolves decimal
+           -- half-boundaries differently per engine (the q208 class)
+           ROUND(10000 * SUM(l_quantity) / COUNT(*)) / 10000.0
+                                          AS avg_qty,
+           ROUND(10000 * (CAST(SUM(price_c) AS DOUBLE) / 100)
+                 / COUNT(*)) / 10000.0    AS avg_price,
+           ROUND(10000 * (CAST(SUM(dpct_c) AS DOUBLE) / 100)
+                 / COUNT(*)) / 10000.0    AS avg_disc,
            COUNT(*)                       AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM t
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -52,18 +76,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # cent-quantized per row (order-free exact sums) + scale-first
+    # rounds for the scale-4 averages — see the oracle comments.
+    price_c = F.round(100 * F.col("l_extendedprice")).cast("long")
+    disc_c = F.round(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("long")
+    charge_c = F.round(
+        100
+        * F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("long")
+    dpct_c = F.round(100 * F.col("l_discount")).cast("long")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price_c).cast("double") / 100, 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_c).cast("double") / 100, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge_c).cast("double") / 100, 2).alias(
+                "sum_charge"
+            ),
+            (F.round(10000 * F.sum("l_quantity") / cnt) / 10000.0).alias(
+                "avg_qty"
+            ),
+            (
+                F.round(
+                    10000 * (F.sum(price_c).cast("double") / 100) / cnt
+                )
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.round(
+                    10000 * (F.sum(dpct_c).cast("double") / 100) / cnt
+                )
+                / 10000.0
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -118,7 +173,11 @@ def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q04_join_star",
     """
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- cent-quantized per row: order-free exact sum (the q212
+           -- recipe; raw double SUMs are engine-order-dependent)
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice
+               * (1 - l_discount)) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -143,8 +202,17 @@ def q04_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
+            # cent-quantized per row — order-free exact sum
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        100
+                        * F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("long")
+                ).cast("double")
+                / 100,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
