@@ -88,6 +88,23 @@ def test_q208_on_its_knife_edge_dataset(spark, tmp_path_factory):
     assert mismatch is None, f"q208 on seed911 data: {mismatch}"
 
 
+def test_q210_on_its_knife_edge_dataset(spark, tmp_path_factory):
+    """seed=8128/sf0.013 deterministically reproduces the boundary
+    that caught q210 (TPC-H Q7 bilateral volume, one cent off) — the
+    fourth r7 multi-seed catch, same sum-order class, same per-row
+    cent-quantization fix."""
+    out = str(tmp_path_factory.mktemp("seed8128"))
+    make_fixtures.generate(out, sf=0.013, seed=8128)
+    con = oracle_connection(out)
+    try:
+        mismatch = compare_query(
+            spark, con, all_queries()["q210_nation_pair_volume"], out
+        )
+    finally:
+        con.close()
+    assert mismatch is None, f"q210 on seed8128 data: {mismatch}"
+
+
 def test_q64_on_its_knife_edge_dataset(spark, tmp_path_factory):
     """seed=314/sf0.008 deterministically reproduces the boundary that
     caught q64 (bucketed-join net revenue, one cent off) — the second
