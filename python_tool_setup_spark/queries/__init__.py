@@ -340,9 +340,33 @@ def all_queries() -> dict[str, Query]:
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)
     }
     fresh_rest = {k: v for k, v in fresh.items() if k not in priority}
+    # Round-8 re-sample tier: gates whose MATH changed after their last
+    # official sample, so their existing green rows predate the current
+    # form. The ten proactive r7 product-sum cent conversions landed
+    # AFTER the r7 driver sample ran (q01 — also entry() — q04, q86,
+    # q116, q181, q182, q215, q216, q218, q249), the four r7 multi-seed
+    # knife-edge fixes (q212, q64, q208, q210) were never re-sampled on
+    # the fixed form, and q285/q158/q211/q214/q189 + the round-8 tier-1
+    # conversions changed this round. Each needs one official green row
+    # on its current math; once CORRECTNESS_r8 records it, this tier
+    # empties itself (latest_row is green AND the name leaves the set
+    # below as rounds advance — names are pruned manually next round).
+    _RESAMPLE_R8 = (
+        "q01_", "q04_", "q86_", "q116_", "q181_", "q182_", "q215_",
+        "q216_", "q218_", "q249_", "q212_", "q64_", "q208_", "q210_",
+        "q285_", "q158_", "q211_", "q214_", "q189_", "q255_", "q264_",
+        "q02_", "q45_", "q19_", "q234_", "q250_", "q143_", "q75_",
+    )
+    resample = {
+        k: v
+        for k, v in _REGISTRY.items()
+        if k.startswith(_RESAMPLE_R8) and k not in stale_fail
+    }
     green = {
         k: v
         for k, v in _REGISTRY.items()
-        if k in sampled_ever and k not in stale_fail
+        if k in sampled_ever and k not in stale_fail and k not in resample
     }
-    return {**stale_fail, **priority, **fresh_rest, **green}
+    fresh_rest = {k: v for k, v in fresh_rest.items() if k not in resample}
+    priority = {k: v for k, v in priority.items() if k not in resample}
+    return {**stale_fail, **resample, **priority, **fresh_rest, **green}

@@ -24,9 +24,16 @@ from python_tool_setup_spark.tables import load_table
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice * (1 + 0.07)), 2) AS gross_total,
-           ROUND(AVG(CASE WHEN o_totalprice > 200000 THEN 1.0
-                          ELSE 0.0 END), 4) AS big_share
+           -- per-row integer cents (q212 recipe): the grossed price
+           -- has 4 decimals, so the raw double SUM can flip on a
+           -- .005 knife edge between engines; row-local doubles are
+           -- bit-identical and the integer sum is order-free
+           ROUND(CAST(SUM(CAST(ROUND(100 * (o_totalprice * (1 + 0.07)))
+                 AS BIGINT)) AS DOUBLE) / 100, 2) AS gross_total,
+           -- scale-first round (q208 recipe): the share is an exact
+           -- count ratio that can tie on a 5e-5 decimal boundary
+           ROUND(10000 * AVG(CASE WHEN o_totalprice > 200000 THEN 1.0
+                          ELSE 0.0 END)) / 10000.0 AS big_share
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -54,8 +61,10 @@ def q189_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(gross(o_totalprice)), 2) AS gross_total,
-               ROUND(AVG(is_big(o_totalprice)), 4) AS big_share
+               ROUND(CAST(SUM(CAST(ROUND(100 * gross(o_totalprice))
+                     AS BIGINT)) AS DOUBLE) / 100, 2) AS gross_total,
+               ROUND(10000 * AVG(is_big(o_totalprice))) / 10000.0
+                   AS big_share
         FROM orders
         GROUP BY o_orderpriority
         """

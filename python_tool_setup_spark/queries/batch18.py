@@ -241,11 +241,16 @@ def q210_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tgt AS (SELECT MIN(n_name) AS tn FROM nation),
     pt AS (SELECT MIN(p_type) AS ptype FROM part)
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = tn THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           -- integer-cent volumes (q212 recipe: the raw product-sums
+           -- are order-dependent) + scale-first round (q208 recipe:
+           -- the share quotient can tie on a 5e-5 decimal boundary)
+           ROUND(10000 * (CAST(SUM(CASE WHEN supp_nation = tn
+                                        THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE))) / 10000.0 AS mkt_share
     FROM (
         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(ROUND(100 * (l_extendedprice * (1 - l_discount)))
+                    AS BIGINT) AS volume,
                n_name AS supp_nation
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -276,7 +281,10 @@ def q211_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = n.agg(F.min("n_name").alias("tn"))
     pt = p.agg(F.min("p_type").alias("ptype"))
     pf = p.crossJoin(F.broadcast(pt)).filter(F.col("p_type") == F.col("ptype"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer-cent volumes + scale-first round: see the oracle comment
+    vol = F.round(
+        100 * (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).cast("long")
     return (
         li.join(F.broadcast(pf), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -285,10 +293,18 @@ def q211_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tgt))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == F.col("tn"), vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            (
+                F.round(
+                    10000
+                    * (
+                        F.sum(
+                            F.when(F.col("n_name") == F.col("tn"), vol)
+                            .otherwise(F.lit(0))
+                        ).cast("double")
+                        / F.sum(vol).cast("double")
+                    )
+                )
+                / 10000.0
             ).alias("mkt_share")
         )
         .orderBy("o_year")

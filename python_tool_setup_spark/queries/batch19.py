@@ -21,11 +21,15 @@ from python_tool_setup_spark.tables import load_table
 @register(
     "q214_promo_revenue",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount)
-                       ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4)
-               AS promo_revenue
+    SELECT -- integer-cent revenues (q212 recipe) + scale-first round
+           -- (q208 recipe): order-free sums, tie-free final round
+           ROUND(10000 * (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(100 * (l_extendedprice
+                            * (1 - l_discount))) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(100 * (l_extendedprice
+                       * (1 - l_discount))) AS BIGINT)) AS DOUBLE)))
+               / 10000.0 AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -45,15 +49,26 @@ def q214_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer-cent revenues + scale-first round: see the oracle comment
+    rev_c = F.round(
+        100 * (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+            (
+                F.round(
+                    10000
+                    * (
+                        100.0
+                        * F.sum(
+                            F.when(F.col("p_type") == "PROMO", rev_c)
+                            .otherwise(F.lit(0))
+                        ).cast("double")
+                        / F.sum(rev_c).cast("double")
+                    )
+                )
+                / 10000.0
             ).alias("promo_revenue")
         )
     )

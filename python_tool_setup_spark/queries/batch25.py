@@ -21,7 +21,11 @@ from python_tool_setup_spark.tables import load_table
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           -- integer-cent AVG + scale-first round (q212/q208
+           -- recipes): a money AVG is a rational that can tie on a
+           -- .005 boundary and its double SUM is order-dependent
+           ROUND(AVG(CAST(ROUND(100 * o_totalprice) AS BIGINT)))
+               / 100.0 AS avg_price,
            ROUND(MAX(o_totalprice), 2) AS max_price
     FROM orders
     GROUP BY o_orderpriority
@@ -45,11 +49,16 @@ def q234_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps.set_option("compute.default_index_type", "distributed-sequence")
     try:
         pdf = load_table(spark, sf_dir, "orders").pandas_api()
+        # cents in pandas dialect too: (100 * s).round(0).astype
+        # compiles to the same ROUND + CAST the oracle states
+        pdf = pdf.assign(
+            cents=(100 * pdf.o_totalprice).round(0).astype("int64")
+        )
         agg = (
             pdf.groupby("o_orderpriority")
             .agg(
                 n=("o_orderkey", "count"),
-                avg_price=("o_totalprice", "mean"),
+                avg_cents=("cents", "mean"),
                 max_price=("o_totalprice", "max"),
             )
             .reset_index()
@@ -61,7 +70,7 @@ def q234_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n"),
-        F.round("avg_price", 2).alias("avg_price"),
+        (F.round("avg_cents") / 100.0).alias("avg_price"),
         F.round("max_price", 2).alias("max_price"),
     ).orderBy("o_orderpriority")
 

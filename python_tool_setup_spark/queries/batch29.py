@@ -448,11 +448,20 @@ def q249_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q250_lateral_column_alias",
     """
     SELECT o_orderpriority,
-           ROUND(AVG(o_totalprice), 2) AS avg_price,
-           ROUND(ROUND(AVG(o_totalprice), 2) * 1.1, 2) AS with_uplift,
-           ROUND(ROUND(ROUND(AVG(o_totalprice), 2) * 1.1, 2)
-                 - ROUND(AVG(o_totalprice), 2), 2) AS uplift_amount
-    FROM orders
+           -- integer-cent AVG + scale-first rounds (q212/q208
+           -- recipes): the money average is a rational that can tie
+           -- on a .005 boundary, and each derived ROUND(x, 2) of a
+           -- computed double is the per-engine tie-resolution class
+           ROUND(AVG(cents)) / 100.0 AS avg_price,
+           ROUND(100 * ((ROUND(AVG(cents)) / 100.0) * 1.1)) / 100.0
+               AS with_uplift,
+           ROUND(100 * ((ROUND(100 * ((ROUND(AVG(cents)) / 100.0)
+                 * 1.1)) / 100.0)
+                 - (ROUND(AVG(cents)) / 100.0))) / 100.0
+               AS uplift_amount
+    FROM (SELECT o_orderpriority,
+                 CAST(ROUND(100 * o_totalprice) AS BIGINT) AS cents
+          FROM orders)
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
@@ -471,9 +480,11 @@ def q250_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority,
-               ROUND(AVG(o_totalprice), 2) AS avg_price,
-               ROUND(avg_price * 1.1, 2) AS with_uplift,
-               ROUND(with_uplift - avg_price, 2) AS uplift_amount
+               ROUND(AVG(CAST(ROUND(100 * o_totalprice) AS BIGINT)))
+                   / 100.0 AS avg_price,
+               ROUND(100 * (avg_price * 1.1)) / 100.0 AS with_uplift,
+               ROUND(100 * (with_uplift - avg_price)) / 100.0
+                   AS uplift_amount
         FROM q250_orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority

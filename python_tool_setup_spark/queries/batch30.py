@@ -441,7 +441,14 @@ def q254_dim_refresh_between_batches(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT CAST(vid % 24 AS BIGINT) AS touch_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_credits,
-           ROUND(SUM(value / n_touch), 3) AS credited_value
+           -- per-row micro-units (q212 recipe): the per-touch credit
+           -- quotient is bit-identical across engines, but the raw
+           -- double SUM over credits is order-dependent; the integer
+           -- micro sum is order-free, and the final scale-0 round of
+           -- the identical double agrees on both engines
+           ROUND(CAST(SUM(CAST(ROUND(1000000 * (value / n_touch))
+                 AS BIGINT)) AS DOUBLE) / 1000) / 1000.0
+               AS credited_value
     FROM touches
     GROUP BY vid % 24 ORDER BY touch_bucket
     """,
@@ -483,9 +490,18 @@ def q255_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         touches.groupBy((F.col("vid") % 24).cast("bigint").alias("touch_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_credits"),
-            F.round(F.sum(F.col("value") / F.col("n_touch")), 3).alias(
-                "credited_value"
-            ),
+            # per-row micro-units: see the oracle comment
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            1000000 * (F.col("value") / F.col("n_touch"))
+                        ).cast("long")
+                    ).cast("double")
+                    / 1000
+                )
+                / 1000.0
+            ).alias("credited_value"),
         )
         .orderBy("touch_bucket")
     )

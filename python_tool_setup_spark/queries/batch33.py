@@ -102,8 +102,15 @@ _EWMA_MIN_EVENTS = 5
     )
     SELECT user_id,
            CAST(MAX(n) AS BIGINT) AS n_events,
-           ROUND(SUM(value * CASE WHEN rn = 1 THEN POWER(0.5, n - 1)
-                                  ELSE POWER(0.5, n - rn + 1) END), 6)
+           -- per-row micro-units (q212 recipe): each v_i * 2^-k is an
+           -- EXACT binary product, identical on both engines; only
+           -- the double SUM order differs — the integer micro sum is
+           -- order-free and the scale-0 round of the identical
+           -- quotient double agrees on both engines
+           ROUND(CAST(SUM(CAST(ROUND(1000000 *
+                 (value * CASE WHEN rn = 1 THEN POWER(0.5, n - 1)
+                               ELSE POWER(0.5, n - rn + 1) END))
+                 AS BIGINT)) AS DOUBLE) / 1000) / 1000.0
                AS ewma
     FROM ev GROUP BY user_id HAVING MAX(n) >= {_EWMA_MIN_EVENTS}
     ORDER BY user_id
@@ -116,7 +123,8 @@ _EWMA_MIN_EVENTS = 5
     "at 100 TB it's a per-key window ride on the event-time "
     "partitioning. alpha = 0.5 is deliberate: every weight is a "
     "power of two, each product v_i * 2^-k is EXACT in binary FP, "
-    "and the final sum rounds at 6dp identically on both engines. "
+    "and the weighted terms are micro-quantized per row so the sum "
+    "itself is an order-free integer on both engines. "
     "Ordering ties broken by event_id so the weight assignment is "
     "total.",
 )
@@ -139,7 +147,18 @@ def q264_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("user_id")
         .agg(
             F.max("n").cast("bigint").alias("n_events"),
-            F.round(F.sum(F.col("value") * weight), 6).alias("ewma"),
+            # per-row micro-units: see the oracle comment
+            (
+                F.round(
+                    F.sum(
+                        F.round(1000000 * (F.col("value") * weight)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 1000
+                )
+                / 1000.0
+            ).alias("ewma"),
         )
         .filter(F.col("n_events") >= _EWMA_MIN_EVENTS)
         .orderBy("user_id")

@@ -30,7 +30,12 @@ _BLOOM_LAYOUT: dict[str, str] = {}
     )
     SELECT k.k AS orderkey,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           -- per-row integer cents (the q212 recipe): row-local
+           -- doubles are bit-identical across engines, only the SUM
+           -- order isn't — the integer sum is order-free and exact
+           ROUND(CAST(SUM(CAST(ROUND(100 * (l.l_extendedprice
+                 * (1 - l.l_discount))) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS revenue,
            TRUE AS pruned
     FROM keys k JOIN lineitem l ON l.l_orderkey = k.k
     GROUP BY k.k ORDER BY orderkey
@@ -78,11 +83,15 @@ def q285_file_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, files_read, files_total = bloom_pruned_point_read(
             spark, index, "l_orderkey", key
         )
+        # cent-quantized per row (q212 recipe): the per-key revenue sum
+        # is order-free integer cents, so it can't flip on a .005
+        # knife edge between engines.
+        cents = F.round(
+            100 * (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).cast("long")
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("rev"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("rev"),
         ).collect()[0]
         out.append(
             (key, int(row["n"]), float(row["rev"]), files_read < files_total)

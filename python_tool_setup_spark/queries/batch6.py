@@ -316,8 +316,15 @@ def q142_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(count_if(l_extendedprice < lo) AS BIGINT) AS n_clipped_low,
            CAST(count_if(l_extendedprice > hi) AS BIGINT) AS n_clipped_high,
-           ROUND(AVG(l_extendedprice), 4) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
+           -- exact integer units + scale-first round (q212/q208
+           -- recipes): money AVGs are order-dependent double sums
+           -- over a rational that can tie on a decimal boundary; the
+           -- clip boundary is a 4-decimal value, so 1e4 units are
+           -- exact per row on both engines
+           ROUND(100 * AVG(CAST(ROUND(100 * l_extendedprice)
+                 AS BIGINT))) / 10000.0 AS mean_raw,
+           ROUND(AVG(CAST(ROUND(10000 * LEAST(GREATEST(l_extendedprice,
+                 lo), hi)) AS BIGINT))) / 10000.0
                AS mean_winsorized
     FROM lineitem l JOIN cuts USING (l_returnflag)
     GROUP BY l.l_returnflag
@@ -353,8 +360,19 @@ def q143_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_extendedprice") > F.col("hi"))
         .cast("bigint")
         .alias("n_clipped_high"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
-        F.round(F.avg(clip), 4).alias("mean_winsorized"),
+        # exact integer units + scale-first: see the oracle comment
+        (
+            F.round(
+                100
+                * F.avg(
+                    F.round(100 * F.col("l_extendedprice")).cast("long")
+                )
+            )
+            / 10000.0
+        ).alias("mean_raw"),
+        (F.round(F.avg(F.round(10000 * clip).cast("long"))) / 10000.0).alias(
+            "mean_winsorized"
+        ),
     )
 
 

@@ -31,10 +31,20 @@ from python_tool_setup_spark.tables import load_table
     "q158_grouped_agg_pandas_udf",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2)
+           -- per-row integer cents (q212 recipe: the raw product-sum
+           -- is order-dependent across engines) + scale-first round
+           -- (q208 recipe: ROUND(x, 2) of a computed quotient
+           -- resolves decimal ties differently per engine; a scale-0
+           -- round of bit-identical doubles agrees on both)
+           ROUND(CAST(SUM(cents) AS DOUBLE) / SUM(l_quantity)) / 100.0
                AS weighted_avg_price,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem
+    FROM (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(ROUND(100 * (l_extendedprice * l_quantity))
+                    AS BIGINT) AS cents
+        FROM lineitem
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Grouped-AGGREGATE pandas UDF (the user-defined-aggregate "
@@ -51,7 +61,27 @@ def q158_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        # Mirror the oracle's exact arithmetic: per-row integer cents
+        # of the (price * qty) product (row-local IEEE doubles are
+        # bit-identical across engines; np.rint's half-even never
+        # fires because the true product is integer-valued in cents),
+        # exact int64 sum (order-free), then a scale-0 half-away round
+        # of the identical double quotient — decimal.Decimal rounds
+        # the EXACT binary expansion, matching both engines' scale-0
+        # ROUND on the same bit pattern.
+        import decimal
+
+        import numpy as np
+
+        p = price.to_numpy(dtype=np.float64)
+        q = qty.to_numpy(dtype=np.float64)
+        cents = int(np.rint(100.0 * (p * q)).astype(np.int64).sum())
+        qsum = float(q.sum())  # integer-valued doubles: exact any order
+        v = float(cents) / qsum
+        hundredths = decimal.Decimal(v).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+        return float(hundredths) / 100.0
 
     # grouped-agg pandas UDFs can't mix with built-in aggregates in one
     # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the group size is itself a
@@ -62,7 +92,7 @@ def q158_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(weighted_mean("l_extendedprice", "l_quantity"), 2).alias(
+        weighted_mean("l_extendedprice", "l_quantity").alias(
             "weighted_avg_price"
         ),
         group_n("l_extendedprice").alias("n"),

@@ -41,27 +41,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q45_pivot",
     """
+    WITH o AS (
+        SELECT o_orderpriority, o_orderstatus,
+               -- per-row integer cents (q212 recipe) + scale-first
+               -- round (q208 recipe): a money AVG is a rational that
+               -- can tie exactly on a .005 boundary, and the raw
+               -- double SUM under it is order-dependent
+               CAST(ROUND(100 * o_totalprice) AS BIGINT) AS cents
+        FROM orders
+    )
     SELECT o_orderpriority,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN cents END)) / 100.0
                AS avg_open,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN cents END)) / 100.0
                AS avg_filled,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+           ROUND(AVG(CASE WHEN o_orderstatus = 'P' THEN cents END)) / 100.0
                AS avg_pending,
            COUNT(*) AS n_orders
-    FROM orders
+    FROM o
     GROUP BY o_orderpriority
     """,
     doc="Pivot with explicit value list (one hash-agg pass, no distinct-"
     "value discovery scan); oracle is the conditional-aggregation rewrite.",
 )
 def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # cents + scale-first: see the oracle comment
+        "cents", F.round(100 * F.col("o_totalprice")).cast("long")
+    )
     pivoted = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            (F.round(F.avg("cents")) / 100.0).alias("avg_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -130,7 +130,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            UPPER(p_name)                   AS name_upper,
-           ROUND(p_retailprice * 1.1, 2)   AS price_markup,
+           -- scale-first round (q208 recipe): the 3-decimal true
+           -- product x.xx5 is a decimal half-tie that ROUND(x, 2)
+           -- resolves differently per engine; a scale-0 round of the
+           -- bit-identical scaled double agrees on both
+           ROUND(100 * (p_retailprice * 1.1)) / 100.0 AS price_markup,
            (p_size > 25)                   AS is_large,
            p_brand                         AS brand
     FROM part
@@ -141,7 +145,10 @@ def q02_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_markup"),
+        # scale-first round: see the oracle comment
+        (F.round(100 * (F.col("p_retailprice") * 1.1)) / 100.0).alias(
+            "price_markup"
+        ),
         (F.col("p_size") > 25).alias("is_large"),
         F.col("p_brand").alias("brand"),
     )
@@ -595,7 +602,13 @@ def q18_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'high' END AS balance_bucket,
            COUNT(*) AS n,
            ROUND(SUM(ABS(c_acctbal)), 2) AS sum_abs_bal,
-           ROUND(AVG(COALESCE(NULLIF(c_acctbal, 0), 0)), 4) AS avg_bal
+           -- cents (q212 recipe) + scale-first (q208 recipe): the
+           -- money average is a rational that can tie exactly on a
+           -- 5e-5 boundary; exact integer-cent sums make the AVG
+           -- double bit-identical across engines, and the scale-0
+           -- round of that double agrees on both
+           ROUND(100 * AVG(CAST(ROUND(100 * COALESCE(NULLIF(c_acctbal,
+                 0), 0)) AS BIGINT))) / 10000.0 AS avg_bal
     FROM customer
     GROUP BY 1
     ORDER BY 1
@@ -616,9 +629,21 @@ def q19_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.abs(F.col("c_acctbal"))), 2).alias("sum_abs_bal"),
-            F.round(
-                F.avg(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(0.0))),
-                4,
+            # cents + scale-first: see the oracle comment
+            (
+                F.round(
+                    100
+                    * F.avg(
+                        F.round(
+                            100
+                            * F.coalesce(
+                                F.nullif(F.col("c_acctbal"), F.lit(0.0)),
+                                F.lit(0.0),
+                            )
+                        ).cast("long")
+                    )
+                )
+                / 10000.0
             ).alias("avg_bal"),
         )
         .orderBy("balance_bucket")

@@ -116,7 +116,11 @@ def q74_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, COUNT(*) AS n,
            ROUND(SUM(l_extendedprice), 2) AS revenue,
-           ROUND(AVG(l_quantity), 6) AS avg_qty
+           -- scale-first round (q208 recipe): the quantity AVG is an
+           -- exact-integer-sum quotient, bit-identical across
+           -- engines, but ROUND(x, 6) resolves its decimal ties
+           -- differently per engine; scale-0 rounds agree
+           ROUND(1000000 * AVG(l_quantity)) / 1000000.0 AS avg_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Incremental aggregation via mergeable partial states: the "
@@ -154,5 +158,8 @@ def q75_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.round("sp", 2).alias("revenue"),
-        F.round(F.col("sq") / F.col("n"), 6).alias("avg_qty"),
+        # scale-first round: see the oracle comment
+        (F.round(1000000 * (F.col("sq") / F.col("n"))) / 1000000.0).alias(
+            "avg_qty"
+        ),
     )
