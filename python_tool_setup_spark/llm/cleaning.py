@@ -144,7 +144,11 @@ def repetition_score(
     )
     per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
     return per_gram.groupBy(id_col).agg(
-        F.round(F.max("__c") / F.sum("__c"), 6).alias("max_ngram_ratio"),
+        # scale-first round: the count quotient is bit-identical
+        # across engines; ROUND(x, 6) tie resolution is not
+        (
+            F.round(1000000 * (F.max("__c") / F.sum("__c"))) / 1000000.0
+        ).alias("max_ngram_ratio"),
         F.sum("__c").alias("n_ngrams"),
     )
 

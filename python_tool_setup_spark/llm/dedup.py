@@ -189,11 +189,16 @@ def minhash_lsh_pairs(
         .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
+            # scale-first round: int/int ratios are decimal-
+            # reachable ties at scale 6 (q208 class)
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+                1000000
+                * (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                )
+            )
+            / 1000000.0,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -285,11 +290,15 @@ def minhash_lsh_probe(
         .join(sh_e, "existing_id")
         .withColumn(
             "jaccard",
+            # scale-first round (q208 class)
             F.round(
-                F.size(F.array_intersect("sh_n", "sh_e"))
-                / F.size(F.array_union("sh_n", "sh_e")),
-                6,
-            ),
+                1000000
+                * (
+                    F.size(F.array_intersect("sh_n", "sh_e"))
+                    / F.size(F.array_union("sh_n", "sh_e"))
+                )
+            )
+            / 1000000.0,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "existing_id", "jaccard")
@@ -487,7 +496,8 @@ def ngram_jaccard_pairs(
     else:
         raise ValueError(f"unknown metric {metric!r}")
     return (
-        shared.withColumn(metric, F.round(score, 6))
+        # scale-first round (q208 class): int/int similarity ratios
+        shared.withColumn(metric, F.round(1000000 * score) / 1000000.0)
         .filter(F.col(metric) >= threshold)
         .select("id_a", "id_b", *blocks, metric)
     )
@@ -735,8 +745,15 @@ def repeated_spans(
             "n_dup_spans",
             "dup_tokens",
             F.col("__n_tokens").cast("bigint").alias("n_tokens"),
-            F.round(F.col("dup_tokens") / F.col("__n_tokens"), 6).alias(
-                "dup_fraction"
-            ),
+            # scale-first round: the integer-count quotient is
+            # bit-identical across engines, but ROUND(x, 6) resolves
+            # its decimal ties differently per engine; a scale-0
+            # round of the scaled double agrees on both
+            (
+                F.round(
+                    1000000 * (F.col("dup_tokens") / F.col("__n_tokens"))
+                )
+                / 1000000.0
+            ).alias("dup_fraction"),
         )
     )

@@ -148,8 +148,12 @@ def mix_weights(
     return counts.withColumn("weight", tgt / F.col("actual_share")).select(
         group_col,
         "group_rows",
-        F.round("actual_share", 6).alias("actual_share"),
-        F.round("weight", 6).alias("weight"),
+        # scale-first rounds: the count ratios are bit-identical
+        # across engines; ROUND(x, 6) tie resolution is not
+        (F.round(1000000 * F.col("actual_share")) / 1000000.0).alias(
+            "actual_share"
+        ),
+        (F.round(1000000 * F.col("weight")) / 1000000.0).alias("weight"),
     )
 
 

@@ -108,7 +108,13 @@ def bm25_topk(
             ),
         )
         .groupBy("qid", id_col)
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        # scale-first round: kills the per-engine ROUND(x, 6) tie
+        # class. Residual (documented floor): idf is ln()-derived
+        # (libm-bound, ulp-identical at best across engines) and the
+        # per-doc term sum is a double whose order can differ, so a
+        # score within those ulps of a 5e-7 boundary can still flip —
+        # the transcendental input rules out exact quantization.
+        .agg((F.round(1000000 * F.sum("w")) / 1000000.0).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col(id_col)

@@ -509,15 +509,24 @@ def hybrid_topk(
         )
         .withColumn(
             "lexical",
-            F.round(inter / F.greatest(uni, F.lit(1)), 6),
+            # scale-first round (q208 class): int/int ratio with
+            # decimal-reachable scale-6 ties
+            F.round(1000000 * (inter / F.greatest(uni, F.lit(1))))
+            / 1000000.0,
         )
         .withColumn(
             "score",
+            # scale-first round: a 0.5/0.5 mix of two 6-dec values has
+            # an EXACT decimal tie whenever the 7th digit lands on 5 —
+            # the most reachable ROUND(x, 6) knife edge in the repo
             F.round(
-                F.lit(alpha) * F.col("cosine")
-                + F.lit(1 - alpha) * F.col("lexical"),
-                6,
-            ),
+                1000000
+                * (
+                    F.lit(alpha) * F.col("cosine")
+                    + F.lit(1 - alpha) * F.col("lexical")
+                )
+            )
+            / 1000000.0,
         )
     )
     w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__cid"))

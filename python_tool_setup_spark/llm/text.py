@@ -45,23 +45,36 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_calc": n_chars,
             "n_tokens": n_tokens,
+            # scale-first rounds: integer-count quotients are
+            # bit-identical across engines, but ROUND(x, 4) resolves
+            # their decimal ties differently per engine; a scale-0
+            # round of the scaled double agrees on both
             "avg_token_len": F.round(
-                F.aggregate(
-                    tokens, F.lit(0.0), lambda acc, t: acc + F.length(t)
+                10000
+                * (
+                    F.aggregate(
+                        tokens, F.lit(0.0), lambda acc, t: acc + F.length(t)
+                    )
+                    / F.greatest(n_tokens, F.lit(1))
                 )
-                / F.greatest(n_tokens, F.lit(1)),
-                4,
-            ),
+            )
+            / 10000.0,
             "punct_ratio": F.round(
-                F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
-                / F.greatest(n_chars, F.lit(1)),
-                4,
-            ),
+                10000
+                * (
+                    F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+                    / F.greatest(n_chars, F.lit(1))
+                )
+            )
+            / 10000.0,
             "stopword_ratio": F.round(
-                F.size(F.filter(tokens, lambda t: F.array_contains(en, t)))
-                / F.greatest(n_tokens, F.lit(1)),
-                4,
-            ),
+                10000
+                * (
+                    F.size(F.filter(tokens, lambda t: F.array_contains(en, t)))
+                    / F.greatest(n_tokens, F.lit(1))
+                )
+            )
+            / 10000.0,
         }
     )
 
@@ -141,7 +154,16 @@ def unigram_logprob(
         toks.join(F.broadcast(probs), "__tok")
         .groupBy(id_col)
         .agg(
-            F.round(F.avg(-F.log("__p")), 6).alias("xent"),
+            # scale-first round: kills the per-engine ROUND(x, 6) tie
+            # class. Residual (documented floor): ln() is libm-bound,
+            # so row-local -ln p is only ulp-identical across engines
+            # in practice, and the double AVG order differs — a value
+            # landing within those ulps of a 5e-7 boundary can still
+            # flip; the transcendental input makes exact-integer
+            # quantization impossible.
+            (F.round(1000000 * F.avg(-F.log("__p"))) / 1000000.0).alias(
+                "xent"
+            ),
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )

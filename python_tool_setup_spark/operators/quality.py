@@ -48,9 +48,14 @@ def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.col("z.rule").alias("rule"),
             F.col("z.violations").alias("violations"),
             "total_rows",
-            F.round(F.col("z.violations") / F.col("total_rows"), 6).alias(
-                "violation_rate"
-            ),
+            # scale-first round: the count quotient is bit-identical
+            # across engines; ROUND(x, 6) tie resolution is not
+            (
+                F.round(
+                    1000000 * (F.col("z.violations") / F.col("total_rows"))
+                )
+                / 1000000.0
+            ).alias("violation_rate"),
         )
     )
 

@@ -177,8 +177,17 @@ def skew_report(
     return top.crossJoin(F.broadcast(stats)).select(
         *keys,
         "key_rows",
-        F.round(F.col("key_rows") / F.col("__total"), 6).alias("row_share"),
-        F.round(
-            F.col("key_rows") / (F.col("__total") / F.col("__nkeys")), 4
+        # scale-first rounds: the count quotients are bit-identical
+        # across engines; ROUND(x, n>0) tie resolution is not
+        (
+            F.round(1000000 * (F.col("key_rows") / F.col("__total")))
+            / 1000000.0
+        ).alias("row_share"),
+        (
+            F.round(
+                10000
+                * (F.col("key_rows") / (F.col("__total") / F.col("__nkeys")))
+            )
+            / 10000.0
         ).alias("skew_factor"),
     )

@@ -34,10 +34,13 @@ from python_tool_setup_spark.tables import load_table
     tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM per_order)
     SELECT g.n_name,
            CAST(g.n_j AS BIGINT) AS n_orders,
-           CAST(ROUND((t.s - g.s_j) * 1e0 / (t.n - g.n_j), 4) AS DOUBLE)
-               AS loo_mean_cents,
-           CAST(ROUND((t.s - g.s_j) * 1e0 / (t.n - g.n_j)
-               - t.s * 1e0 / t.n, 4) AS DOUBLE) AS influence_cents
+           -- scale-first rounds (q208 recipe): the exact-integer
+           -- quotients are bit-identical doubles, but ROUND(x, 4)
+           -- resolves their decimal-reachable ties per engine
+           ROUND(10000 * ((t.s - g.s_j) * 1e0 / (t.n - g.n_j)))
+               / 10000.0 AS loo_mean_cents,
+           ROUND(10000 * ((t.s - g.s_j) * 1e0 / (t.n - g.n_j)
+               - t.s * 1e0 / t.n)) / 10000.0 AS influence_cents
     FROM grp g CROSS JOIN tot t
     ORDER BY n_name
     """,
@@ -78,10 +81,11 @@ def q467_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.col("n_j").cast("long").alias("n_orders"),
-            F.round(loo, 4).cast("double").alias("loo_mean_cents"),
-            F.round(loo - F.col("s") / F.col("n"), 4)
-            .cast("double")
-            .alias("influence_cents"),
+            # scale-first rounds: see the oracle comment
+            (F.round(10000 * loo) / 10000.0).alias("loo_mean_cents"),
+            (
+                F.round(10000 * (loo - F.col("s") / F.col("n"))) / 10000.0
+            ).alias("influence_cents"),
         )
         .orderBy("n_name")
     )

@@ -136,9 +136,12 @@ _VOCAB_K = 500
            CAST(COUNT(*) AS BIGINT) AS val_tokens,
            CAST(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
                 AS BIGINT) AS oov_tokens,
-           ROUND(CAST(COUNT(*) FILTER (WHERE tok NOT IN
+           -- scale-first round (q208 recipe): the count ratio can tie
+           -- on a 5e-5 decimal boundary ROUND(x, 4) resolves
+           -- differently per engine
+           ROUND(10000 * (CAST(COUNT(*) FILTER (WHERE tok NOT IN
                           (SELECT tok FROM vocab)) AS DOUBLE)
-                 / COUNT(*), 4) AS oov_rate
+                 / COUNT(*))) / 10000.0 AS oov_rate
     FROM toks WHERE split = 'val'
     """,
     doc="Tokenizer vocabulary + out-of-vocabulary audit (L4, the check "
@@ -189,8 +192,16 @@ def q222_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
             "val_tokens",
             "oov_tokens",
-            F.round(
-                F.col("oov_tokens").cast("double") / F.col("val_tokens"), 4
+            # scale-first round: see the oracle comment
+            (
+                F.round(
+                    10000
+                    * (
+                        F.col("oov_tokens").cast("double")
+                        / F.col("val_tokens")
+                    )
+                )
+                / 10000.0
             ).alias("oov_rate"),
         )
     )

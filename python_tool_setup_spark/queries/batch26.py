@@ -114,8 +114,10 @@ def q238_modern_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT DISTINCT l_returnflag,
            CAST(l_quantity AS INT) AS qty,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST() OVER w, 6) AS cd
+           -- scale-first rounds (q208 recipe): rank ratios are
+           -- decimal-reachable ties at scale 6
+           ROUND(1000000 * PERCENT_RANK() OVER w) / 1000000.0 AS pr,
+           ROUND(1000000 * CUME_DIST() OVER w) / 1000000.0 AS cd
     FROM lineitem
     WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
     ORDER BY l_returnflag, qty
@@ -140,8 +142,13 @@ def q241_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_returnflag",
             F.col("l_quantity").cast("int").alias("qty"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            # scale-first rounds: see the oracle comment
+            (F.round(1000000 * F.percent_rank().over(w)) / 1000000.0).alias(
+                "pr"
+            ),
+            (F.round(1000000 * F.cume_dist().over(w)) / 1000000.0).alias(
+                "cd"
+            ),
         )
         .distinct()
         .orderBy("l_returnflag", "qty")

@@ -180,9 +180,11 @@ _BM25_QUERIES = [
     ),
     scored AS (
         SELECT q.qid, p.doc_id,
-               ROUND(SUM(idf.idf * (p.tf * 2.2)
-                         / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avg_dl))),
-                     6) AS score
+               -- scale-first round (q208 recipe); idf is libm-bound,
+               -- see the bm25_topk docstring for the residual floor
+               ROUND(1000000 * SUM(idf.idf * (p.tf * 2.2)
+                         / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avg_dl))))
+                   / 1000000.0 AS score
         FROM postings p
         JOIN q ON q.term = p.term
         JOIN idf ON idf.term = p.term
@@ -321,8 +323,11 @@ _BANNER = "zig zag quux corge grault garply waldo fred plugh xyzzy thud wibble"
            CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
            CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(SUM(e0 - s0 + 1) / CAST(n_tokens AS DOUBLE), 6)
-               AS dup_fraction
+           -- scale-first round (q208 recipe): the count quotient can
+           -- tie on a 5e-7 decimal boundary that ROUND(x, 6)
+           -- resolves differently per engine
+           ROUND(1000000 * (SUM(e0 - s0 + 1) / CAST(n_tokens AS DOUBLE)))
+               / 1000000.0 AS dup_fraction
     FROM spans
     GROUP BY doc_id, n_tokens
     """,

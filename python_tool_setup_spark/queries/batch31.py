@@ -343,9 +343,10 @@ def q258_token_budget_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT * FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                         / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6)
-                       AS jaccard
+                   ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(a.sh, b.sh))
+                         AS DOUBLE)
+                         / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))))
+                       / 1000000.0 AS jaccard
             FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.5
     )

@@ -54,8 +54,9 @@ _KNN_K = 5  # neighbors voted
     SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
            CAST(COUNT(*) FILTER (WHERE plabel = qlabel) AS BIGINT)
                AS n_consistent,
-           ROUND(CAST(COUNT(*) FILTER (WHERE plabel = qlabel) AS DOUBLE)
-                 / COUNT(*), 4) AS consistency
+           -- scale-first round (q208 recipe): decimal-reachable ties
+           ROUND(10000 * (CAST(COUNT(*) FILTER (WHERE plabel = qlabel)
+                 AS DOUBLE) / COUNT(*))) / 10000.0 AS consistency
     FROM pred
     """,
     doc="kNN label consistency — the standard embedding-space sanity "
@@ -125,7 +126,10 @@ def q260_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
         agree.cast("bigint").alias("n_consistent"),
-        F.round(agree / F.count(F.lit(1)), 4).alias("consistency"),
+        # scale-first round: see the oracle comment
+        (F.round(10000 * (agree / F.count(F.lit(1)))) / 10000.0).alias(
+            "consistency"
+        ),
     )
 
 

@@ -196,8 +196,9 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM arrivals)
     )
     SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
-           ROUND(CAST(LEN(LIST_INTERSECT(n.sh, e.sh)) AS DOUBLE)
-                 / LEN(LIST_DISTINCT(LIST_CONCAT(n.sh, e.sh))), 6) AS jaccard
+           ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(n.sh, e.sh)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(n.sh, e.sh)))))
+               / 1000000.0 AS jaccard
     FROM sh_n n JOIN sh_e e ON TRUE
     WHERE CAST(LEN(LIST_INTERSECT(n.sh, e.sh)) AS DOUBLE)
           / LEN(LIST_DISTINCT(LIST_CONCAT(n.sh, e.sh))) >= 0.5

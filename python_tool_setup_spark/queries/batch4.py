@@ -198,8 +198,11 @@ def q128_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-           ROUND(AVG(value) OVER w, 6) AS avg_1h
-    FROM (SELECT event_id, user_id, value,
+           -- integer-cent AVG + scale-first round (q212/q208
+           -- recipes): exact window sums, engine-agreeing round
+           ROUND(10000 * AVG(cents) OVER w) / 1000000.0 AS avg_1h
+    FROM (SELECT event_id, user_id,
+                 CAST(ROUND(100 * value) AS BIGINT) AS cents,
                  epoch_ms(ts) AS ts_ms FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
@@ -214,7 +217,7 @@ def q129_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        "value",
+        F.round(100 * F.col("value")).cast("long").alias("cents"),
         F.unix_millis("ts").alias("ts_ms"),
     )
     w = (
@@ -225,5 +228,8 @@ def q129_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        # integer-cent AVG + scale-first: see the oracle comment
+        (F.round(10000 * F.avg("cents").over(w)) / 1000000.0).alias(
+            "avg_1h"
+        ),
     )

@@ -302,8 +302,10 @@ _Q135_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
     )
     SELECT * FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
-               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                     / LEAST(LEN(a.sh), LEN(b.sh)), 6) AS containment
+               ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(a.sh, b.sh))
+                     AS DOUBLE)
+                     / LEAST(LEN(a.sh), LEN(b.sh)))) / 1000000.0
+                   AS containment
         FROM shingled a JOIN shingled b
           ON a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE containment >= 0.9

@@ -698,13 +698,16 @@ def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND UNBOUNDED FOLLOWING)
     )
     SELECT event_id,
-           ROUND(CASE
+           -- scale-first round (q208 recipe): the interpolated value
+           -- is a 2-dec-by-rational product with decimal-reachable
+           -- ties that ROUND(x, 6) resolves differently per engine
+           ROUND(1000000 * (CASE
                WHEN v IS NOT NULL THEN v
                WHEN pv IS NULL THEN nv
                WHEN nv IS NULL THEN pv
                WHEN nt = pt THEN pv
                ELSE pv + (nv - pv) * (ts_s - pt) / (nt - pt)
-           END, 6) AS v_filled,
+           END)) / 1000000.0 AS v_filled,
            (v IS NULL) AS was_imputed
     FROM ctx
     """,
@@ -761,7 +764,8 @@ def q150_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ctx.select(
         "event_id",
-        F.round(filled, 6).alias("v_filled"),
+        # scale-first round: see the oracle comment
+        (F.round(1000000 * filled) / 1000000.0).alias("v_filled"),
         F.col("v").isNull().alias("was_imputed"),
     )
 

@@ -162,12 +162,13 @@ def q170_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(sentences) AS INT) AS n_sentences,
-           ROUND(CASE WHEN len(sentences) = 0 THEN 0.0 ELSE
+           -- scale-first round (q208 recipe): decimal-reachable ties
+           ROUND(10000 * (CASE WHEN len(sentences) = 0 THEN 0.0 ELSE
                list_sum(list_transform(sentences,
                    s -> CAST(len(list_filter(
                         string_split_regex(s, '\\s+'), t -> t <> ''))
                         AS DOUBLE)))
-               / len(sentences) END, 4) AS avg_sentence_tokens
+               / len(sentences) END)) / 10000.0 AS avg_sentence_tokens
     FROM segs
     """,
     doc="Sentence segmentation (the unit-of-text primitive under "
@@ -193,16 +194,20 @@ def q171_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size("sentences").alias("n_sentences"),
-        F.round(
-            F.when(F.size("sentences") == 0, F.lit(0.0)).otherwise(
-                F.aggregate(
-                    F.transform("sentences", tok_n),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+        # scale-first round: see the oracle comment
+        (
+            F.round(
+                10000
+                * F.when(F.size("sentences") == 0, F.lit(0.0)).otherwise(
+                    F.aggregate(
+                        F.transform("sentences", tok_n),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size("sentences")
                 )
-                / F.size("sentences")
-            ),
-            4,
+            )
+            / 10000.0
         ).alias("avg_sentence_tokens"),
     )
 

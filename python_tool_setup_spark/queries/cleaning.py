@@ -144,7 +144,9 @@ def q83_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
     )
     SELECT doc_id,
-           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_ngram_ratio,
+           -- scale-first round (q208 recipe): decimal-reachable ties
+           ROUND(1000000 * (CAST(MAX(c) AS DOUBLE) / SUM(c))) / 1000000.0
+               AS max_ngram_ratio,
            CAST(SUM(c) AS BIGINT) AS n_ngrams
     FROM per_gram GROUP BY doc_id
     """,

@@ -221,7 +221,9 @@ def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vocab
     )
     SELECT doc_id,
-           ROUND(AVG(-LN(p)), 6) AS xent,
+           -- scale-first round (q208 recipe); LN is libm-bound, see
+           -- the unigram_logprob docstring for the residual floor
+           ROUND(1000000 * AVG(-LN(p))) / 1000000.0 AS xent,
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM toks JOIN probs USING (tok)
     GROUP BY doc_id

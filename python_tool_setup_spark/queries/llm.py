@@ -107,13 +107,18 @@ def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LENGTH(text) AS INT) AS n_chars_calc,
            CAST(LEN(toks) AS INT)    AS n_tokens,
-           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
-                 / GREATEST(LEN(toks), 1), 4) AS avg_token_len,
-           ROUND(CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
-           ROUND(CAST(LEN(LIST_FILTER(toks, t -> t IN
+           -- scale-first rounds (q208 recipe): count quotients can
+           -- tie on 5e-5 decimal boundaries that ROUND(x, 4)
+           -- resolves differently per engine
+           ROUND(10000 * (CAST(LIST_SUM(LIST_TRANSFORM(toks,
+                 t -> LENGTH(t))) AS DOUBLE)
+                 / GREATEST(LEN(toks), 1))) / 10000.0 AS avg_token_len,
+           ROUND(10000 * (CAST(LEN(regexp_extract_all(text, '[^\\w\\s]'))
+                 AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1))) / 10000.0 AS punct_ratio,
+           ROUND(10000 * (CAST(LEN(LIST_FILTER(toks, t -> t IN
                  ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
-                 / GREATEST(LEN(toks), 1), 4) AS stopword_ratio
+                 / GREATEST(LEN(toks), 1))) / 10000.0 AS stopword_ratio
     FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
     """,
     doc="Text quality scoring (L4): per-doc char/token counts, mean token "
@@ -233,8 +238,10 @@ def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+               ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(a.sh, b.sh))
+                     AS DOUBLE)
+                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))))
+                   / 1000000.0 AS jaccard
         FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.5
     """,
@@ -333,8 +340,10 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
-               ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jaccard
+               ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(a.sh, b.sh))
+                     AS DOUBLE)
+                     / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh)))))
+                   / 1000000.0 AS jaccard
         FROM shingled a JOIN shingled b
           ON a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.02
@@ -673,16 +682,23 @@ def q102_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(list_dot_product(qv, c.vec)
                      / (SQRT(list_dot_product(qv, qv))
                         * SQRT(list_dot_product(c.vec, c.vec))), 6) AS cosine,
-               ROUND(CAST(LEN(LIST_INTERSECT(qtoks, c.toks)) AS DOUBLE)
+               -- scale-first round (q208 class): int/int ratio with
+               -- decimal-reachable scale-6 ties
+               ROUND(1000000 * (CAST(LEN(LIST_INTERSECT(qtoks, c.toks))
+                     AS DOUBLE)
                      / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(qtoks, c.toks))),
-                                1), 6) AS lexical
+                                1))) / 1000000.0 AS lexical
         FROM q CROSS JOIN docs c WHERE qid != c.doc_id
     )
     SELECT doc_id, neighbor_id, cosine, lexical, score, rank FROM (
         SELECT qid AS doc_id, cid AS neighbor_id, cosine, lexical,
-               ROUND(0.5 * cosine + 0.5 * lexical, 6) AS score,
+               -- scale-first: a 0.5/0.5 mix of two 6-dec values ties
+               -- EXACTLY whenever the 7th digit is 5 (q208 class)
+               ROUND(1000000 * (0.5 * cosine + 0.5 * lexical))
+                   / 1000000.0 AS score,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                    ORDER BY ROUND(0.5 * cosine + 0.5 * lexical, 6) DESC,
+                    ORDER BY ROUND(1000000 * (0.5 * cosine + 0.5 * lexical))
+                             / 1000000.0 DESC,
                              cid) AS INT) AS rank
         FROM s
     ) WHERE rank <= 3

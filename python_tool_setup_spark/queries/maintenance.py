@@ -278,8 +278,11 @@ def q89_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT SUM(key_rows) AS total, COUNT(*) AS nkeys FROM counts
     )
     SELECT user_id, CAST(key_rows AS BIGINT) AS key_rows,
-           ROUND(CAST(key_rows AS DOUBLE) / total, 6) AS row_share,
-           ROUND(key_rows / (CAST(total AS DOUBLE) / nkeys), 4) AS skew_factor
+           -- scale-first rounds (q208 recipe): decimal-reachable ties
+           ROUND(1000000 * (CAST(key_rows AS DOUBLE) / total))
+               / 1000000.0 AS row_share,
+           ROUND(10000 * (key_rows / (CAST(total AS DOUBLE) / nkeys)))
+               / 10000.0 AS skew_factor
     FROM counts, stats
     ORDER BY key_rows DESC, user_id
     LIMIT 10

@@ -153,10 +153,13 @@ def q70_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, COUNT(*) AS group_rows FROM documents GROUP BY lang
     )
     SELECT lang, group_rows,
-           ROUND(CAST(group_rows AS DOUBLE) / SUM(group_rows) OVER (), 6)
+           -- scale-first rounds (q208 recipe): decimal-reachable ties
+           ROUND(1000000 * (CAST(group_rows AS DOUBLE)
+                 / SUM(group_rows) OVER ())) / 1000000.0
                AS actual_share,
-           ROUND((1.0 / COUNT(*) OVER ())
-                 / (CAST(group_rows AS DOUBLE) / SUM(group_rows) OVER ()), 6)
+           ROUND(1000000 * ((1.0 / COUNT(*) OVER ())
+                 / (CAST(group_rows AS DOUBLE)
+                    / SUM(group_rows) OVER ()))) / 1000000.0
                AS weight
     FROM counts
     """,

@@ -101,7 +101,9 @@ def _rules() -> dict[str, F.Column]:
     f"""
     WITH wide AS (SELECT {_RULES_SQL} FROM lineitem)
     SELECT rule, violations, total AS total_rows,
-           ROUND(CAST(violations AS DOUBLE) / total, 6) AS violation_rate
+           -- scale-first round (q208 recipe): decimal-reachable ties
+           ROUND(1000000 * (CAST(violations AS DOUBLE) / total))
+               / 1000000.0 AS violation_rate
     FROM wide, LATERAL (VALUES
         ('qty_le_30', qty_le_30), ('disc_range', disc_range),
         ('ship_in_range', ship_in_range),
