@@ -20,4 +20,29 @@ Layout:
     queries       registry of runnable queries + DuckDB oracle SQL
 """
 
-__version__ = "0.1.0"
+def _resolve_version() -> str:
+    """Single-source the version: installed distribution metadata when
+    available, else the repo-root pyproject.toml (editable/source
+    checkouts). The Poetry packaging variant must agree with the root
+    pyproject — tests/test_version_consistency.py asserts all three."""
+    try:
+        from importlib.metadata import PackageNotFoundError, version
+
+        try:
+            return version("python-tool-setup-spark")
+        except PackageNotFoundError:
+            pass
+    except Exception:
+        pass
+    try:
+        import os
+        import tomllib
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "pyproject.toml"), "rb") as fh:
+            return tomllib.load(fh)["project"]["version"]
+    except Exception:
+        return "0+unknown"
+
+
+__version__ = _resolve_version()

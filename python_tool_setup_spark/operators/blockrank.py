@@ -65,7 +65,15 @@ Pin strategy: eager ``localCheckpoint`` by default (ContextCleaner
 reclaims it on GC — no CacheManager leak), which is NOT recomputable:
 executor loss / dynamic-allocation decommission fails the job. Set
 ``spark.python_tool_setup.blockrank.pin=persist`` on such clusters to
-use replicated disk persistence instead (see ``_pin``).
+use replicated disk persistence instead — BUT note that persist is
+recomputable BY DESIGN, so a pin whose purpose is to freeze
+nondeterministic rows (rand()/sample/range-exchange sampling) cannot
+safely use it: those pins upgrade to a RELIABLE checkpoint when a
+checkpoint dir is configured, else warn and keep localCheckpoint
+(fails loudly instead of silently corrupting prefixes — see
+:func:`pin`). Persisted pins are tracked; call :func:`release_pins`
+after materializing results to free the CacheManager across chained
+calls.
 
 Exactness: sums here are over integers (the repo's engine-exact
 posture quantizes before summing), so regrouping the addition is
@@ -82,6 +90,8 @@ caller plausibly owns).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -197,6 +207,24 @@ def _is_persisted(df: DataFrame) -> bool:
         return False
 
 
+def _plan_text(df: DataFrame) -> str | None:
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+
+
+def _has_nondeterminism(df: DataFrame) -> bool:
+    """True when the analyzed plan contains a nondeterministic
+    expression (or can't be inspected): re-executing such a plan can
+    yield DIFFERENT rows, so its pin must be non-recomputable."""
+    plan = _plan_text(df)
+    if plan is None:
+        return True
+    lowered = plan.lower()
+    return any(tok in lowered for tok in _NONDETERMINISTIC_TOKENS)
+
+
 def _is_trivial(df: DataFrame) -> bool:
     """True when every node of the analyzed plan is a deterministic,
     cheap-to-re-execute scan/filter/project shape AND no expression in
@@ -205,9 +233,8 @@ def _is_trivial(df: DataFrame) -> bool:
     plan, unknown node) returns False so the caller pins — wrong
     answer in that direction only costs one materialization, never
     correctness."""
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
+    plan = _plan_text(df)
+    if plan is None:
         return False
     lowered = plan.lower()
     if any(tok in lowered for tok in _NONDETERMINISTIC_TOKENS):
@@ -224,7 +251,15 @@ def _is_trivial(df: DataFrame) -> bool:
     return True
 
 
-def _pin(df: DataFrame) -> DataFrame:
+# DataFrames pinned via persist mode, awaiting release_pins(). (local
+# checkpoints need no tracking: the ContextCleaner reclaims them on GC.)
+_PERSISTED_PINS: list[DataFrame] = []
+
+_PIN_CONF = "spark.python_tool_setup.blockrank.pin"
+_PIN_MODES = ("localCheckpoint", "persist")
+
+
+def pin(df: DataFrame, nondeterministic: bool = False) -> DataFrame:
     """Materialize ONCE and truncate lineage.
 
     Default strategy — RDD-backed eager ``localCheckpoint``: storage
@@ -236,23 +271,79 @@ def _pin(df: DataFrame) -> DataFrame:
     documented Spark restriction). On clusters with dynamic allocation
     or preemptible executors set
     ``spark.python_tool_setup.blockrank.pin=persist`` to use replicated
-    disk persistence instead (recomputable and executor-loss-tolerant,
-    at the cost of living in the CacheManager until unpersist/GC of
-    the session)."""
+    disk persistence instead (executor-loss-tolerant, tracked for
+    :func:`release_pins`).
+
+    ``nondeterministic=True`` declares that the pin exists to FREEZE a
+    plan whose re-execution can yield different rows (rand()/sample/
+    range-exchange sampling). Persist cannot honor that contract —
+    it is recomputable by design, so a 2-replica loss silently
+    re-derives DIFFERENT rows — therefore such pins upgrade to a
+    RELIABLE checkpoint when ``sparkContext.setCheckpointDir`` has
+    been called (recomputation-free AND loss-tolerant), else warn and
+    keep localCheckpoint: failing loudly on executor loss beats
+    silently corrupting prefixes.
+
+    Any value of the conf other than ``localCheckpoint``/``persist``
+    raises (a typo must not silently defeat the operator on the very
+    clusters that set it)."""
     mode = "localCheckpoint"
     try:
-        mode = df.sparkSession.conf.get(
-            "spark.python_tool_setup.blockrank.pin", "localCheckpoint"
-        )
+        mode = df.sparkSession.conf.get(_PIN_CONF, "localCheckpoint")
     except Exception:
         pass
+    if mode not in _PIN_MODES:
+        raise ValueError(
+            f"{_PIN_CONF}={mode!r}: expected one of {_PIN_MODES} "
+            "(case-sensitive)"
+        )
     if mode == "persist":
+        if nondeterministic:
+            ckpt_dir = None
+            try:
+                ckpt_dir = df.sparkSession.sparkContext.getCheckpointDir()
+            except Exception:
+                pass
+            if ckpt_dir:
+                return df.checkpoint(eager=True)
+            warnings.warn(
+                f"{_PIN_CONF}=persist requested, but this pin freezes a "
+                "NONDETERMINISTIC plan and persist is recomputable "
+                "(block loss would silently re-derive different rows); "
+                "no checkpoint dir is set, falling back to "
+                "localCheckpoint (fails loudly on executor loss). Call "
+                "sparkContext.setCheckpointDir() to get a reliable, "
+                "loss-tolerant pin instead.",
+                stacklevel=2,
+            )
+            return df.localCheckpoint(eager=True)
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.DISK_ONLY_2)
         out.count()  # eager, like localCheckpoint(eager=True)
+        _PERSISTED_PINS.append(out)
         return out
     return df.localCheckpoint(eager=True)
+
+
+def release_pins() -> int:
+    """Unpersist every persist-mode pin created so far and return how
+    many were released. Call after the downstream result is
+    materialized (e.g. between chained prefix_agg gates) so persist
+    mode doesn't grow the CacheManager across a long sweep."""
+    n = 0
+    while _PERSISTED_PINS:
+        df = _PERSISTED_PINS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+# Backwards-compatible internal alias (pre-round-8 name).
+_pin = pin
 
 
 def prefix_agg(
@@ -297,7 +388,7 @@ def prefix_agg(
         # join-back) — pin it once. The pinned-range path below reads
         # it exactly ONCE into the checkpointed blocked layout, so
         # pinning there would be a pure second materialization.
-        df = _pin(df)
+        df = pin(df, nondeterministic=_has_nondeterminism(df))
     if proxy is not None:
         # Deterministic width buckets: _blk is a pure expression of
         # the row against a broadcast min/max — immune to exchange
@@ -349,14 +440,17 @@ def prefix_agg(
         )
     else:
         # Pinned range layout: equal-count blocks from the sampled
-        # range exchange, pinned (eager localCheckpoint) because the
-        # sampling is NOT stable across physical executions (and
-        # exchange reuse has been observed to miss intermittently
-        # under AQE, silently corrupting the prefixes).
-        blocked = _pin(
+        # range exchange, pinned because the sampling is NOT stable
+        # across physical executions (and exchange reuse has been
+        # observed to miss intermittently under AQE, silently
+        # corrupting the prefixes) — i.e. this pin is ALWAYS
+        # nondeterminism-triggered, so persist mode is never allowed
+        # to serve it (see pin()).
+        blocked = pin(
             df.repartitionByRange(n_blocks, *sort).withColumn(
                 "_blk", F.spark_partition_id()
-            )
+            ),
+            nondeterministic=True,
         )
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]

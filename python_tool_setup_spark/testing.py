@@ -57,9 +57,52 @@ def banned_final_columns(sdf) -> list[str]:
     ]
 
 
+def _spark_temporal_kind(simple: str) -> str | None:
+    """'date' / 'timestamp' / None from a Spark simpleString type."""
+    if simple == "date":
+        return "date"
+    if simple.startswith("timestamp"):
+        return "timestamp"
+    return None
+
+
+def _oracle_temporal_kind(typ: str) -> str | None:
+    """'date' / 'timestamp' / None from a DuckDB DESCRIBE type name."""
+    up = typ.upper()
+    if up.startswith("TIMESTAMP"):
+        return "timestamp"
+    if up.startswith("DATE"):
+        return "date"
+    return None
+
+
+def mixed_temporal_columns(sdf, con, oracle_sql: str) -> list[str]:
+    """Final columns that are DATE on one engine but TIMESTAMP on the
+    other. ``cell()`` deliberately collapses midnight timestamps to
+    date strings (a representation normalization), which would MASK
+    this cross-engine type drift even though the driver's verbatim
+    hash can diverge on it — the same masking pattern round 7 removed
+    for decimals, so it gets the same lint treatment."""
+    spark_kinds = {
+        f.name: _spark_temporal_kind(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    mixed = []
+    for col, typ, *_ in desc:
+        ok = _oracle_temporal_kind(typ)
+        sk = spark_kinds.get(col)
+        if ok and sk and ok != sk:
+            mixed.append(f"{col} (spark={sk}, oracle={ok})")
+    return mixed
+
+
 def cell(v) -> str:
     """Stringify one pandas cell the way the driver's value hash sees
-    it: verbatim, except temporal representation normalization."""
+    it: verbatim, except temporal representation normalization. The
+    midnight-timestamp collapse is safe ONLY because compare_query
+    separately lints that no final column is DATE on one engine and
+    TIMESTAMP on the other (mixed_temporal_columns)."""
     if isinstance(v, datetime.datetime):
         if v.hour == v.minute == v.second == v.microsecond == 0 and (
             getattr(v, "nanosecond", 0) == 0
@@ -99,6 +142,13 @@ def compare_query(spark, con, query, sf_dir: str) -> str | None:
         return (
             f"schema mismatch: {sorted(spdf.columns)} != "
             f"{sorted(opdf.columns)}"
+        )
+    mixed = mixed_temporal_columns(sdf, con, query.oracle)
+    if mixed:
+        return (
+            f"mixed DATE-vs-TIMESTAMP final columns across engines: "
+            f"{mixed} (masked by cell()'s midnight collapse but "
+            "hash-divergent on the driver)"
         )
     if len(spdf) != len(opdf):
         return f"rowcount mismatch: spark={len(spdf)} oracle={len(opdf)}"

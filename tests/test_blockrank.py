@@ -274,8 +274,10 @@ def test_persisted_input_never_repinned(spark, monkeypatch):
     import python_tool_setup_spark.operators.blockrank as br
 
     calls = []
-    real_pin = br._pin
-    monkeypatch.setattr(br, "_pin", lambda df: calls.append(1) or real_pin(df))
+    real_pin = br.pin
+    monkeypatch.setattr(
+        br, "pin", lambda df, **kw: calls.append(1) or real_pin(df, **kw)
+    )
     df = (
         spark.range(300)
         .select("id", (F.col("id") * 37 % 101).alias("v"))
@@ -314,6 +316,110 @@ def test_pin_strategy_persist_conf(spark):
         w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
         want = df.withColumn("p", F.coalesce(F.sum("s").over(w), F.lit(0)))
         assert sorted(got.collect()) == sorted(want.collect())
+    finally:
+        spark.conf.unset(key)
+        spark.catalog.clearCache()
+
+
+def test_pin_conf_validation(spark):
+    """ADVICE r7 (low): a typo'd pin mode must raise, not silently
+    fall back to localCheckpoint on the very clusters that set it."""
+    import pytest
+
+    import python_tool_setup_spark.operators.blockrank as br
+
+    key = "spark.python_tool_setup.blockrank.pin"
+    for bad in ("Persist", "PERSIST", "chekpoint"):
+        spark.conf.set(key, bad)
+        try:
+            with pytest.raises(ValueError, match="blockrank.pin"):
+                br.pin(spark.range(3))
+        finally:
+            spark.conf.unset(key)
+
+
+def test_persist_mode_refuses_nondeterministic_pin(spark):
+    """ADVICE r7 (medium): persist is recomputable BY DESIGN, so a pin
+    that exists to freeze nondeterministic rows must not be served by
+    it — without a checkpoint dir it must warn and localCheckpoint
+    (nothing in the CacheManager), with one it must take a reliable
+    checkpoint (recomputation-free AND loss-tolerant)."""
+    import os
+    import warnings as w
+
+    import python_tool_setup_spark.operators.blockrank as br
+
+    key = "spark.python_tool_setup.blockrank.pin"
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcm.isEmpty()
+    spark.conf.set(key, "persist")
+    try:
+        nondet = spark.range(200).select("id", F.rand(1).alias("x"))
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            out = br.pin(nondet, nondeterministic=True)
+        assert out.count() == 200
+        assert any("recomputable" in str(c.message) for c in caught), (
+            "no warning on persist-mode nondeterministic pin"
+        )
+        if was_empty:
+            assert jcm.isEmpty(), "nondeterministic pin landed in CacheManager"
+
+        # Deterministic pin under the same conf: no warning, persisted,
+        # tracked, released by release_pins().
+        det = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            pinned = br.pin(det)
+        assert not caught
+        assert pinned.storageLevel.useDisk
+        assert br.release_pins() >= 1
+        assert not pinned.storageLevel.useDisk
+
+        # With a checkpoint dir: reliable checkpoint, silent, no cache.
+        ckpt = "/tmp/blockrank_ckpt_test"
+        spark.sparkContext.setCheckpointDir(ckpt)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            out2 = br.pin(nondet, nondeterministic=True)
+        assert out2.count() == 200
+        assert not caught, "reliable checkpoint path should not warn"
+        assert any(os.scandir(ckpt)), "no checkpoint files written"
+        if was_empty:
+            assert jcm.isEmpty()
+    finally:
+        spark.conf.unset(key)
+        spark.catalog.clearCache()
+
+
+def test_pinned_range_path_never_persists_under_persist_conf(spark):
+    """The range-exchange pin is ALWAYS nondeterminism-triggered (the
+    sampling is unstable across executions), so persist mode must not
+    serve it even when configured."""
+    import warnings as w
+
+    import python_tool_setup_spark.operators.blockrank as br
+
+    key = "spark.python_tool_setup.blockrank.pin"
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcm.isEmpty()
+    spark.conf.set(key, "persist")
+    try:
+        df = spark.createDataFrame(
+            [(str(i % 9), i) for i in range(500)], "g string, v long"
+        )
+        with w.catch_warnings(record=True):
+            w.simplefilter("always")
+            out = br.prefix_agg(
+                df, [("g", "asc"), ("v", "asc")], {"p": ("count", None)}
+            )
+            n = out.count()
+        assert n == 500
+        # the INPUT pin may persist (deterministic local rows are
+        # trivial -> no pin at all here); the range-layout pin must not
+        br.release_pins()
+        if was_empty:
+            assert jcm.isEmpty(), "range-layout pin leaked into CacheManager"
     finally:
         spark.conf.unset(key)
         spark.catalog.clearCache()

@@ -101,3 +101,33 @@ def test_cell_keeps_numeric_types_distinct():
         cell(pd.Timestamp("1997-01-01 12:30:00"))
         == "1997-01-01 12:30:00"
     )
+
+
+def test_mixed_date_vs_timestamp_final_fails_mimic(spark, sf_dir):
+    """ADVICE r7 (low): cell() collapses midnight timestamps to date
+    strings, which would MASK a final column that is DATE on one
+    engine but TIMESTAMP on the other — the exact masking pattern r7
+    removed for decimals. compare_query must flag the mixed pair even
+    when every value is midnight (byte-identical after cell())."""
+    from python_tool_setup_spark.queries import Query
+    from python_tool_setup_spark.testing import compare_query, oracle_connection
+
+    q = Query(
+        name="mixed_temporal_probe",
+        spark_fn=lambda s, _: s.sql("SELECT DATE'1997-01-01' AS d"),
+        oracle="SELECT TIMESTAMP '1997-01-01 00:00:00' AS d",
+    )
+    con = oracle_connection(sf_dir)
+    try:
+        mismatch = compare_query(spark, con, q, sf_dir)
+        assert mismatch is not None and "DATE-vs-TIMESTAMP" in mismatch
+
+        # agreeing temporal kinds still pass
+        ok = Query(
+            name="agreeing_temporal_probe",
+            spark_fn=lambda s, _: s.sql("SELECT DATE'1997-01-01' AS d"),
+            oracle="SELECT DATE '1997-01-01' AS d",
+        )
+        assert compare_query(spark, con, ok, sf_dir) is None
+    finally:
+        con.close()
