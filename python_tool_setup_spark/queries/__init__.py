@@ -356,11 +356,23 @@ def all_queries() -> dict[str, Query]:
         "q216_", "q218_", "q249_", "q212_", "q64_", "q208_", "q210_",
         "q285_", "q158_", "q211_", "q214_", "q189_", "q255_", "q264_",
         "q02_", "q45_", "q19_", "q234_", "q250_", "q143_", "q75_",
+        # round-8 knife-edge-audit conversions: the 28 raw money-sum
+        # gates whose worst-case any-order bound failed at the bench SF
+        # (tools/knife_edge_audit.py) — all now integer cents; each
+        # needs an official green row on the converted math
+        "q05_", "q09_", "q106_", "q11_", "q127_", "q130_", "q131_",
+        "q134_", "q145_", "q155_", "q174_", "q193_", "q195_", "q198_",
+        "q224_", "q227_", "q228_", "q230_", "q235_", "q245_", "q267_",
+        "q29_", "q30_", "q58_", "q61_", "q62_", "q63_",
     )
+    # Ordered by prefix position (oldest unverified math first), not
+    # registration order, so earlier-round conversions outrank newer
+    # ones when the tier exceeds the 50-gate sample window.
     resample = {
-        k: v
-        for k, v in _REGISTRY.items()
-        if k.startswith(_RESAMPLE_R8) and k not in stale_fail
+        k: _REGISTRY[k]
+        for p in _RESAMPLE_R8
+        for k in _REGISTRY
+        if k.startswith(p) and k not in stale_fail
     }
     green = {
         k: v

@@ -164,7 +164,8 @@ def q192_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price,
            TRUE AS aqe_broadcast_applied,
            TRUE AS aqe_coalesced_partitions
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -194,7 +195,7 @@ def q193_aqe_runtime_replan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("total_price"),
         )
     )
     # One probe execution yields the final adaptive plan; the main
@@ -274,7 +275,8 @@ def q194_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total_price,
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price,
            TRUE AS partition_pruned,
            TRUE AS fewer_files_read
     FROM orders
@@ -326,7 +328,7 @@ def q195_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert fewer, f"layout not prunable: {n_target} of {n_all} files"
     return filtered.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total_price"),
         F.lit(pruned).alias("partition_pruned"),
         F.lit(fewer).alias("fewer_files_read"),
     )

@@ -173,15 +173,20 @@ def q197_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q198_exchange_reuse",
     """
     WITH agg AS (
-        SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS total
+        -- integer cents (q212 recipe, knife_edge_audit): the nested
+        -- double-sum tree is the order-dependent class; cent partials
+        -- keep both levels exact in any order
+        SELECT o_custkey, COUNT(*) AS n,
+               SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS total_c
         FROM orders GROUP BY o_custkey
     )
     SELECT 'high' AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           ROUND(SUM(total), 2) AS revenue
+           ROUND(CAST(SUM(total_c) AS DOUBLE) / 100, 2) AS revenue
     FROM agg WHERE n >= 12
     UNION ALL
-    SELECT 'low', CAST(COUNT(*) AS BIGINT), ROUND(SUM(total), 2)
+    SELECT 'low', CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(total_c) AS DOUBLE) / 100, 2)
     FROM agg WHERE n < 12
     """,
     doc="Exchange reuse (ReusedExchange): one aggregated CTE consumed "
@@ -196,17 +201,21 @@ def q197_cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q198_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        F.count(F.lit(1)).alias("n"),
+        # integer cents: see the oracle comment
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).alias(
+            "total_c"
+        ),
     )
     high = agg.filter(F.col("n") >= 12).agg(
         F.lit("high").alias("bucket"),
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
-        F.round(F.sum("total"), 2).alias("revenue"),
+        F.round(F.sum("total_c").cast("double") / 100, 2).alias("revenue"),
     )
     low = agg.filter(F.col("n") < 12).agg(
         F.lit("low").alias("bucket"),
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
-        F.round(F.sum("total"), 2).alias("revenue"),
+        F.round(F.sum("total_c").cast("double") / 100, 2).alias("revenue"),
     )
     out = high.unionByName(low)
     out.collect()

@@ -30,7 +30,8 @@ _DPP_STAGED: dict[str, str] = {}
     """
     WITH mx AS (SELECT MAX(YEAR(l_shipdate)) AS y FROM lineitem)
     SELECT CAST((SELECT y FROM mx) AS INT) AS l_year,
-           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS revenue,
            TRUE AS dpp_engaged
     FROM lineitem WHERE YEAR(l_shipdate) = (SELECT y FROM mx)
     """,
@@ -80,7 +81,7 @@ def q224_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     assert dpp, f"dynamic partition pruning did not engage: {plan[:400]}"
     return (
         joined.groupBy("l_year")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("revenue"))
         .select("l_year", "revenue", F.lit(dpp).alias("dpp_engaged"))
     )
 

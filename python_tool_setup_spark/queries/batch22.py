@@ -81,7 +81,8 @@ def q226_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     WHERE o_totalprice > 300000
     GROUP BY o_orderpriority
@@ -102,7 +103,8 @@ def q227_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SET VAR stmt =
            'SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(SUM(o_totalprice), 2) AS total
+                   ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
             FROM orders WHERE o_totalprice > ?
             GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
     )

@@ -46,7 +46,8 @@ _SKEW_CONFS = {
     ),
     d AS (SELECT s_suppkey % 1000 AS k FROM supplier)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            TRUE AS skew_split_applied
     FROM l JOIN d USING (k)
     """,
@@ -104,7 +105,7 @@ def q228_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(c, v)
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("total"),
     ).select("n", "total", F.lit(skewed).alias("skew_split_applied"))
 
 

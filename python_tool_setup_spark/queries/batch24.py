@@ -27,7 +27,8 @@ from python_tool_setup_spark.tables import load_table
     "q230_global_sorted_write",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            TRUE AS ranges_disjoint
     FROM orders
     """,
@@ -76,7 +77,7 @@ def q230_global_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(staged)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .select("n_rows", "total", F.lit(disjoint).alias("ranges_disjoint"))
     )

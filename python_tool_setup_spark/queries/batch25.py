@@ -81,7 +81,8 @@ def q234_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            TRUE AS all_hints_honored
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -124,7 +125,7 @@ def q235_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .select(
             "o_orderpriority", "n", "total",

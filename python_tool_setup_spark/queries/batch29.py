@@ -107,7 +107,8 @@ def q244_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_v2 AS (SELECT c_custkey, c_mktsegment FROM customer)
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            CAST((SELECT COUNT(*) FROM f JOIN dim_v1
                  ON o_custkey = c_custkey) AS BIGINT) AS matched_first_pass,
            CAST((SELECT COUNT(*) FROM f WHERE o_custkey IN
@@ -159,7 +160,7 @@ def q245_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .select(
             "c_mktsegment",

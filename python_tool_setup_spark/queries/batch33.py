@@ -348,7 +348,8 @@ def q266_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders WHERE o_orderkey % 11 = 0
     GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -385,7 +386,7 @@ def q267_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .orderBy("status")
     )

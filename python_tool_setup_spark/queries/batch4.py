@@ -68,20 +68,25 @@ def q126_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q127_cogrouped_pandas",
     """
     WITH o AS (
+        -- integer cents (q212 recipe, knife_edge_audit): raw money
+        -- sums are the order-dependent class even per key
         SELECT o_custkey AS key, COUNT(*) AS n_orders,
-               SUM(o_totalprice) AS total_price
+               SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                   AS total_price_c
         FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
     ),
     e AS (
         SELECT user_id AS key, COUNT(*) AS n_events,
-               SUM(value) AS total_value
+               SUM(CAST(ROUND(100 * value) AS BIGINT)) AS total_value_c
         FROM events WHERE user_id < 300 GROUP BY user_id
     )
     SELECT COALESCE(o.key, e.key) AS key,
            CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
            CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
-           ROUND(COALESCE(o.total_price, 0.0), 2) AS total_price,
-           ROUND(COALESCE(e.total_value, 0.0), 2) AS total_value
+           ROUND(CAST(COALESCE(o.total_price_c, 0) AS DOUBLE) / 100, 2)
+               AS total_price,
+           ROUND(CAST(COALESCE(e.total_value_c, 0) AS DOUBLE) / 100, 2)
+               AS total_value
     FROM o FULL OUTER JOIN e ON o.key = e.key
     """,
     doc="Two-sided cogrouped pandas aggregation (the "
@@ -110,13 +115,18 @@ def q127_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(ol: pd.DataFrame, ev: pd.DataFrame) -> pd.DataFrame:
         key = ol["key"].iloc[0] if len(ol) else ev["key"].iloc[0]
+        # integer cents: mirror the oracle's exact arithmetic (row-local
+        # 100*x doubles are bit-identical across engines; the int64 sum
+        # is order-free)
+        pc = int((100.0 * ol["o_totalprice"]).round().astype("int64").sum())
+        vc = int((100.0 * ev["value"]).round().astype("int64").sum())
         return pd.DataFrame(
             {
                 "key": [key],
                 "n_orders": [len(ol)],
                 "n_events": [len(ev)],
-                "total_price": [round(float(ol["o_totalprice"].sum()), 2)],
-                "total_value": [round(float(ev["value"].sum()), 2)],
+                "total_price": [round(pc / 100.0, 2)],
+                "total_value": [round(vc / 100.0, 2)],
             }
         )
 

@@ -87,7 +87,8 @@ def q130_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HINT_AGG_SQL = """
     SELECT n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(100 * o.o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -126,7 +127,7 @@ def q131_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total_price"),
             )
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -231,7 +232,8 @@ def q133_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(l_extendedprice), 2) AS revenue
+               ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS revenue
         FROM lineitem GROUP BY l_returnflag
     ),
     m AS (
@@ -262,7 +264,7 @@ def q134_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = observed.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("revenue"),
     )
     rows = agg.collect()  # one action: fills the result AND the metrics
     m = obs.get

@@ -444,7 +444,8 @@ _DV_BASE: dict[str, str] = {}
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_live,
-           ROUND(SUM(l_extendedprice), 2) AS live_price,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS live_price,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
             WHERE l_quantity > 45) AS n_deleted
     FROM live
@@ -481,7 +482,7 @@ def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = read_with_deletion_vector(spark, base + "/t", dv_read)
     return live.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_live"),
-        F.round(F.sum("l_extendedprice"), 2).alias("live_price"),
+        F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("live_price"),
     ).select(
         "l_returnflag",
         "n_live",

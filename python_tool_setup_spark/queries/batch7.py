@@ -168,7 +168,8 @@ def q154_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price
     FROM hot JOIN dim USING (join_key)
     GROUP BY o_orderpriority
     """,
@@ -202,7 +203,7 @@ def q155_auto_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(fact, dim, ["join_key"], auto=True)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("total_price"),
     )
 
 

@@ -345,7 +345,8 @@ def q173_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
                 AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), (o_orderpriority), ())
@@ -374,7 +375,7 @@ def q174_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

@@ -22,7 +22,8 @@ from python_tool_setup_spark.staging import staging_dir
 @register(
     "q29_ingest_batch_roundtrip",
     """
-    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -45,7 +46,7 @@ def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -56,7 +57,8 @@ def q29_ingest_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -85,7 +87,7 @@ def q58_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
         )
     )
 
@@ -178,7 +180,8 @@ def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROUND(o_totalprice + 1000, 2) AS o_totalprice
                FROM orders WHERE o_orderkey % 2 = 0)
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM (
         SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
                ROUND(COALESCE(s.o_totalprice, t.o_totalprice), 2) AS o_totalprice
@@ -486,7 +489,8 @@ def q101_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_python_datasink",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders WHERE o_orderkey % 7 = 0
     GROUP BY o_orderstatus
     """,
@@ -515,7 +519,7 @@ def q106_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
     )
 
 

@@ -37,7 +37,8 @@ _BUCKETED_TGT: dict[str, str] = {}
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -66,7 +67,7 @@ def q61_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.round(100 * F.col("l_extendedprice")).cast("long")).cast("double") / 100, 2).alias("total_price"),
         )
     )
 
@@ -75,7 +76,8 @@ def q61_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_zorder_cluster",
     """
     SELECT COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            COUNT(DISTINCT o_custkey) AS n_custs
     FROM orders
     WHERE o_custkey BETWEEN 1000 AND 2000
@@ -94,7 +96,7 @@ def q62_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey").between(1000, 2000))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
@@ -105,7 +107,8 @@ def q62_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -123,7 +126,7 @@ def q63_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, cust, ["custkey"], salt_buckets=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
     )
 
 

@@ -232,7 +232,8 @@ def q04_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            COUNT(o_orderkey)                          AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2)   AS total_spent
+           ROUND(CAST(COALESCE(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)),
+                 0) AS DOUBLE) / 100, 2)   AS total_spent
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
@@ -247,7 +248,7 @@ def q05_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            F.round(F.coalesce(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")), F.lit(0)).cast("double") / 100, 2).alias(
                 "total_spent"
             ),
         )
@@ -330,7 +331,8 @@ def q08_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -342,7 +344,7 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(100 * F.col("o_totalprice")).cast("long")).cast("double") / 100, 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -375,7 +377,8 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -387,7 +390,8 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS total
+               ROUND(CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

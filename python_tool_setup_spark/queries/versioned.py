@@ -115,7 +115,8 @@ def q74_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q75_incremental_agg",
     """
     SELECT l_returnflag, COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS revenue,
            -- scale-first round (q208 recipe): the quantity AVG is an
            -- exact-integer-sum quotient, bit-identical across
            -- engines, but ROUND(x, 6) resolves its decimal ties
@@ -135,9 +136,14 @@ def q75_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def partials(df: DataFrame) -> DataFrame:
+        # integer-cent partials (q212 recipe, knife_edge_audit): exact
+        # partials are also the better mergeable-state design — the
+        # merged sum is bit-identical no matter how increments arrive
         return df.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("l_extendedprice").alias("sum_price"),
+            F.sum(
+                F.round(100 * F.col("l_extendedprice")).cast("long")
+            ).alias("sum_price"),
             F.sum("l_quantity").alias("sum_qty"),
         )
 
@@ -157,7 +163,7 @@ def q75_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "l_returnflag",
         "n",
-        F.round("sp", 2).alias("revenue"),
+        F.round(F.col("sp").cast("double") / 100, 2).alias("revenue"),
         # scale-first round: see the oracle comment
         (F.round(1000000 * (F.col("sq") / F.col("n"))) / 1000000.0).alias(
             "avg_qty"
