@@ -285,9 +285,13 @@ def temperature_resample(
     top = counts.agg(F.max(F.pow("_n", F.lit(exponent))).alias("_pmax"))
     probs = counts.crossJoin(F.broadcast(top)).select(
         group_col,
-        F.round(F.pow("_n", F.lit(exponent)) / F.col("_pmax"), 6).alias(
-            "keep_p"
-        ),
+        # scale-first round (q208 recipe): the rounded p is also the
+        # acceptance threshold, so a per-engine ROUND tie would change
+        # WHICH ROWS survive, not just a display digit
+        (
+            F.round(1000000 * (F.pow("_n", F.lit(exponent)) / F.col("_pmax")))
+            / 1000000.0
+        ).alias("keep_p"),
     )
     return df.join(F.broadcast(probs), group_col).filter(
         hash_bucket(key_col) < F.col("keep_p") * HASH_MOD

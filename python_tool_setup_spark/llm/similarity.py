@@ -617,5 +617,8 @@ def quantize_int8(
         F.array_join(
             F.transform(quant, lambda q: q.cast("string")), "|"
         ).alias("quant"),
-        F.round(mse, 9).alias("mse"),
+        # scale-first round (q208 recipe): ROUND(x, 9) of a computed
+        # double resolves near-midpoint values differently per engine
+        # even when x is bit-identical; the scale-0 round agrees
+        (F.round(1000000000 * mse) / 1000000000.0).alias("mse"),
     )

@@ -83,6 +83,7 @@ def outlier_zscore(
     value_col: str,
     group_cols=(),
     threshold: float = 3.0,
+    quantum: float | None = None,
 ) -> DataFrame:
     """Flag rows whose value is more than ``threshold`` sample standard
     deviations from its group mean.
@@ -90,22 +91,62 @@ def outlier_zscore(
     Group moments come from ONE aggregate (count/mean/stddev — all
     mergeable, map-side combined) broadcast back onto the rows, so the
     big side is scanned once and never shuffled: the statistical
-    sibling of the rule-based ``expectation_report``. The z column is
-    rounded so the flag is engine-stable."""
+    sibling of the rule-based ``expectation_report``.
+
+    ``quantum`` (e.g. 0.01 for 2-decimal money) switches the moments to
+    EXACT integer arithmetic: per-row micro-units, an int64 sum and a
+    DECIMAL(38) square-sum — both order-free — so mu/sigma/z are
+    bit-identical under any partitioning or re-aggregation order
+    (float moments drift by summation order, and a z within ulps of a
+    .00005 midpoint then rounds differently per plan — the q208/q212
+    knife-edge classes). The z column takes the scale-first round
+    either way so the flag is engine-stable."""
     keys = list(group_cols)
-    stats = df.groupBy(*keys).agg(
-        F.avg(value_col).alias("__mu"),
-        F.stddev(value_col).alias("__sigma"),
-    )
+    if quantum is not None:
+        inv = round(1.0 / quantum)
+        c = F.round(inv * F.col(value_col)).cast("long")
+        stats = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(c).alias("__sc"),
+            F.sum(c.cast("decimal(38,0)") * c).alias("__sc2"),
+        )
+        mu = F.col("__sc").cast("double") / (float(inv) * F.col("__n"))
+        num = (
+            F.col("__n").cast("decimal(38,0)") * F.col("__sc2")
+            - F.col("__sc").cast("decimal(38,0)") * F.col("__sc")
+        ).cast("double")
+        sigma = F.sqrt(
+            num
+            / (
+                F.col("__n").cast("double")
+                * (F.col("__n") - 1)
+                * float(inv * inv)
+            )
+        )
+        stats = stats.select(
+            *keys, mu.alias("__mu"), sigma.alias("__sigma")
+        )
+    else:
+        stats = df.groupBy(*keys).agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev(value_col).alias("__sigma"),
+        )
     joined = (
         df.join(F.broadcast(stats), keys)
         if keys
         else df.crossJoin(F.broadcast(stats))
     )
-    z = F.round(
-        (F.col(value_col) - F.col("__mu"))
-        / F.when(F.col("__sigma") > 0, F.col("__sigma")),
-        4,
+    # scale-first round (q208 recipe): ROUND(x, 4) of a computed
+    # quotient resolves near-midpoint doubles differently per engine.
+    z = (
+        F.round(
+            10000
+            * (
+                (F.col(value_col) - F.col("__mu"))
+                / F.when(F.col("__sigma") > 0, F.col("__sigma"))
+            )
+        )
+        / 10000.0
     )
     return (
         joined.withColumn("z", z)

@@ -362,7 +362,10 @@ def q120_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probs AS (
         SELECT lang,
-               ROUND(pow(n, -0.5) / MAX(pow(n, -0.5)) OVER (), 6) AS keep_p
+               -- scale-first round (q208 recipe): keep_p is also the
+               -- acceptance threshold, so a ROUND tie changes rows
+               ROUND(1000000 * (pow(n, -0.5)
+                     / MAX(pow(n, -0.5)) OVER ())) / 1000000.0 AS keep_p
         FROM counts
     )
     SELECT d.lang,

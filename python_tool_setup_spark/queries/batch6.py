@@ -192,14 +192,59 @@ if _has_protobuf():  # pragma: no cover
 @register(
     "q140_grouped_statistics",
     """
-    SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr,
-           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS price_qty_cov,
-           ROUND(stddev_pop(l_discount), 6) AS discount_sd,
-           ROUND(covar_pop(l_quantity, l_extendedprice)
-                 / var_pop(l_quantity), 6) AS ols_slope
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH s AS (
+        -- exact integer moments (q212 recipe): the engines' built-in
+        -- corr/covar/stddev accumulate doubles in different orders
+        -- (drift), and the scale-4/6 final ROUNDs then sit one ulp
+        -- from a flip; integer sums (quantity is integer, price and
+        -- discount are exact cents) are order-free, so every moment
+        -- below is bit-identical across engines
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sq,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sq2,
+               SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS sc,
+               SUM(CAST(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS sc2,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS sqc
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    mm AS (
+        SELECT l_returnflag, n,
+               CAST(CAST(n AS HUGEINT) * sqc
+                    - CAST(sq AS HUGEINT) * sc AS DOUBLE) AS covnum,
+               CAST(CAST(n AS HUGEINT) * sq2
+                    - CAST(sq AS HUGEINT) * sq AS DOUBLE) AS qvarnum,
+               CAST(CAST(n AS HUGEINT) * sc2
+                    - CAST(sc AS HUGEINT) * sc AS DOUBLE) AS cvarnum
+        FROM s
+    ),
+    d2 AS (
+        SELECT l_returnflag,
+               SUM(CAST(ROUND(100 * l_discount) AS BIGINT)) AS sd,
+               SUM(CAST(ROUND(100 * l_discount) AS BIGINT)
+                   * CAST(ROUND(100 * l_discount) AS BIGINT)) AS sd2,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT mm.l_returnflag,
+           -- scale-first rounds (q208 recipe) of bit-identical doubles
+           ROUND(1000000 * (covnum / SQRT(qvarnum * cvarnum)))
+               / 1000000.0 AS price_qty_corr,
+           ROUND(10000 * (covnum
+                 / (CAST(mm.n AS DOUBLE) * mm.n * 100))) / 10000.0
+               AS price_qty_cov,
+           ROUND(1000000 * SQRT(
+                 CAST(CAST(d2.n AS HUGEINT) * sd2
+                      - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                 / (CAST(d2.n AS DOUBLE) * d2.n * 10000))) / 1000000.0
+               AS discount_sd,
+           ROUND(1000000 * (covnum / (100 * qvarnum))) / 1000000.0
+               AS ols_slope
+    FROM mm JOIN d2 USING (l_returnflag)
     """,
     doc="Grouped statistical aggregates: Pearson correlation, "
     "population covariance/stddev, and the OLS trend slope "
@@ -211,19 +256,52 @@ if _has_protobuf():  # pragma: no cover
 )
 def q140_grouped_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "price_qty_corr"
+    # exact integer moments mirroring the oracle op-for-op: see the
+    # oracle comment (decimal(38,0) plays DuckDB's HUGEINT)
+    q = F.col("l_quantity").cast("long")
+    c = F.round(100 * F.col("l_extendedprice")).cast("long")
+    d = F.round(100 * F.col("l_discount")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sq2"),
+        F.sum(c).alias("sc"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("sc2"),
+        F.sum(q * c).alias("sqc"),
+        F.sum(d).alias("sd"),
+        F.sum(d * d).alias("sd2"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    covnum = (
+        n38 * F.col("sqc") - F.col("sq").cast("decimal(38,0)") * F.col("sc")
+    ).cast("double")
+    qvarnum = (
+        n38 * F.col("sq2") - F.col("sq").cast("decimal(38,0)") * F.col("sq")
+    ).cast("double")
+    cvarnum = (
+        n38 * F.col("sc2") - F.col("sc").cast("decimal(38,0)") * F.col("sc")
+    ).cast("double")
+    dvarnum = (
+        n38 * F.col("sd2") - F.col("sd").cast("decimal(38,0)") * F.col("sd")
+    ).cast("double")
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        # scale-first rounds of bit-identical doubles
+        (F.round(1000000 * (covnum / F.sqrt(qvarnum * cvarnum))) / 1000000.0)
+            .alias("price_qty_corr"),
+        (F.round(10000 * (covnum / (n_d * F.col("n") * 100))) / 10000.0)
+            .alias("price_qty_cov"),
+        (
+            F.round(
+                1000000
+                * F.sqrt(dvarnum / (n_d * F.col("n") * 10000))
+            )
+            / 1000000.0
+        ).alias("discount_sd"),
+        (F.round(1000000 * (covnum / (100 * qvarnum))) / 1000000.0).alias(
+            "ols_slope"
         ),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
-            "price_qty_cov"
-        ),
-        F.round(F.stddev_pop("l_discount"), 6).alias("discount_sd"),
-        F.round(
-            F.covar_pop("l_quantity", "l_extendedprice")
-            / F.var_pop("l_quantity"),
-            6,
-        ).alias("ols_slope"),
     )
 
 

@@ -180,9 +180,15 @@ def q112_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_weighted_sample",
     """
     SELECT doc_id, n_chars,
-           ROUND(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                           AS BIGINT) AS DOUBLE)
-                 / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS priority
+           -- scale-first round (q208 recipe): the hash/weight quotient
+           -- is bit-identical across engines (one IEEE division of
+           -- exact integers) but ROUND(x, 6) resolves near-midpoint
+           -- doubles differently per engine; the scale-0 round of the
+           -- identical scaled double agrees on both
+           ROUND(1000000 * (CAST(CAST('0x' || substr(md5(CAST(doc_id
+                                AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                 / GREATEST(CAST(n_chars AS DOUBLE), 1.0))) / 1000000.0
+               AS priority
     FROM documents
     ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) AS DOUBLE)
@@ -200,7 +206,10 @@ def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return weighted_sample(d, "doc_id", "n_chars", 100).select(
-        "doc_id", "n_chars", F.round("priority", 6).alias("priority")
+        "doc_id",
+        "n_chars",
+        # scale-first round: see the oracle comment
+        (F.round(1000000 * F.col("priority")) / 1000000.0).alias("priority"),
     )
 
 
@@ -273,11 +282,13 @@ def q114_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            array_to_string(list_transform(qv,
                v -> CAST(CAST(v AS INT) AS VARCHAR)), '|') AS quant,
-           ROUND(list_reduce(
+           -- scale-first round (q208 recipe)
+           ROUND(1000000000 * (list_reduce(
                      list_transform(embedding, (x, i) ->
                          (CAST(x AS DOUBLE) - dq[i])
                          * (CAST(x AS DOUBLE) - dq[i])),
-                     (a, b) -> a + b) / len(embedding), 9) AS mse
+                     (a, b) -> a + b) / len(embedding))) / 1000000000.0
+               AS mse
     FROM d
     """,
     doc="Scalar int8 quantization of the embedding column with "

@@ -148,18 +148,40 @@ def q78_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_outlier_zscore",
     """
     WITH stats AS (
+        -- exact integer moments (q212 recipe): int64 cent sum +
+        -- HUGEINT square-sum are order-free, so mu/sigma/z are
+        -- bit-identical across engines; float AVG/STDDEV drift by
+        -- summation order and a z near a .00005 midpoint flips
         SELECT o_orderstatus,
-               AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS sc,
+               SUM(CAST(CAST(ROUND(100 * o_totalprice) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS sc2
         FROM orders GROUP BY o_orderstatus
+    ),
+    m AS (
+        SELECT o_orderstatus,
+               CAST(sc AS DOUBLE) / (100.0 * cnt) AS mu,
+               SQRT(CAST(cnt * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                    / (CAST(cnt AS DOUBLE) * (cnt - 1) * 10000))
+                   AS sigma
+        FROM stats
+    ),
+    z AS (
+        -- scale-first round (q208 recipe)
+        SELECT o.o_orderstatus,
+               ROUND(10000 * ((o.o_totalprice - m.mu) / m.sigma))
+                   / 10000.0 AS zr
+        FROM orders o JOIN m USING (o_orderstatus)
     )
-    SELECT o.o_orderstatus,
+    SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN ABS(ROUND((o.o_totalprice - s.mu) / s.sigma, 4))
-                              > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           ROUND(MAX(ABS(ROUND((o.o_totalprice - s.mu) / s.sigma, 4))), 4)
-               AS max_abs_z
-    FROM orders o JOIN stats s USING (o_orderstatus)
-    GROUP BY o.o_orderstatus
+           CAST(SUM(CASE WHEN ABS(zr) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           MAX(ABS(zr)) AS max_abs_z
+    FROM z
+    GROUP BY o_orderstatus
     """,
     doc="Statistical outlier detection: per-group z-score against "
     "mergeable one-pass moments (count/mean/stddev), group stats "
@@ -170,9 +192,13 @@ def q105_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_tool_setup_spark.operators.quality import outlier_zscore
 
     o = load_table(spark, sf_dir, "orders")
-    flagged = outlier_zscore(o, "o_totalprice", ["o_orderstatus"], 3.0)
+    # quantum=0.01 -> exact integer moments; see the oracle comment
+    flagged = outlier_zscore(
+        o, "o_totalprice", ["o_orderstatus"], 3.0, quantum=0.01
+    )
     return flagged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
-        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        # z is already on the 1e-4 lattice; the max needs no re-round
+        F.max(F.abs("z")).alias("max_abs_z"),
     )

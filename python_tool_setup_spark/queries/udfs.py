@@ -11,6 +11,8 @@ expression should be one (see the rest of the registry).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,12 +51,33 @@ def q55_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q56_grouped_map",
     """
+    WITH stats AS (
+        -- exact integer moments (q212 recipe) + scale-first round
+        -- (q208 recipe): float window AVG/STDDEV drift by summation
+        -- order across engines, and a z within ulps of a .00005
+        -- midpoint then rounds apart; int64 cent sums + HUGEINT
+        -- square-sums are order-free, so mu/sigma/z are bit-identical
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS sc,
+               SUM(CAST(CAST(ROUND(100 * o_totalprice) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS sc2
+        FROM orders GROUP BY o_orderpriority
+    ),
+    m AS (
+        SELECT o_orderpriority,
+               CAST(sc AS DOUBLE) / (100.0 * cnt) AS mu,
+               SQRT(CAST(cnt * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                    / (CAST(cnt AS DOUBLE) * (cnt - 1) * 10000))
+                   AS sigma
+        FROM stats
+    )
     SELECT o_orderkey,
-           o_orderpriority,
-           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
-                 / STDDEV_SAMP(o_totalprice) OVER w, 4) AS z_score
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority)
+           o.o_orderpriority,
+           ROUND(10000 * ((o_totalprice - m.mu) / m.sigma)) / 10000.0
+               AS z_score
+    FROM orders o JOIN m USING (o_orderpriority)
     """,
     doc="Grouped-map applyInPandas: per-priority z-score normalization "
     "(one shuffle on the group key, Arrow-batched pandas per group); "
@@ -62,8 +85,25 @@ def q55_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["o_totalprice"].std(ddof=1)
-        pdf["z_score"] = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / std).round(4)
+        # Mirror the oracle's exact arithmetic op-for-op (cents are
+        # exact int64; Python ints give the exact square-sum; each
+        # double op below is the same IEEE op both engines run). A
+        # pandas mean()/std() here would drift by summation order.
+        import numpy as np
+
+        c = (100.0 * pdf["o_totalprice"]).round().astype("int64")
+        n = len(pdf)
+        sc = int(c.sum())
+        sc2 = sum(int(v) * int(v) for v in c)
+        mu = sc / (100.0 * n)
+        sigma = math.sqrt(
+            float(n * sc2 - sc * sc) / (float(n) * (n - 1) * 10000)
+        )
+        z = (pdf["o_totalprice"] - mu) / sigma
+        # scale-first round: np.rint's half-even differs from the
+        # engines' half-away only on EXACT dyadic ties, which the
+        # irrational sigma makes unreachable
+        pdf["z_score"] = np.rint(10000 * z) / 10000.0
         return pdf[["o_orderkey", "o_orderpriority", "z_score"]]
 
     o = load_table(spark, sf_dir, "orders").select(
