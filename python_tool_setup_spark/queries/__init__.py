@@ -364,6 +364,9 @@ def all_queries() -> dict[str, Query]:
         "q134_", "q145_", "q155_", "q174_", "q193_", "q195_", "q198_",
         "q224_", "q227_", "q228_", "q230_", "q235_", "q245_", "q267_",
         "q29_", "q30_", "q58_", "q61_", "q62_", "q63_",
+        # round-8 latent ROUND-tie conversions (exact moments /
+        # scale-first rounds) — same class, lower per-dataset odds
+        "q56_", "q105_", "q113_", "q115_", "q121_", "q140_",
     )
     # Ordered by prefix position (oldest unverified math first), not
     # registration order, so earlier-round conversions outrank newer
