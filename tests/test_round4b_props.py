@@ -31,7 +31,20 @@ def test_ewma_closed_form_equals_recursion(spark):
         e = rows[0]["value"]
         for r in rows[1:]:  # e_i = a*v_i + (1-a)*e_{i-1}, a = 0.5
             e = 0.5 * r["value"] + 0.5 * e
-        assert abs(e - ewma) < 1e-6
+        # the gate quantizes each weighted term to exact integer
+        # micro-units and rounds the final to milli-units (the q212
+        # knife-edge recipe), so the recursion agrees within the
+        # quantization budget: 0.5 micro per row + 0.5 milli final
+        assert abs(e - ewma) < 5e-4 + n * 5e-7 + 1e-9
+        # and the quantized closed form reproduces the gate EXACTLY
+        # (2^-k weights make each product exact in binary FP)
+        micro = 0
+        for i, r in enumerate(rows, start=1):
+            w = 0.5 ** (n - 1) if i == 1 else 0.5 ** (n - i + 1)
+            micro += round(1000000 * (r["value"] * w))
+        # integer half-up ((m+500)//1000) — Python round() is
+        # half-even and would flake on an exact milli tie
+        assert ewma == ((micro + 500) // 1000) / 1000.0
 
 
 def test_cusum_closed_form_equals_recursion(spark):
