@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.percentiles import (
-    grouped_exact_percentiles,
+    grouped_exact_percentiles_frac,
 )
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
@@ -49,11 +49,29 @@ _COVER_MIN_PPM = 880_000  # empirical coverage must stay near 90%
         FROM base b JOIN pred p ON p.seg = b.seg
         WHERE b.is_cal
     ),
+    ordr AS (
+        SELECT seg, r,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY seg) AS n
+        FROM resid
+    ),
+    wsel AS (
+        SELECT seg, MAX(n) AS n,
+               MAX(CASE WHEN rk = ((n - 1) * 9) // 10 THEN r END) AS lo,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 9) // 10 + 1)
+                   THEN r END) AS hi
+        FROM ordr GROUP BY seg
+    ),
     width AS (
+        -- exact-rational q90 over integer cents (the q524 class:
+        -- 10*quantile = lo*(10-r) + hi*r can land exactly on X.5, and
+        -- a 1-cent width flip changes the coverage COUNT); half-up =
+        -- (num + 5) // 10, order-free on both engines
         SELECT seg,
-               CAST(ROUND(QUANTILE_CONT(r, {_CONF_LEVEL}))
+               CAST((lo * (10 - ((n - 1) * 9) % 10)
+                     + hi * (((n - 1) * 9) % 10) + 5) // 10
                    AS BIGINT) AS w
-        FROM resid GROUP BY seg
+        FROM wsel
     ),
     test AS (
         SELECT b.seg,
@@ -116,9 +134,13 @@ def q497_conformal_calibration(
     resid = cal.join(F.broadcast(pred), "seg").select(
         "seg", F.abs(F.col("cents") - F.col("mean_cents")).alias("r")
     )
-    width = grouped_exact_percentiles(
-        resid, ["seg"], "r", {"p": _CONF_LEVEL}
-    ).select("seg", F.round("p").cast("long").alias("w"))
+    # exact-rational q90: see the oracle comment
+    width = grouped_exact_percentiles_frac(
+        resid, ["seg"], "r", {"p": (9, 10)}
+    ).select(
+        "seg",
+        F.floor((F.col("p_num") + 5) / 10).cast("long").alias("w"),
+    )
     test = (
         base.filter(~F.col("is_cal"))
         .join(F.broadcast(pred), "seg")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles,
+    grouped_exact_percentiles_frac,
 )
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
@@ -152,25 +153,80 @@ def q523_join_order_benefit(
 @register(
     "q524_nested_percentiles",
     """
-    WITH per_user AS (
-        SELECT user_id,
-               CAST(ROUND(QUANTILE_CONT(value, 0.95) * 1000)
-                   AS BIGINT) AS p95_milli,
-               COUNT(*) AS n_ev
-        FROM events GROUP BY user_id
+    -- exact-rational quantile interpolation over integer cents
+    -- (multi-seed catch #5, seed 5050): QUANTILE_CONT's float
+    -- interpolation lands EXACTLY on half-milli ties (p = 19/20 over
+    -- cents hits them whenever the bracketing gap is odd cents) and
+    -- the engines' interpolation doubles differ by an ulp there.
+    -- b*quantile = lo*(b-r) + hi*r with (n-1)*a = k*b + r is an exact
+    -- integer on both engines; half-up = (num + b/2) // b.
+    WITH ec AS (
+        SELECT user_id, CAST(ROUND(100 * value) AS BIGINT) AS c
+        FROM events
     ),
-    over_users AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(ROUND(QUANTILE_CONT(p95_milli, 0.5)) AS BIGINT)
-                   AS p50_of_p95_milli,
-               CAST(ROUND(QUANTILE_CONT(p95_milli, 0.95)) AS BIGINT)
-                   AS p95_of_p95_milli
+    ord1 AS (
+        SELECT user_id, c,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY c) - 1
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ec
+    ),
+    pu AS (
+        SELECT user_id, MAX(n) AS n,
+               MAX(CASE WHEN rk = ((n - 1) * 19) // 20 THEN c END) AS lo,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 19) // 20 + 1)
+                   THEN c END) AS hi
+        FROM ord1 GROUP BY user_id
+    ),
+    per_user AS (
+        -- 20*p95_cents = lo*(20-r) + hi*r; p95_milli = that/2, half-up
+        SELECT user_id,
+               (lo * (20 - ((n - 1) * 19) % 20)
+                + hi * (((n - 1) * 19) % 20) + 1) // 2 AS p95_milli
+        FROM pu
+    ),
+    ord2 AS (
+        SELECT p95_milli AS m,
+               ROW_NUMBER() OVER (ORDER BY p95_milli) - 1 AS rk,
+               COUNT(*) OVER () AS n
         FROM per_user
     ),
+    l2 AS (
+        SELECT MAX(n) AS nu,
+               MAX(CASE WHEN rk = (n - 1) // 2 THEN m END) AS lo50,
+               MAX(CASE WHEN rk = LEAST(n - 1, (n - 1) // 2 + 1)
+                   THEN m END) AS hi50,
+               MAX(CASE WHEN rk = ((n - 1) * 19) // 20 THEN m END) AS lo95,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 19) // 20 + 1)
+                   THEN m END) AS hi95
+        FROM ord2
+    ),
+    over_users AS (
+        SELECT CAST(nu AS BIGINT) AS n_users,
+               CAST((lo50 * (2 - (nu - 1) % 2) + hi50 * ((nu - 1) % 2)
+                     + 1) // 2 AS BIGINT) AS p50_of_p95_milli,
+               CAST((lo95 * (20 - ((nu - 1) * 19) % 20)
+                     + hi95 * (((nu - 1) * 19) % 20) + 10) // 20
+                   AS BIGINT) AS p95_of_p95_milli
+        FROM l2
+    ),
+    ord3 AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS rk,
+               COUNT(*) OVER () AS n
+        FROM ec
+    ),
+    g1 AS (
+        SELECT MAX(n) AS n,
+               MAX(CASE WHEN rk = ((n - 1) * 19) // 20 THEN c END) AS lo,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 19) // 20 + 1)
+                   THEN c END) AS hi
+        FROM ord3
+    ),
     global_p AS (
-        SELECT CAST(ROUND(QUANTILE_CONT(value, 0.95) * 1000)
-                   AS BIGINT) AS global_p95_milli
-        FROM events
+        SELECT CAST((lo * (20 - ((n - 1) * 19) % 20)
+                     + hi * (((n - 1) * 19) % 20) + 1) // 2 AS BIGINT)
+            AS global_p95_milli
+        FROM g1
     )
     SELECT o.n_users, o.p50_of_p95_milli, o.p95_of_p95_milli,
            g.global_p95_milli,
@@ -194,30 +250,40 @@ def q524_nested_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    per_user = grouped_exact_percentiles(
-        e.select("user_id", "value"), ["user_id"], "value",
-        {"p95": 0.95},
+    # exact-rational interpolation over integer cents: see the oracle
+    # comment. half-up of num/b = floor((num + b//2) / b); the doubles
+    # below are exact (num is a small integer).
+    cents = e.select(
+        "user_id", F.round(100 * F.col("value")).cast("long").alias("c")
+    )
+    per_user = grouped_exact_percentiles_frac(
+        cents, ["user_id"], "c", {"p95": (19, 20)}
     ).select(
         "user_id",
-        F.round(F.col("p95") * 1000).cast("long").alias("p95_milli"),
+        # 20*p95_cents -> p95_milli = num/2, half-up
+        F.floor((F.col("p95_num") + 1) / 2).cast("long").alias("p95_milli"),
     )
-    over = grouped_exact_percentiles(
+    over = grouped_exact_percentiles_frac(
         per_user.withColumn("one", F.lit(1)),
         ["one"],
         "p95_milli",
-        {"p50": 0.5, "p95": 0.95},
+        {"p50": (1, 2), "p95": (19, 20)},
     ).select(
         F.col("n").cast("long").alias("n_users"),
-        F.round("p50").cast("long").alias("p50_of_p95_milli"),
-        F.round("p95").cast("long").alias("p95_of_p95_milli"),
+        F.floor((F.col("p50_num") + 1) / 2)
+        .cast("long")
+        .alias("p50_of_p95_milli"),
+        F.floor((F.col("p95_num") + 10) / 20)
+        .cast("long")
+        .alias("p95_of_p95_milli"),
     )
-    gp = grouped_exact_percentiles(
-        e.select(F.lit(1).alias("one"), "value"),
+    gp = grouped_exact_percentiles_frac(
+        cents.select(F.lit(1).alias("one"), "c"),
         ["one"],
-        "value",
-        {"p95": 0.95},
+        "c",
+        {"p95": (19, 20)},
     ).select(
-        F.round(F.col("p95") * 1000)
+        F.floor((F.col("p95_num") + 1) / 2)
         .cast("long")
         .alias("global_p95_milli")
     )

@@ -101,14 +101,36 @@ def q392_co_engagement_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts, event_id), ts) AS gap_sec
         FROM events
     ),
-    g AS (SELECT event_type, gap_sec FROM gaps WHERE gap_sec IS NOT NULL)
+    g AS (SELECT event_type, gap_sec FROM gaps WHERE gap_sec IS NOT NULL),
+    ordg AS (
+        SELECT event_type, gap_sec,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY gap_sec) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM g
+    ),
+    sel AS (
+        SELECT event_type, MAX(n) AS n,
+               MAX(CASE WHEN rk = (n - 1) // 2 THEN gap_sec END) AS lo50,
+               MAX(CASE WHEN rk = LEAST(n - 1, (n - 1) // 2 + 1)
+                   THEN gap_sec END) AS hi50,
+               MAX(CASE WHEN rk = ((n - 1) * 9) // 10 THEN gap_sec END)
+                   AS lo90,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 9) // 10 + 1)
+                   THEN gap_sec END) AS hi90
+        FROM ordg GROUP BY event_type
+    )
+    -- exact-rational quantiles over integer seconds (the q524 class:
+    -- 10*p90 = lo*(10-r) + hi*r lands exactly on X.5 whenever the
+    -- bracketing gap is odd); half-up = (num + b/2) // b
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           CAST(ROUND(quantile_cont(gap_sec, 5e-1)) AS BIGINT)
-               AS p50_gap_sec,
-           CAST(ROUND(quantile_cont(gap_sec, 9e-1)) AS BIGINT)
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST((lo50 * (2 - (n - 1) % 2) + hi50 * ((n - 1) % 2) + 1)
+                // 2 AS BIGINT) AS p50_gap_sec,
+           CAST((lo90 * (10 - ((n - 1) * 9) % 10)
+                 + hi90 * (((n - 1) * 9) % 10) + 5) // 10 AS BIGINT)
                AS p90_gap_sec
-    FROM g GROUP BY event_type ORDER BY event_type
+    FROM sel ORDER BY event_type
     """,
     doc="Inter-arrival percentiles per event type: the gap between a "
     "user's consecutive same-type events (per-user LAG windows — "
@@ -125,7 +147,7 @@ def q393_interarrival_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from python_tool_setup_spark.operators.percentiles import (
-        grouped_exact_percentiles,
+        grouped_exact_percentiles_frac,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -136,12 +158,17 @@ def q393_interarrival_percentiles(
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
         ).alias("gap_sec"),
     ).filter(F.col("gap_sec").isNotNull())
-    pct = grouped_exact_percentiles(
-        gaps, ["event_type"], "gap_sec", {"p50": 0.5, "p90": 0.9}
+    # exact-rational quantiles: see the oracle comment
+    pct = grouped_exact_percentiles_frac(
+        gaps, ["event_type"], "gap_sec", {"p50": (1, 2), "p90": (9, 10)}
     )
     return pct.select(
         "event_type",
         F.col("n").cast("long").alias("n_gaps"),
-        F.round("p50").cast("long").alias("p50_gap_sec"),
-        F.round("p90").cast("long").alias("p90_gap_sec"),
+        F.floor((F.col("p50_num") + 1) / 2)
+        .cast("long")
+        .alias("p50_gap_sec"),
+        F.floor((F.col("p90_num") + 5) / 10)
+        .cast("long")
+        .alias("p90_gap_sec"),
     ).orderBy("event_type")

@@ -21,6 +21,15 @@ real gate in round 7:
   scaling by 10^n BEFORE a scale-0 round.
 - seed 8128 / sf0.013 — caught q210 (TPC-H Q7 bilateral volume), the
   fourth catch, sum-order class again.
+- seed 5050 / sf0.003 — caught q524 (round 8, fifth catch, a NEW
+  mechanism): QUANTILE_CONT's float interpolation landed exactly on a
+  half-milli tie (the global p95 of cent values hits X.5 milli
+  whenever the bracketing gap is odd cents) and the engines'
+  interpolation doubles differ by an ulp there; fixed by exact
+  rational interpolation over integer cents
+  (operators/percentiles.py::grouped_exact_percentiles_frac).
+  q497/q393 listed under it are the same-shape conversions (den-10
+  quantile over integers rounded at scale 0).
 
 Datasets and oracle connections are generated ONCE per (seed, sf) for
 the whole session (a round-8 consolidation: the r7 module regenerated
@@ -67,6 +76,11 @@ PINS: dict[tuple[int, float], list[str]] = {
     (314, 0.008): ["q64_bucketed_join"],
     (911, 0.009): ["q208_mincost_supplier"],
     (8128, 0.013): ["q210_nation_pair_volume"],
+    (5050, 0.003): [
+        "q524_nested_percentiles",
+        "q497_conformal_calibration",
+        "q393_interarrival_percentiles",
+    ],
 }
 
 CASES = [
