@@ -369,7 +369,7 @@ def all_queries() -> dict[str, Query]:
         "q56_", "q105_", "q113_", "q115_", "q121_", "q140_",
         # round-8 multi-seed catch #5 (q524, quantile-interpolation
         # tie on seed 5050) + its same-shape conversions
-        "q524_", "q497_", "q393_",
+        "q524_", "q497_", "q393_", "q446_",
     )
     # Ordered by prefix position (oldest unverified math first), not
     # registration order, so earlier-round conversions outrank newer

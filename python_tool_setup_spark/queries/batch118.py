@@ -104,10 +104,32 @@ def _moments_sql(tbl: str) -> str:
         SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v FROM orders
     ),
     hist AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
-    bounds AS (
-        SELECT CAST(FLOOR(quantile_cont(v, 1e-2)) AS BIGINT) AS lo,
-               CAST(CEIL(quantile_cont(v, 99e-2)) AS BIGINT) AS hi
+    ordv AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk,
+               COUNT(*) OVER () AS n
         FROM vals
+    ),
+    bsel AS (
+        SELECT MAX(n) AS n,
+               MAX(CASE WHEN rk = (n - 1) // 100 THEN v END) AS l1,
+               MAX(CASE WHEN rk = LEAST(n - 1, (n - 1) // 100 + 1)
+                   THEN v END) AS h1,
+               MAX(CASE WHEN rk = ((n - 1) * 99) // 100 THEN v END)
+                   AS l99,
+               MAX(CASE WHEN rk = LEAST(n - 1, ((n - 1) * 99) // 100 + 1)
+                   THEN v END) AS h99
+        FROM ordv
+    ),
+    bounds AS (
+        -- exact-rational p01/p99 (the q524 class): FLOOR/CEIL of a
+        -- float interpolation straddles when 100*quantile lands on an
+        -- exact integer; integer numerators floor/ceil exactly
+        SELECT CAST((l1 * (100 - (n - 1) % 100)
+                     + h1 * ((n - 1) % 100)) // 100 AS BIGINT) AS lo,
+               CAST((l99 * (100 - ((n - 1) * 99) % 100)
+                     + h99 * (((n - 1) * 99) % 100) + 99) // 100
+                   AS BIGINT) AS hi
+        FROM bsel
     ),
     capped AS (
         SELECT LEAST(GREATEST(v, (SELECT lo FROM bounds)),
@@ -170,31 +192,33 @@ def q446_tail_treatment_moments(
         "v", "cnt", F.coalesce("before", F.lit(0)).alias("before"), "n"
     )
 
-    def q_at(p: float, tag: str):
-        k = (F.col("n") - 1).cast("double") * F.lit(p)
-        lo = F.floor(k).cast("long")
+    # exact-rational p01/p99: see the oracle comment. All integer
+    # arithmetic; the final /100 divisions are exact (the numerators
+    # are first snapped to multiples of 100).
+    def q_sel(a: int, b: int, tag: str):
+        kt = (F.col("n") - 1) * a
+        lo = ((kt - kt % b) / b).cast("long")
         hi = F.least(F.col("n") - 1, lo + 1)
-        covers = lambda i: (F.col("before") <= i) & (
+        covers = lambda i: (F.col("before") <= i) & (  # noqa: E731
             i < F.col("before") + F.col("cnt")
         )
-        frac = k - F.floor(k)
         return [
             F.max(F.when(covers(lo), F.col("v"))).alias(f"_l{tag}"),
             F.max(F.when(covers(hi), F.col("v"))).alias(f"_h{tag}"),
         ]
 
-    b = pre.groupBy("n").agg(*q_at(0.01, "lo"), *q_at(0.99, "hi"))
+    b = pre.groupBy("n").agg(*q_sel(1, 100, "lo"), *q_sel(99, 100, "hi"))
 
-    def interp(p: float, tag: str):
-        k = (F.col("n") - 1).cast("double") * F.lit(p)
-        frac = k - F.floor(k)
-        return F.col(f"_l{tag}") + frac * (
-            F.col(f"_h{tag}") - F.col(f"_l{tag}")
-        )
+    def q_num(a: int, b: int, tag: str):
+        kt = (F.col("n") - 1) * a
+        r = kt % b
+        return F.col(f"_l{tag}") * (b - r) + F.col(f"_h{tag}") * r
 
+    n1 = q_num(1, 100, "lo")
+    n99 = q_num(99, 100, "hi") + 99
     bounds = b.select(
-        F.floor(interp(0.01, "lo")).cast("long").alias("lo"),
-        F.ceil(interp(0.99, "hi")).cast("long").alias("hi"),
+        ((n1 - n1 % 100) / 100).cast("long").alias("lo"),
+        ((n99 - n99 % 100) / 100).cast("long").alias("hi"),
     )
     dec = "decimal(38,0)"
 

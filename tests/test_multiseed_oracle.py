@@ -80,6 +80,7 @@ PINS: dict[tuple[int, float], list[str]] = {
         "q524_nested_percentiles",
         "q497_conformal_calibration",
         "q393_interarrival_percentiles",
+        "q446_tail_treatment_moments",
     ],
 }
 
