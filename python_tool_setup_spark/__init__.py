@@ -20,6 +20,30 @@ Layout:
     queries       registry of runnable queries + DuckDB oracle SQL
 """
 
+def _ship_package_by_value() -> None:
+    """Ship every class/function of this package to Python workers BY
+    VALUE. cloudpickle serializes module-level objects by REFERENCE,
+    so worker processes (data-source writers, mapInPandas/UDF workers)
+    would have to import this package — which only works when the
+    driver's cwd happens to be the repo root or PYTHONPATH is set. A
+    vanilla session launched elsewhere fails with ModuleNotFoundError
+    inside the worker (observed round 8: q106 datasink, q112 sketch
+    mapPartitions, q44/q125/q232 multimodal kernels). Registering the
+    top-level package covers all submodules (cloudpickle's
+    _is_registered_pickle_by_value walks parent packages)."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # noqa: BLE001 - best-effort on exotic runtimes
+        pass
+
+
+_ship_package_by_value()
+
+
 def _resolve_version() -> str:
     """Single-source the version: installed distribution metadata when
     available, else the repo-root pyproject.toml (editable/source

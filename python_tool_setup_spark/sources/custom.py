@@ -234,25 +234,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         _discard_staged(self.path, messages)
 
 
-def _register_pickle_by_value() -> None:
-    """Ship this module's classes to Python workers BY VALUE.
-
-    cloudpickle serializes module-level classes by REFERENCE, so a
-    worker process must be able to ``import python_tool_setup_spark``
-    — which only works when the driver's cwd (inherited by local-mode
-    workers) happens to be the repo root. A vanilla session launched
-    from any other directory fails with ModuleNotFoundError inside the
-    data-source worker (observed round 8 on q106). By-value
-    registration removes the sys.path dependency entirely; it is the
-    same mechanism closures already get for free."""
-    try:
-        import sys as _sys
-
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:  # noqa: BLE001 - best-effort on exotic runtimes
-        pass
-
-
-_register_pickle_by_value()
+# Worker-side importability: these classes ship to Python workers BY
+# VALUE via the package-level cloudpickle registration in
+# python_tool_setup_spark.__init__ (_ship_package_by_value), so no
+# sys.path/cwd assumption leaks into the data-source worker process.
