@@ -127,3 +127,90 @@ def test_round_tie_mechanism_pin(spark):
         "d=0 conversion policy can be revisited"
     )
     assert recipe_disagree == 0, "scale-first recipe must always agree"
+
+
+def test_constructive_tie_flips_a_raw_round_gate(spark, sf_dir):
+    """The audit's threat model, demonstrated end-to-end: when a money
+    column's lattice reaches a rounding midpoint (d = 0 — here a
+    3-decimal column under ROUND(x, 2)), a raw-ROUND gate genuinely
+    diverges between engines on constructed data, and the integer-cents
+    recipe on the SAME data does not. This is why the audit REQUIRES
+    conversion for b-even sites instead of accepting empirical greens."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.queries import Query
+    from python_tool_setup_spark.testing import compare_query
+
+    # find 3-dec midpoints where the engines' raw ROUND(x, 2) disagree
+    rng = np.random.default_rng(42)
+    xs = [float(k) / 100 + 0.005 for k in rng.integers(1e5, 5e7, 800)]
+    con0 = duckdb.connect()
+    con0.execute("CREATE TABLE t(i INT, x DOUBLE)")
+    con0.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(xs)))
+    duck = [r[0] for r in con0.execute(
+        "SELECT ROUND(x, 2) FROM t ORDER BY i").fetchall()]
+    con0.close()
+    sp = [
+        r["r"]
+        for r in spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "i int, x double"
+        ).orderBy("i").select(F.round("x", 2).alias("r")).collect()
+    ]
+    bad = [x for x, d, s in zip(xs, duck, sp) if d != s]
+    assert bad, "no ROUND-disagreeing midpoints found (engines changed?)"
+
+    # one singleton group holding a disagreeing value: SUM == the value
+    # exactly on both engines, so only the final ROUND differs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE m(g INT, amount DOUBLE); "
+        f"INSERT INTO m VALUES (1, {bad[0]!r}), (2, 10.25), (2, 20.5)"
+    )
+    rows = [(1, bad[0]), (2, 10.25), (2, 20.5)]
+
+    def spark_fn_raw(s, _):
+        return (
+            s.createDataFrame(rows, "g int, amount double")
+            .groupBy("g")
+            .agg(F.round(F.sum("amount"), 2).alias("total"))
+        )
+
+    raw = Query(
+        name="d0_raw_probe",
+        spark_fn=spark_fn_raw,
+        oracle="SELECT g, ROUND(SUM(amount), 2) AS total FROM m GROUP BY g",
+    )
+    mm = compare_query(spark, con, raw, sf_dir)
+    assert mm is not None and "value mismatch" in mm, (
+        f"raw ROUND(SUM) survived a constructed d=0 tie: {mm}"
+    )
+
+    def spark_fn_cents(s, _):
+        return (
+            s.createDataFrame(rows, "g int, amount double")
+            .groupBy("g")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(100 * F.col("amount")).cast("long")
+                    ).cast("double")
+                    / 100,
+                    2,
+                ).alias("total")
+            )
+        )
+
+    cents = Query(
+        name="d0_cents_probe",
+        spark_fn=spark_fn_cents,
+        oracle=(
+            "SELECT g, ROUND(CAST(SUM(CAST(ROUND(100 * amount) AS BIGINT))"
+            " AS DOUBLE) / 100, 2) AS total FROM m GROUP BY g"
+        ),
+    )
+    assert compare_query(spark, con, cents, sf_dir) is None, (
+        "the cents recipe must agree on the same constructed data"
+    )
+    con.close()
