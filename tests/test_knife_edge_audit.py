@@ -214,3 +214,49 @@ def test_constructive_tie_flips_a_raw_round_gate(spark, sf_dir):
         "the cents recipe must agree on the same constructed data"
     )
     con.close()
+
+
+def test_converted_gates_keep_the_recipe_on_both_sides():
+    """Anti-reversion lint for the exactness conversions: each converted
+    gate's ORACLE must contain its exact-math idiom AND its Spark
+    source must contain the matching marker — a refactor that silently
+    reintroduces a raw float aggregate on either side fails here long
+    before any knife-edge dataset could catch it. (compare_query passes
+    even when the two sides' MATH diverges, right up until a tie.)"""
+    import inspect
+
+    qs = all_queries()
+    # gate -> (oracle substring, spark-source substring)
+    EXPECT = {
+        # r7/r8 cents conversions (representatives of each shape)
+        "q212_product_profit": ("SUM(cents)", "cents"),
+        "q64_bucketed_join": ("ROUND(100 *", "cents = F.round("),
+        "q01_pricing_summary": ("ROUND(100 *", "100"),
+        "q09_rollup": ("ROUND(100 * o_totalprice)", "F.round(100"),
+        "q75_incremental_agg": ("ROUND(100 * l_extendedprice)", "F.round(100"),
+        "q198_exchange_reuse": ("total_c", "total_c"),
+        "q127_cogrouped_pandas": ("total_price_c", "astype"),
+        # exact integer moments
+        "q105_outlier_zscore": ("sc2", "quantum=0.01"),
+        "q56_grouped_map": ("sc2", "sc2"),
+        "q140_grouped_statistics": ("sqc", "decimal(38,0)"),
+        # exact-rational quantiles
+        "q524_nested_percentiles": ("// 2", "grouped_exact_percentiles_frac"),
+        "q497_conformal_calibration": ("// 10", "grouped_exact_percentiles_frac"),
+        "q393_interarrival_percentiles": ("// 10", "grouped_exact_percentiles_frac"),
+        "q446_tail_treatment_moments": ("// 100", "q_num"),
+        # scale-first quotient finals
+        "q113_weighted_sample": ("ROUND(1000000 *", "1000000"),
+        "q121_temperature_resample": ("ROUND(1000000 *", "temperature_resample"),
+        "q115_quantize_embeddings": ("ROUND(1000000000 *", "quantize_int8"),
+        "q208_mincost_supplier": ("ROUND(", "round"),
+    }
+    missing = []
+    for gate, (osub, ssub) in EXPECT.items():
+        q = qs[gate]
+        if osub not in (q.oracle or ""):
+            missing.append(f"{gate}: oracle lost {osub!r}")
+        src = inspect.getsource(q.spark_fn)
+        if ssub not in src:
+            missing.append(f"{gate}: spark source lost {ssub!r}")
+    assert not missing, missing

@@ -4,7 +4,10 @@ Runs every registered query on Spark and its oracle on DuckDB at the
 given sf dir, compares row count, sorted-column-name schema, and an
 order-insensitive value comparison. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+
+``--vanilla`` runs on a bare SparkSession (the driver's own session
+shape) — use it FIRST when reproducing a driver red.
 
 The comparison semantics live in ``python_tool_setup_spark.testing``
 (shared with tests/test_oracle_parity.py): both engines fetched via
@@ -28,9 +31,19 @@ from python_tool_setup_spark.testing import compare_query, oracle_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # the driver's own session shape: no engine configs at all —
+        # reproduce driver-side divergences with THIS first (the
+        # engine session can mask session-conf-dependent behavior)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = oracle_connection(sf_dir)
 
     failures = []
