@@ -260,3 +260,29 @@ def test_converted_gates_keep_the_recipe_on_both_sides():
         if ssub not in src:
             missing.append(f"{gate}: spark source lost {ssub!r}")
     assert not missing, missing
+
+
+def test_quantile_disc_conventions_agree(spark):
+    """q97's cutoff is Spark's exact approxQuantile vs DuckDB's
+    quantile_disc — BOTH return actual data values, so the only risk
+    is the rank-selection convention. Probe it across many (n, q):
+    a drift here (engine upgrade) would silently change which rows
+    q97 keeps."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    for trial in range(25):
+        rng = random.Random(trial)
+        n = rng.randint(3, 300)
+        vals = [rng.randint(0, 10000) for _ in range(n)]
+        q = rng.choice([0.1, 0.25, 0.5, 0.9, 0.95])
+        con.execute("DROP TABLE IF EXISTS t; CREATE TABLE t(x BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        d = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        s = spark.createDataFrame(
+            [(v,) for v in vals], "x long"
+        ).approxQuantile("x", [q], 0.0)[0]
+        assert float(d) == float(s), (trial, n, q, d, s)
+    con.close()
