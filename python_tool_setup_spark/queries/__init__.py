@@ -370,6 +370,18 @@ def all_queries() -> dict[str, Query]:
         # round-8 multi-seed catch #5 (q524, quantile-interpolation
         # tie on seed 5050) + its same-shape conversions
         "q524_", "q497_", "q393_", "q446_",
+        # round-8 continuation, multi-seed catches #6 and #7 (seed
+        # 2468): q505 exposed DuckDB's non-correctly-rounded
+        # HUGEINT->DOUBLE cast (queries/exactcast.py) — the whole
+        # hugeint-moment census moved to the two-limb conversion —
+        # and q92 exposed mixed second/microsecond gap precision.
+        # Each needs an official row on the current form.
+        "q505_", "q92_", "q506_", "q510_", "q543_", "q545_",
+        "q301_", "q303_", "q315_", "q319_", "q324_", "q326_",
+        "q338_", "q339_", "q383_", "q426_", "q433_", "q448_",
+        "q471_", "q490_", "q502_", "q522_", "q531_", "q532_",
+        "q533_", "q535_", "q536_", "q538_", "q544_", "q546_",
+        "q547_", "q548_",
     )
     # Ordered by prefix position (oldest unverified math first), not
     # registration order, so earlier-round conversions outrank newer

@@ -25,7 +25,13 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     """
     WITH ordered AS (
         SELECT user_id, ts, event_id, event_type,
-               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+               -- gap compared at MICROSECOND precision on both engines
+               -- (multi-seed catch #7, seed 2468: a 1800.119515 s gap
+               -- truncates to exactly 1800 whole seconds, so a
+               -- seconds-truncated engine keeps the session the
+               -- full-precision engine splits)
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
@@ -54,10 +60,15 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 def q92_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # MICROSECOND-exact gap (matches the oracle's epoch_us convention;
+    # ts.cast("long") truncates to whole seconds and masks boundary
+    # gaps like 1800.1 s — multi-seed catch #7)
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
     flagged = e.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000000), 1).otherwise(0),
     )
     ws = (
         Window.partitionBy("user_id")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 # per-stratum md5 sampling rates out of 100 (priority 1..5 by prefix)
@@ -25,7 +26,7 @@ _RATES = {"1": 40, "2": 25, "3": 15, "4": 10, "5": 5}
 # ---------------------------------------------------------------- q426
 @register(
     "q426_ab_power_mde",
-    """
+    f"""
     WITH assign AS (
         SELECT event_type,
                CAST(('0x' || substr(md5('arm|' ||
@@ -42,7 +43,7 @@ _RATES = {"1": 40, "2": 25, "3": 15, "4": 10, "5": 5}
     pooled AS (
         SELECT event_type,
                SUM(n) AS n_total, MIN(n) AS n_min,
-               SUM(CAST(ss AS DOUBLE)
+               SUM({dd_duck('ss')}
                    - CAST(s AS DOUBLE) * s / n) AS ssw
         FROM arms GROUP BY event_type
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _AGES = [(0, 30, "a_0_30"), (31, 90, "b_31_90"), (91, 10**6, "c_91_plus")]
@@ -90,7 +91,7 @@ def q432_order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q433
 @register(
     "q433_embedding_effective_rank",
-    """
+    f"""
     WITH elems AS (
         SELECT vec_id, i,
                CAST(ROUND(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS q
@@ -115,9 +116,9 @@ def q432_order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cov AS (
         SELECT di, dj,
-               CAST(sij AS DOUBLE) / (SELECT n FROM n_vec)
-                   - (CAST(si AS DOUBLE) / (SELECT n FROM n_vec))
-                     * (CAST(sj AS DOUBLE) / (SELECT n FROM n_vec)) AS c
+               {dd_duck('sij')} / (SELECT n FROM n_vec)
+                   - ({dd_duck('si')} / (SELECT n FROM n_vec))
+                     * ({dd_duck('sj')} / (SELECT n FROM n_vec)) AS c
         FROM moments
     ),
     norms AS (

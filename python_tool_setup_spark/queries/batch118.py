@@ -17,6 +17,7 @@ from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles,
 )
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _FLOOR_MICRO = 5_000  # 0.5% support floor
@@ -141,26 +142,26 @@ def _moments_sql(tbl: str) -> str:
     SELECT 'raw' AS variant,
            CAST(n AS BIGINT) AS n,
            CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                   * CAST(s3 AS DOUBLE)
-                   - 3e0 * n * CAST(s1 AS DOUBLE) * s2
-                   + 2e0 * CAST(s1 AS DOUBLE) * s1 * s1)
+                   * {dd_duck('s3')}
+                   - 3e0 * n * {dd_duck('s1')} * {dd_duck('s2')}
+                   + 2e0 * {dd_duck('s1')} * {dd_duck('s1')} * {dd_duck('s1')})
                / (CAST(n AS DOUBLE) * n * n)
-               / pow((CAST(s2 AS DOUBLE) / n
-                      - (CAST(s1 AS DOUBLE) / n)
-                        * (CAST(s1 AS DOUBLE) / n)), 15e-1))
+               / pow(({dd_duck('s2')} / n
+                      - ({dd_duck('s1')} / n)
+                        * ({dd_duck('s1')} / n)), 15e-1))
                AS BIGINT) AS skewness_milli
     FROM raw_m
     UNION ALL
     SELECT 'winsorized',
            CAST(n AS BIGINT),
            CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                   * CAST(s3 AS DOUBLE)
-                   - 3e0 * n * CAST(s1 AS DOUBLE) * s2
-                   + 2e0 * CAST(s1 AS DOUBLE) * s1 * s1)
+                   * {dd_duck('s3')}
+                   - 3e0 * n * {dd_duck('s1')} * {dd_duck('s2')}
+                   + 2e0 * {dd_duck('s1')} * {dd_duck('s1')} * {dd_duck('s1')})
                / (CAST(n AS DOUBLE) * n * n)
-               / pow((CAST(s2 AS DOUBLE) / n
-                      - (CAST(s1 AS DOUBLE) / n)
-                        * (CAST(s1 AS DOUBLE) / n)), 15e-1))
+               / pow(({dd_duck('s2')} / n
+                      - ({dd_duck('s1')} / n)
+                        * ({dd_duck('s1')} / n)), 15e-1))
                AS BIGINT) AS skewness_milli
     FROM cap_m
     ORDER BY variant

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _T_MICRO = 50_000_000  # Apdex threshold T on micro-quantized value
@@ -82,7 +83,7 @@ def q447_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q448
 @register(
     "q448_overdispersion_index",
-    """
+    f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
         FROM events GROUP BY 1, 2
@@ -95,7 +96,7 @@ def q447_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(n AS BIGINT) AS n_days,
            CAST(s AS BIGINT) AS total_events,
-           CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * ss
+           CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * {dd_duck('ss')}
                    - CAST(s AS DOUBLE) * s)
                / (CAST(n AS DOUBLE) * s)) AS BIGINT)
                AS dispersion_milli,

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _ZIPF_MIN = 5  # tokens below this frequency are dropped from the fit
@@ -54,10 +55,10 @@ _ZIPF_MIN = 5  # tokens below this frequency are dropped from the fit
         FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_tokens,
-           CAST(ROUND(1e3 * (n * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (n * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           CAST(ROUND(1e3 * (n * {dd_duck('sxy')}
+                   - {dd_duck('sx')} * {dd_duck('sy')})
+               / (n * {dd_duck('sxx')}
+                   - {dd_duck('sx')} * {dd_duck('sx')}))
                AS BIGINT) AS zipf_slope_milli
     FROM fit
     """,

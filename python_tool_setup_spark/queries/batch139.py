@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 # LOCF fill window: one calendar month of daily per-nation revenue.
@@ -149,7 +150,7 @@ def q489_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the standard tuning for detecting ~1-sigma mean shifts).
 @register(
     "q490_cusum_changepoint",
-    """
+    f"""
     WITH m AS (
         SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1)
                    AS idx,
@@ -164,7 +165,7 @@ def q489_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) AS mu,
-               CAST(ROUND(SQRT((CAST(q AS DOUBLE)
+               CAST(ROUND(SQRT(({dd_duck('q')}
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
                    / (n - 1))) AS BIGINT) AS sigma
         FROM suff

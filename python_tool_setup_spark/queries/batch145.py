@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 # Outcome: an order is "urgent" (priority 1-2). Prediction: the
@@ -193,7 +194,7 @@ def q501_brier_decomposition(
 # ---------------------------------------------------------------- q502
 @register(
     "q502_kish_effective_sample_size",
-    """
+    f"""
     WITH w AS (
         -- importance weight: quality-style weighting by document
         -- length relative to its source (longer docs upweighted)
@@ -206,12 +207,12 @@ def q501_brier_decomposition(
     )
     SELECT source,
            CAST(n AS BIGINT) AS n,
-           CAST(ROUND(CAST(s AS DOUBLE) * s / q) AS BIGINT)
+           CAST(ROUND(CAST(s AS DOUBLE) * s / {dd_duck('q')}) AS BIGINT)
                AS n_eff,
-           CAST(ROUND(CAST(n AS DOUBLE) * q * 1000000 / (CAST(s
+           CAST(ROUND(CAST(n AS DOUBLE) * {dd_duck('q')} * 1000000 / (CAST(s
                AS DOUBLE) * s)) AS BIGINT) AS design_effect_micro,
            CAST(ROUND(CAST(s AS DOUBLE) * s * 1000000
-               / (CAST(q AS DOUBLE) * n)) AS BIGINT)
+               / ({dd_duck('q')} * n)) AS BIGINT)
                AS efficiency_ppm
     FROM g ORDER BY source
     """,

@@ -19,20 +19,32 @@ from pyspark.sql import functions as F
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
-# Shared expression text (exact DECIMAL/BIGINT inputs -> identical
+# Shared expression SHAPE (exact DECIMAL/BIGINT inputs -> identical
 # doubles on both engines). Delta method for R = S/T over n clusters:
 # var(R) ~ (var_s - 2 R cov + R^2 var_t) / (n * mean_t^2).
-_RATIO_EXPR = "CAST(s AS DOUBLE) / t"
-_VARR_MICRO_EXPR = (
-    "CAST(ROUND(("
-    " (CAST(qs AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
-    " - 2 * (CAST(s AS DOUBLE) / t)"
-    "   * ((CAST(qst AS DOUBLE) - CAST(s AS DOUBLE) * t / n) / (n - 1))"
-    " + (CAST(s AS DOUBLE) / t) * (CAST(s AS DOUBLE) / t)"
-    "   * ((CAST(qt AS DOUBLE) - CAST(t AS DOUBLE) * t / n) / (n - 1))"
-    ") / (n * (CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n))"
-    " * 1000000) AS BIGINT)"
-)
+# Every integer moment enters double math through the two-limb
+# correctly-rounded conversion (exactcast.py — DuckDB's native
+# HUGEINT->DOUBLE cast mis-rounds ~1.4% of >2^53 values; multi-seed
+# catch #6, seed 2468, flipped this gate's var_ratio_micro).
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
+
+
+def _ratio_expr(dd) -> str:
+    return f"{dd('s')} / {dd('t')}"
+
+
+def _varr_micro_expr(dd) -> str:
+    r = f"({dd('s')} / {dd('t')})"
+    return (
+        "CAST(ROUND(("
+        f" ({dd('qs')} - {dd('s')} * {dd('s')} / n) / (n - 1)"
+        f" - 2 * {r}"
+        f"   * (({dd('qst')} - {dd('s')} * {dd('t')} / n) / (n - 1))"
+        f" + {r} * {r}"
+        f"   * (({dd('qt')} - {dd('t')} * {dd('t')} / n) / (n - 1))"
+        f") / (n * ({dd('t')} / n) * ({dd('t')} / n))"
+        " * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -55,10 +67,10 @@ _VARR_MICRO_EXPR = (
     SELECT CAST(n AS BIGINT) AS n_clusters,
            CAST(s AS BIGINT) AS sum_cents,
            CAST(t AS BIGINT) AS sum_orders,
-           CAST(ROUND({_RATIO_EXPR}) AS BIGINT)
+           CAST(ROUND({_ratio_expr(dd_duck)}) AS BIGINT)
                AS revenue_per_order_cents,
-           {_VARR_MICRO_EXPR} AS var_ratio_micro,
-           CAST(ROUND(SQRT({_VARR_MICRO_EXPR} / 1000000.0))
+           {_varr_micro_expr(dd_duck)} AS var_ratio_micro,
+           CAST(ROUND(SQRT({_varr_micro_expr(dd_duck)} / 1000000.0))
                AS BIGINT) AS stderr_cents
     FROM s
     """,
@@ -103,11 +115,11 @@ def q505_ratio_metric_delta_method(
         F.col("n").cast("long").alias("n_clusters"),
         F.col("s").cast("long").alias("sum_cents"),
         F.col("t").cast("long").alias("sum_orders"),
-        F.round(F.expr(_RATIO_EXPR))
+        F.round(F.expr(_ratio_expr(dd_spark)))
         .cast("long")
         .alias("revenue_per_order_cents"),
-        F.expr(_VARR_MICRO_EXPR).alias("var_ratio_micro"),
-        F.round(F.sqrt(F.expr(_VARR_MICRO_EXPR) / 1000000.0))
+        F.expr(_varr_micro_expr(dd_spark)).alias("var_ratio_micro"),
+        F.round(F.sqrt(F.expr(_varr_micro_expr(dd_spark)) / 1000000.0))
         .cast("long")
         .alias("stderr_cents"),
     )
@@ -116,20 +128,24 @@ def q505_ratio_metric_delta_method(
 # ---------------------------------------------------------------- q506
 _CUPED_CUTOFF = "1997-01-01"
 
-_THETA_MICRO_EXPR = (
-    "CAST(ROUND(((CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
-    " / (n - 1))"
-    " / ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
-    " * 1000000) AS BIGINT)"
-)
+def _theta_micro_expr(dd) -> str:
+    return (
+        f"CAST(ROUND((({dd('qxy')} - {dd('sx')} * {dd('sy')} / n)"
+        " / (n - 1))"
+        f" / (({dd('qx')} - {dd('sx')} * {dd('sx')} / n) / (n - 1))"
+        " * 1000000) AS BIGINT)"
+    )
+
+
 # variance reduction = rho^2 = cov^2 / (var_x var_y), in ppm
-_VR_PPM_EXPR = (
-    "CAST(ROUND(((CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
-    " * (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))"
-    " / ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
-    "    * (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))"
-    " * 1000000) AS BIGINT)"
-)
+def _vr_ppm_expr(dd) -> str:
+    cov = f"({dd('qxy')} - {dd('sx')} * {dd('sy')} / n)"
+    return (
+        f"CAST(ROUND(({cov} * {cov})"
+        f" / (({dd('qx')} - {dd('sx')} * {dd('sx')} / n)"
+        f"    * ({dd('qy')} - {dd('sy')} * {dd('sy')} / n))"
+        " * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -153,11 +169,11 @@ _VR_PPM_EXPR = (
         FROM per_cust
     )
     SELECT CAST(n AS BIGINT) AS n_units,
-           CAST(ROUND(CAST(sy AS DOUBLE) / n) AS BIGINT)
+           CAST(ROUND({dd_duck('sy')} / n) AS BIGINT)
                AS mean_post_cents,
-           {_THETA_MICRO_EXPR} AS theta_micro,
-           {_VR_PPM_EXPR} AS variance_reduction_ppm,
-           {_VR_PPM_EXPR} >= 100000 AS cuped_worth_it
+           {_theta_micro_expr(dd_duck)} AS theta_micro,
+           {_vr_ppm_expr(dd_duck)} AS variance_reduction_ppm,
+           {_vr_ppm_expr(dd_duck)} >= 100000 AS cuped_worth_it
     FROM s
     """,
     doc="CUPED variance reduction (the industry-standard pre-period "
@@ -209,7 +225,7 @@ def q506_cuped_variance_reduction(
         F.round(F.col("sy").cast("double") / F.col("n"))
         .cast("long")
         .alias("mean_post_cents"),
-        F.expr(_THETA_MICRO_EXPR).alias("theta_micro"),
-        F.expr(_VR_PPM_EXPR).alias("variance_reduction_ppm"),
-        (F.expr(_VR_PPM_EXPR) >= 100000).alias("cuped_worth_it"),
+        F.expr(_theta_micro_expr(dd_spark)).alias("theta_micro"),
+        F.expr(_vr_ppm_expr(dd_spark)).alias("variance_reduction_ppm"),
+        (F.expr(_vr_ppm_expr(dd_spark)) >= 100000).alias("cuped_worth_it"),
     )

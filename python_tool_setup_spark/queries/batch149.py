@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 _BASKET_TOP = 15
@@ -134,11 +135,12 @@ _LN_Q_EXPR = "CAST(ROUND(LN(CAST(qty AS DOUBLE)) * 1000000000) AS BIGINT)"
 _LN_P_EXPR = (
     "CAST(ROUND(LN(1.0 - disc_bp / 10000.0) * 1000000000) AS BIGINT)"
 )
-_SLOPE_MICRO_EXPR = (
-    "CAST(ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-    " * 1000000) AS BIGINT)"
-)
+def _slope_micro_expr(dd) -> str:
+    return (
+        f"CAST(ROUND((CAST(n AS DOUBLE) * {dd('sxy')} - {dd('sx')} * {dd('sy')})"
+        f" / (CAST(n AS DOUBLE) * {dd('sxx')} - {dd('sx')} * {dd('sx')})"
+        " * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -160,9 +162,9 @@ _SLOPE_MICRO_EXPR = (
         FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_price_points,
-           {_SLOPE_MICRO_EXPR} AS elasticity_micro,
-           {_SLOPE_MICRO_EXPR} < 0 AS demand_downward_sloping,
-           ABS({_SLOPE_MICRO_EXPR}) > 1000000 AS elastic
+           {_slope_micro_expr(dd_duck)} AS elasticity_micro,
+           {_slope_micro_expr(dd_duck)} < 0 AS demand_downward_sloping,
+           ABS({_slope_micro_expr(dd_duck)}) > 1000000 AS elastic
     FROM s
     """,
     doc="Price elasticity of demand (log-log OLS of total quantity "
@@ -208,11 +210,11 @@ def q510_price_elasticity(
     )
     return s.select(
         F.col("n").cast("long").alias("n_price_points"),
-        F.expr(_SLOPE_MICRO_EXPR).alias("elasticity_micro"),
-        (F.expr(_SLOPE_MICRO_EXPR) < 0).alias(
+        F.expr(_slope_micro_expr(dd_spark)).alias("elasticity_micro"),
+        (F.expr(_slope_micro_expr(dd_spark)) < 0).alias(
             "demand_downward_sloping"
         ),
-        (F.abs(F.expr(_SLOPE_MICRO_EXPR)) > 1000000).alias(
+        (F.abs(F.expr(_slope_micro_expr(dd_spark))) > 1000000).alias(
             "elastic"
         ),
     )

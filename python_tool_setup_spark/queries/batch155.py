@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 # CvM critical value at alpha=0.05 (asymptotic): T > 0.461 rejects.
@@ -206,10 +207,11 @@ def q521_cramer_von_mises(
 
 
 # ---------------------------------------------------------------- q522
-_TAU_EXPR = (
-    "CAST(ROUND(CAST(c - d AS DOUBLE) * 1000000"
-    " / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty))) AS BIGINT)"
-)
+def _tau_expr(dd) -> str:
+    return (
+        f"CAST(ROUND({dd('c - d')} * 1000000"
+        f" / SQRT({dd('n0 - tx')} * {dd('n0 - ty')})) AS BIGINT)"
+    )
 
 
 @register(
@@ -250,8 +252,8 @@ _TAU_EXPR = (
            CAST(n0 AS BIGINT) AS n_pairs,
            CAST(tx AS BIGINT) AS ties_x,
            CAST(ty AS BIGINT) AS ties_y,
-           {_TAU_EXPR} AS tau_b_micro,
-           ABS({_TAU_EXPR}) > 100000 AS correlated
+           {_tau_expr(dd_duck)} AS tau_b_micro,
+           ABS({_tau_expr(dd_duck)}) > 100000 AS correlated
     FROM s
     """,
     doc="Kendall tau-b (rank correlation that handles TIES "
@@ -354,6 +356,6 @@ def q522_kendall_tau_b(
         F.col("n0").cast("long").alias("n_pairs"),
         F.col("tx").cast("long").alias("ties_x"),
         F.col("ty").cast("long").alias("ties_y"),
-        F.expr(_TAU_EXPR).alias("tau_b_micro"),
-        (F.abs(F.expr(_TAU_EXPR)) > 100000).alias("correlated"),
+        F.expr(_tau_expr(dd_spark)).alias("tau_b_micro"),
+        (F.abs(F.expr(_tau_expr(dd_spark))) > 100000).alias("correlated"),
     )

@@ -18,19 +18,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 # two-sample t at a split, micro-quantized from exact integer
 # prefix sufficient stats (shared verbatim).
-_BS_T_EXPR = (
-    "CAST(ROUND(ABS(CAST(sl AS DOUBLE) / nl - CAST(s - sl AS DOUBLE)"
-    " / (n - nl))"
-    " / SQRT((((CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl / nl)"
-    "          + (CAST(q - ql AS DOUBLE)"
-    "             - CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)))"
-    "         / (n - 2)) * (1.0 / nl + 1.0 / (n - nl)))"
-    " * 1000000) AS BIGINT)"
-)
+def _bs_t_expr(dd) -> str:
+    return (
+        f"CAST(ROUND(ABS(CAST(sl AS DOUBLE) / nl - CAST(s - sl AS DOUBLE)"
+        " / (n - nl))"
+        f" / SQRT(((({dd('ql')} - CAST(sl AS DOUBLE) * sl / nl)"
+        f"          + ({dd('q - ql')}"
+        "             - CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)))"
+        "         / (n - 2)) * (1.0 / nl + 1.0 / (n - nl)))"
+        " * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -58,7 +60,7 @@ _BS_T_EXPR = (
     ),
     scored AS (
         SELECT p.idx, p.pos AS nl, p.sl, p.ql, t.n, t.s, t.q,
-               {_BS_T_EXPR} AS t_micro
+               {_bs_t_expr(dd_duck)} AS t_micro
         FROM pre p CROSS JOIN tot t
         WHERE p.pos >= 2 AND p.pos <= t.n - 2
     )
@@ -134,7 +136,7 @@ def q531_binary_segmentation(
             "n",
             "s",
             "q",
-            F.expr(_BS_T_EXPR).alias("t_micro"),
+            F.expr(_bs_t_expr(dd_spark)).alias("t_micro"),
         )
     )
     return (
@@ -168,11 +170,12 @@ _WSR_REGION_B = "EUROPE"
 # z from exact doubled-rank integers: z = (2T+ - n(n+1)/2) /
 # sqrt(n(n+1)(2n+1)/6 - tie_term/ 2)  [doubled-rank scaling of the
 # classic variance n(n+1)(2n+1)/24 and tie correction sum(t^3-t)/48]
-_WSR_Z_EXPR = (
-    "ROUND((CAST(tplus2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)"
-    " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6"
-    "        - CAST(tie3 AS DOUBLE) / 12), 4)"
-)
+def _wsr_z_expr(dd) -> str:
+    return (
+        "ROUND((CAST(tplus2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)"
+        " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6"
+        f"        - {dd('tie3')} / 12), 4)"
+    )
 
 
 @register(
@@ -215,8 +218,8 @@ _WSR_Z_EXPR = (
     )
     SELECT CAST(n AS BIGINT) AS n_pairs,
            CAST(tplus2 AS BIGINT) AS t_plus_x2,
-           CAST({_WSR_Z_EXPR} AS DOUBLE) AS z,
-           ABS({_WSR_Z_EXPR}) > 1.96 AS regions_differ
+           CAST({_wsr_z_expr(dd_duck)} AS DOUBLE) AS z,
+           ABS({_wsr_z_expr(dd_duck)}) > 1.96 AS regions_differ
     FROM s
     """,
     doc="Wilcoxon signed-rank test (the PAIRED nonparametric test: "
@@ -298,6 +301,6 @@ def q532_wilcoxon_signed_rank(
     return s.select(
         F.col("n").cast("long").alias("n_pairs"),
         F.col("tplus2").cast("long").alias("t_plus_x2"),
-        F.expr(_WSR_Z_EXPR).cast("double").alias("z"),
-        (F.abs(F.expr(_WSR_Z_EXPR)) > 1.96).alias("regions_differ"),
+        F.expr(_wsr_z_expr(dd_spark)).cast("double").alias("z"),
+        (F.abs(F.expr(_wsr_z_expr(dd_spark))) > 1.96).alias("regions_differ"),
     )

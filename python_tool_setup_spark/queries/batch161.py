@@ -18,16 +18,18 @@ from pyspark.sql.window import Window
 
 from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 # z for doubled-rank U: U2 = 2U, E[U2] = n1*n2, Var[U2] scales by 4:
 # Var = 4 * (n1 n2 / (n(n-1))) * ((n^3 - n - sum(t^3 - t)) / 12)
-_MWU_Z_EXPR = (
-    "ROUND((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
-    " / SQRT(4.0 * CAST(n1 AS DOUBLE) * n2 / (CAST(n AS DOUBLE) * (n - 1))"
-    "   * ((CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE))"
-    "      / 12)), 4)"
-)
+def _mwu_z_expr(dd) -> str:
+    return (
+        f"ROUND(({dd('u2')} - CAST(n1 AS DOUBLE) * n2)"
+        " / SQRT(4.0 * CAST(n1 AS DOUBLE) * n2 / (CAST(n AS DOUBLE) * (n - 1))"
+        f"   * ((CAST(n AS DOUBLE) * n * n - n - {dd('tie3')})"
+        "      / 12)), 4)"
+    )
 
 
 @register(
@@ -64,8 +66,8 @@ _MWU_Z_EXPR = (
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
            CAST(u2 AS BIGINT) AS u_x2,
-           CAST({_MWU_Z_EXPR} AS DOUBLE) AS z,
-           ABS({_MWU_Z_EXPR}) > 1.96 AS distributions_differ
+           CAST({_mwu_z_expr(dd_duck)} AS DOUBLE) AS z,
+           ABS({_mwu_z_expr(dd_duck)}) > 1.96 AS distributions_differ
     FROM u
     """,
     doc="Mann-Whitney U (unpaired nonparametric two-sample test — "
@@ -142,8 +144,8 @@ def q533_mann_whitney_u(
         F.col("n1").cast("long").alias("n_a"),
         F.col("n2").cast("long").alias("n_b"),
         F.col("u2").cast("long").alias("u_x2"),
-        F.expr(_MWU_Z_EXPR).cast("double").alias("z"),
-        (F.abs(F.expr(_MWU_Z_EXPR)) > 1.96).alias(
+        F.expr(_mwu_z_expr(dd_spark)).cast("double").alias("z"),
+        (F.abs(F.expr(_mwu_z_expr(dd_spark))) > 1.96).alias(
             "distributions_differ"
         ),
     )

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 _FRIED_K = 5  # regions
@@ -59,7 +60,7 @@ _CHI2_4_MICRO = 9_487_729
     ),
     stat AS (
         SELECT n,
-               CAST(ROUND((12.0 * CAST(sumsq AS DOUBLE)
+               CAST(ROUND((12.0 * {dd_duck('sumsq')}
                    / (n * {_FRIED_K} * ({_FRIED_K} + 1))
                    - 3.0 * CAST(n AS DOUBLE) * ({_FRIED_K} + 1)) * 1000000)
                    AS BIGINT) AS chi2_micro
@@ -169,18 +170,18 @@ def q535_friedman_test(
 # C = 1 - sum(t^3-t)/(n^3-n). Per-term rounding error in H is
 # O(k/n) — far below the micro quantum at any gate scale — and
 # identical on both engines.
-_KW_TERM_EXPR = (
-    "CAST(ROUND(CAST(r2j AS DOUBLE) * r2j / nj / n) AS BIGINT)"
-)
+def _kw_term_expr(dd) -> str:
+    return f"CAST(ROUND({dd('r2j')} * {dd('r2j')} / nj / n) AS BIGINT)"
 # chain heads CAST(... AS DOUBLE): bare decimal-literal * int / int
 # is DECIMAL division on Spark but DOUBLE on DuckDB (q521-class
 # half-ulp hash flake).
-_KW_H_EXPR = (
-    "CAST(ROUND((3.0 * CAST(sum_q AS DOUBLE) / (n + 1)"
-    " - 3.0 * (CAST(n AS DOUBLE) + 1))"
-    " / (1.0 - CAST(tie3 AS DOUBLE)"
-    "    / (CAST(n AS DOUBLE) * n * n - n)) * 1000000) AS BIGINT)"
-)
+def _kw_h_expr(dd) -> str:
+    return (
+        f"CAST(ROUND((3.0 * {dd('sum_q')} / (n + 1)"
+        " - 3.0 * (CAST(n AS DOUBLE) + 1))"
+        f" / (1.0 - {dd('tie3')}"
+        "    / (CAST(n AS DOUBLE) * n * n - n)) * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -210,7 +211,7 @@ _KW_H_EXPR = (
     ),
     tot AS (SELECT SUM(nj) AS n FROM byg),
     terms AS (
-        SELECT {_KW_TERM_EXPR} AS term_q
+        SELECT {_kw_term_expr(dd_duck)} AS term_q
         FROM byg CROSS JOIN tot
     ),
     s AS (
@@ -222,8 +223,8 @@ _KW_H_EXPR = (
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST((SELECT COUNT(*) FROM byg) AS BIGINT) AS n_groups,
-           {_KW_H_EXPR} AS h_micro,
-           {_KW_H_EXPR} > {_CHI2_4_MICRO} AS groups_differ
+           {_kw_h_expr(dd_duck)} AS h_micro,
+           {_kw_h_expr(dd_duck)} > {_CHI2_4_MICRO} AS groups_differ
     FROM s
     """,
     doc="Kruskal-Wallis (unpaired k-group rank test generalizing "
@@ -278,7 +279,7 @@ def q536_kruskal_wallis(
     ngroups = byg.agg(F.count(F.lit(1)).alias("n_groups"))
     tot = byg.agg(F.sum("nj").alias("n"))
     terms = byg.crossJoin(F.broadcast(tot)).select(
-        F.expr(_KW_TERM_EXPR).alias("term_q")
+        F.expr(_kw_term_expr(dd_spark)).alias("term_q")
     )
     s = (
         terms.agg(F.sum("term_q").alias("sum_q"))
@@ -289,6 +290,6 @@ def q536_kruskal_wallis(
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
         F.col("n_groups").cast("long").alias("n_groups"),
-        F.expr(_KW_H_EXPR).alias("h_micro"),
-        (F.expr(_KW_H_EXPR) > _CHI2_4_MICRO).alias("groups_differ"),
+        F.expr(_kw_h_expr(dd_spark)).alias("h_micro"),
+        (F.expr(_kw_h_expr(dd_spark)) > _CHI2_4_MICRO).alias("groups_differ"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 _MCN_Y1, _MCN_Y2 = 1996, 1997
@@ -115,12 +116,13 @@ def q537_mcnemar_test(
 # Cochran-Armitage trend z from exact integer sufficient stats:
 # T = sum w_i (p_i - pbar) n_i = sum w_i r_i - pbar sum w_i n_i;
 # Var = pbar(1-pbar) [sum w_i^2 n_i - (sum w_i n_i)^2 / n]
-_CA_Z_EXPR = (
-    "ROUND((CAST(swr AS DOUBLE) - CAST(r AS DOUBLE) / n * swn)"
-    " / SQRT((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)"
-    "   * (CAST(sw2n AS DOUBLE)"
-    "      - CAST(swn AS DOUBLE) * swn / n)), 4)"
-)
+def _ca_z_expr(dd) -> str:
+    return (
+        f"ROUND(({dd('swr')} - CAST(r AS DOUBLE) / n * {dd('swn')})"
+        " / SQRT((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)"
+        f"   * ({dd('sw2n')}"
+        f"      - {dd('swn')} * {dd('swn')} / n)), 4)"
+    )
 
 
 @register(
@@ -146,8 +148,8 @@ _CA_Z_EXPR = (
     SELECT CAST(n AS BIGINT) AS n_orders,
            CAST(r AS BIGINT) AS n_urgent,
            CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_year_groups,
-           CAST({_CA_Z_EXPR} AS DOUBLE) AS z,
-           ABS({_CA_Z_EXPR}) > 1.96 AS trend_present
+           CAST({_ca_z_expr(dd_duck)} AS DOUBLE) AS z,
+           ABS({_ca_z_expr(dd_duck)}) > 1.96 AS trend_present
     FROM s
     """,
     doc="Cochran-Armitage trend test (ordered-group proportions "
@@ -196,6 +198,6 @@ def q538_cochran_armitage_trend(
         F.col("n").cast("long").alias("n_orders"),
         F.col("r").cast("long").alias("n_urgent"),
         F.col("n_year_groups").cast("long").alias("n_year_groups"),
-        F.expr(_CA_Z_EXPR).cast("double").alias("z"),
-        (F.abs(F.expr(_CA_Z_EXPR)) > 1.96).alias("trend_present"),
+        F.expr(_ca_z_expr(dd_spark)).cast("double").alias("z"),
+        (F.abs(F.expr(_ca_z_expr(dd_spark))) > 1.96).alias("trend_present"),
     )

@@ -17,37 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 # Pearson r between a pair, from exact integer moments (n, sums,
 # squares, cross), micro-quantized — instantiated per pair by
 # suffix substitution so all three pairs share one template.
-def _r_expr(a: str, b: str) -> str:
+def _r_expr(a: str, b: str, dd=None) -> str:
+    from python_tool_setup_spark.queries.exactcast import dd_duck
+    dd = dd or dd_duck
     return (
-        f"((CAST(n AS DOUBLE) * s{a}{b} - CAST(s{a} AS DOUBLE) * s{b})"
-        f" / SQRT((CAST(n AS DOUBLE) * q{a} - CAST(s{a} AS DOUBLE)"
-        f" * s{a}) * (CAST(n AS DOUBLE) * q{b}"
-        f" - CAST(s{b} AS DOUBLE) * s{b})))"
+        f"((CAST(n AS DOUBLE) * {dd(f's{a}{b}')} - {dd(f's{a}')} * {dd(f's{b}')})"
+        f" / SQRT((CAST(n AS DOUBLE) * {dd(f'q{a}')} - {dd(f's{a}')}"
+        f" * {dd(f's{a}')}) * (CAST(n AS DOUBLE) * {dd(f'q{b}')}"
+        f" - {dd(f's{b}')} * {dd(f's{b}')})))"
     )
 
 
-_PC_EXPR = (
-    "CAST(ROUND(("
-    + _r_expr("x", "y")
-    + " - "
-    + _r_expr("x", "z")
-    + " * "
-    + _r_expr("y", "z")
-    + ") / SQRT((1 - "
-    + _r_expr("x", "z")
-    + " * "
-    + _r_expr("x", "z")
-    + ") * (1 - "
-    + _r_expr("y", "z")
-    + " * "
-    + _r_expr("y", "z")
-    + ")) * 1000000) AS BIGINT)"
-)
+def _pc_expr(dd) -> str:
+    return (
+        "CAST(ROUND(("
+        + _r_expr("x", "y", dd)
+        + " - "
+        + _r_expr("x", "z", dd)
+        + " * "
+        + _r_expr("y", "z", dd)
+        + ") / SQRT((1 - "
+        + _r_expr("x", "z", dd)
+        + " * "
+        + _r_expr("x", "z", dd)
+        + ") * (1 - "
+        + _r_expr("y", "z", dd)
+        + " * "
+        + _r_expr("y", "z", dd)
+        + ")) * 1000000) AS BIGINT)"
+    )
+
+_PC_EXPR = _pc_expr(None)
 
 
 @register(
@@ -119,18 +125,20 @@ def q543_partial_correlation(
         F.sum(dec("x") * F.col("z")).alias("sxz"),
         F.sum(dec("y") * F.col("z")).alias("syz"),
     )
-    rxy = F.expr(f"CAST(ROUND({_r_expr('x', 'y')} * 1000000) AS BIGINT)")
+    rxy = F.expr(
+        f"CAST(ROUND({_r_expr('x', 'y', dd_spark)} * 1000000) AS BIGINT)"
+    )
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
         rxy.alias("r_xy_micro"),
         F.expr(
-            f"CAST(ROUND({_r_expr('x', 'z')} * 1000000) AS BIGINT)"
+            f"CAST(ROUND({_r_expr('x', 'z', dd_spark)} * 1000000) AS BIGINT)"
         ).alias("r_xz_micro"),
         F.expr(
-            f"CAST(ROUND({_r_expr('y', 'z')} * 1000000) AS BIGINT)"
+            f"CAST(ROUND({_r_expr('y', 'z', dd_spark)} * 1000000) AS BIGINT)"
         ).alias("r_yz_micro"),
-        F.expr(_PC_EXPR).alias("r_xy_given_z_micro"),
-        (F.abs(F.expr(_PC_EXPR) - rxy) < 50000).alias(
+        F.expr(_pc_expr(dd_spark)).alias("r_xy_given_z_micro"),
+        (F.abs(F.expr(_pc_expr(dd_spark)) - rxy) < 50000).alias(
             "confounder_negligible"
         ),
     )
@@ -138,13 +146,14 @@ def q543_partial_correlation(
 
 # ---------------------------------------------------------------- q544
 # SMD = (mean_t - mean_c)/sqrt((var_t + var_c)/2), milli-quantized.
-_SMD_EXPR = (
-    "CAST(ROUND((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)"
-    " / SQRT((((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)"
-    "          / (nt - 1))"
-    "         + ((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc)"
-    "            / (nc - 1))) / 2) * 1000) AS BIGINT)"
-)
+def _smd_expr(dd) -> str:
+    return (
+        "CAST(ROUND((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)"
+        f" / SQRT(((({dd('qt')} - CAST(st AS DOUBLE) * st / nt)"
+        "          / (nt - 1))"
+        f"         + (({dd('qc')} - CAST(sc AS DOUBLE) * sc / nc)"
+        "            / (nc - 1))) / 2) * 1000) AS BIGINT)"
+    )
 
 _SMD_COVS = [
     ("acctbal_cents", "CAST(ROUND(100 * c_acctbal) AS BIGINT)"),
@@ -158,8 +167,8 @@ _SMD_COVS = [
 
 def _smd_block(name: str, expr: str) -> str:
     return f"""
-    SELECT '{name}' AS covariate, nt, nc, {_SMD_EXPR} AS smd_milli,
-           ABS({_SMD_EXPR}) < 100 AS balanced
+    SELECT '{name}' AS covariate, nt, nc, {_smd_expr(dd_duck)} AS smd_milli,
+           ABS({_smd_expr(dd_duck)}) < 100 AS balanced
     FROM (
         SELECT SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
                SUM(CASE WHEN t THEN 0 ELSE 1 END) AS nc,
@@ -231,8 +240,8 @@ def q544_covariate_balance_smd(
             F.lit(name).alias("covariate"),
             F.col("nt").cast("long").alias("n_treat"),
             F.col("nc").cast("long").alias("n_control"),
-            F.expr(_SMD_EXPR).alias("smd_milli"),
-            (F.abs(F.expr(_SMD_EXPR)) < 100).alias("balanced"),
+            F.expr(_smd_expr(dd_spark)).alias("smd_milli"),
+            (F.abs(F.expr(_smd_expr(dd_spark))) < 100).alias("balanced"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("covariate")

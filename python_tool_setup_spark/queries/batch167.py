@@ -17,14 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 # Pearson r between half-means from exact integer moments.
-_SH_R_EXPR = (
-    "((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)"
-    " / SQRT((CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)"
-    "        * (CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)))"
-)
+def _sh_r_expr(dd) -> str:
+    return (
+        f"((CAST(n AS DOUBLE) * {dd('sab')} - CAST(sa AS DOUBLE) * sb)"
+        f" / SQRT((CAST(n AS DOUBLE) * {dd('qa')} - CAST(sa AS DOUBLE) * sa)"
+        f"        * (CAST(n AS DOUBLE) * {dd('qb')} - CAST(sb AS DOUBLE) * sb)))"
+    )
 
 
 @register(
@@ -51,11 +53,11 @@ _SH_R_EXPR = (
         FROM both_h
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
-           CAST(ROUND({_SH_R_EXPR} * 1000000) AS BIGINT)
+           CAST(ROUND({_sh_r_expr(dd_duck)} * 1000000) AS BIGINT)
                AS half_r_micro,
-           CAST(ROUND(2 * {_SH_R_EXPR} / (1 + {_SH_R_EXPR})
+           CAST(ROUND(2 * {_sh_r_expr(dd_duck)} / (1 + {_sh_r_expr(dd_duck)})
                * 1000000) AS BIGINT) AS spearman_brown_micro,
-           ROUND(2 * {_SH_R_EXPR} / (1 + {_SH_R_EXPR}) * 1000000)
+           ROUND(2 * {_sh_r_expr(dd_duck)} / (1 + {_sh_r_expr(dd_duck)}) * 1000000)
                >= 700000 AS metric_reliable
     FROM s
     """,
@@ -103,13 +105,13 @@ def q545_split_half_reliability(
         F.sum(dec("a") * F.col("b")).alias("sab"),
     )
     sb = F.expr(
-        f"CAST(ROUND(2 * {_SH_R_EXPR} / (1 + {_SH_R_EXPR})"
+        f"CAST(ROUND(2 * {_sh_r_expr(dd_spark)} / (1 + {_sh_r_expr(dd_spark)})"
         " * 1000000) AS BIGINT)"
     )
     return s.select(
         F.col("n").cast("long").alias("n_customers"),
         F.expr(
-            f"CAST(ROUND({_SH_R_EXPR} * 1000000) AS BIGINT)"
+            f"CAST(ROUND({_sh_r_expr(dd_spark)} * 1000000) AS BIGINT)"
         ).alias("half_r_micro"),
         sb.alias("spearman_brown_micro"),
         (sb >= 700000).alias("metric_reliable"),
@@ -120,15 +122,14 @@ def q545_split_half_reliability(
 # ICC(1) from one-way ANOVA with unequal group sizes:
 # k0 = (N - sum(nj^2)/N) / (G - 1); MSB/MSW from exact moments;
 # ICC = (MSB - MSW) / (MSB + (k0 - 1) MSW).
-_ICC_EXPRS = {
-    "msb": (
-        "((CAST(ssb AS DOUBLE)) / (g - 1))"
-    ),
-    "msw": ("((CAST(ssw AS DOUBLE)) / (n - g))"),
-    "k0": (
-        "((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (g - 1))"
-    ),
-}
+def _icc_exprs(dd) -> dict:
+    return {
+        "msb": "((CAST(ssb AS DOUBLE)) / (g - 1))",
+        "msw": "((CAST(ssw AS DOUBLE)) / (n - g))",
+        "k0": (
+            f"((CAST(n AS DOUBLE) - {dd('sn2')} / n) / (g - 1))"
+        ),
+    }
 
 
 @register(
@@ -156,16 +157,16 @@ _ICC_EXPRS = {
     ),
     m AS (
         SELECT g, n, sn2,
-               CAST(ssb_part_milli AS DOUBLE) / 1000
+               {dd_duck('ssb_part_milli')} / 1000
                    - CAST(st AS DOUBLE) * st / n AS ssb,
-               CAST(ssw_milli0 AS DOUBLE) AS ssw
+               {dd_duck('ssw_milli0')} AS ssw
         FROM s
     ),
     icc AS (
         SELECT g, n,
-               {_ICC_EXPRS['msb']} AS msb,
-               {_ICC_EXPRS['msw']} AS msw,
-               {_ICC_EXPRS['k0']} AS k0
+               {_icc_exprs(dd_duck)['msb']} AS msb,
+               {_icc_exprs(dd_duck)['msw']} AS msw,
+               {_icc_exprs(dd_duck)['k0']} AS k0
         FROM m
     )
     SELECT CAST(g AS BIGINT) AS n_customers,
@@ -234,9 +235,9 @@ def q546_intraclass_correlation(
     icc = m.select(
         "g",
         "n",
-        F.expr(_ICC_EXPRS["msb"]).alias("msb"),
-        F.expr(_ICC_EXPRS["msw"]).alias("msw"),
-        F.expr(_ICC_EXPRS["k0"]).alias("k0"),
+        F.expr(_icc_exprs(dd_spark)["msb"]).alias("msb"),
+        F.expr(_icc_exprs(dd_spark)["msw"]).alias("msw"),
+        F.expr(_icc_exprs(dd_spark)["k0"]).alias("k0"),
     )
     val = F.round(
         (F.col("msb") - F.col("msw"))

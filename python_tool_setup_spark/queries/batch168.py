@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _ALPHA_K = 4
@@ -57,15 +58,15 @@ _ALPHA_K = 4
     ),
     v AS (
         SELECT n,
-               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               ({dd_duck('q1')} - CAST(s1 AS DOUBLE) * s1 / n)
                    / (n - 1)
-               + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+               + ({dd_duck('q2')} - CAST(s2 AS DOUBLE) * s2 / n)
                    / (n - 1)
-               + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)
+               + ({dd_duck('q3')} - CAST(s3 AS DOUBLE) * s3 / n)
                    / (n - 1)
-               + (CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n)
+               + ({dd_duck('q4')} - CAST(s4 AS DOUBLE) * s4 / n)
                    / (n - 1) AS sum_item_var,
-               (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+               ({dd_duck('qt')} - CAST(st AS DOUBLE) * st / n)
                    / (n - 1) AS total_var
         FROM s
     )
@@ -167,7 +168,7 @@ def q547_cronbach_alpha(
 # ---------------------------------------------------------------- q548
 @register(
     "q548_bland_altman",
-    """
+    f"""
     WITH halves AS (
         SELECT o_custkey,
                CAST(ROUND(AVG(CASE WHEN o_orderkey % 2 = 1
@@ -191,7 +192,7 @@ def q547_cronbach_alpha(
         SELECT n,
                CAST(ROUND(CAST(sd AS DOUBLE) / n) AS BIGINT)
                    AS bias_cents,
-               CAST(ROUND(1.96 * SQRT((CAST(qd AS DOUBLE)
+               CAST(ROUND(1.96 * SQRT(({dd_duck('qd')}
                    - CAST(sd AS DOUBLE) * sd / n) / (n - 1)))
                    AS BIGINT) AS loa_half_width
         FROM s

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_rank
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _ZIPF_TOP = 200
@@ -140,11 +141,11 @@ def q300_distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT CAST(k AS DOUBLE) AS kd,
-               CAST(sx AS DOUBLE) / 1000000000.0 AS sx,
-               CAST(sy AS DOUBLE) / 1000000000.0 AS sy,
-               CAST(sxy AS DOUBLE) / 1000000000.0 / 1000000000.0 AS sxy,
-               CAST(sxx AS DOUBLE) / 1000000000.0 / 1000000000.0 AS sxx,
-               CAST(syy AS DOUBLE) / 1000000000.0 / 1000000000.0 AS syy
+               {dd_duck('sx')} / 1000000000.0 AS sx,
+               {dd_duck('sy')} / 1000000000.0 AS sy,
+               {dd_duck('sxy')} / 1000000000.0 / 1000000000.0 AS sxy,
+               {dd_duck('sxx')} / 1000000000.0 / 1000000000.0 AS sxx,
+               {dd_duck('syy')} / 1000000000.0 / 1000000000.0 AS syy
         FROM s
     )
     SELECT CAST(kd AS BIGINT) AS n_ranks,

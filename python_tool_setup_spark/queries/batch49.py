@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 
@@ -79,7 +80,7 @@ def q302_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q303
 @register(
     "q303_key_skew_gini",
-    """
+    f"""
     WITH sizes AS (
         SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
     ),
@@ -105,8 +106,9 @@ def q302_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND((CAST(max_size AS DOUBLE)
                / CAST(n_events AS DOUBLE)) * 1000000.0) AS BIGINT)
                AS max_share_micro,
-           CAST(ROUND((CAST(numer AS DOUBLE)
-               / CAST(n_keys * n_events AS DOUBLE)) * 1000000.0) AS BIGINT)
+           CAST(ROUND(({dd_duck('numer')}
+               / {dd_duck('CAST(n_keys AS HUGEINT) * n_events')}) * 1000000.0)
+               AS BIGINT)
                AS gini_micro
     FROM agg
     """,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _MID_TS = "2024-01-16 00:00:00"
@@ -45,8 +46,8 @@ _MID_TS = "2024-01-16 00:00:00"
     ),
     d AS (
         SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
-               CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
-               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+               CAST(sy AS DOUBLE) AS sy, {dd_duck('sxy')} AS sxy,
+               {dd_duck('sxx')} AS sxx, {dd_duck('syy')} AS syy,
                CAST(na AS DOUBLE) AS na, CAST(sya AS DOUBLE) AS sya,
                CAST(sxa AS DOUBLE) AS sxa, CAST(nb AS DOUBLE) AS nb,
                CAST(syb AS DOUBLE) AS syb, CAST(sxb AS DOUBLE) AS sxb

@@ -12,13 +12,14 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 
 # ---------------------------------------------------------------- q319
 @register(
     "q319_grouped_trend",
-    """
+    f"""
     WITH daily AS (
         SELECT event_type, CAST(date_diff('day', DATE '2024-01-01',
                    CAST(ts AS DATE)) AS BIGINT) AS x,
@@ -32,15 +33,15 @@ from python_tool_setup_spark.tables import load_table
         FROM daily GROUP BY event_type
     )
     SELECT event_type, CAST(k AS BIGINT) AS n_days,
-           CAST(ROUND(((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+           CAST(ROUND(((CAST(k AS DOUBLE) * {dd_duck('sxy')}
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+               / (CAST(k AS DOUBLE) * {dd_duck('sxx')}
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                * 1000000.0) AS BIGINT) AS slope_micro,
            CAST(ROUND(((CAST(sy AS DOUBLE)
-               - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - ((CAST(k AS DOUBLE) * {dd_duck('sxy')}
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  / (CAST(k AS DOUBLE) * {dd_duck('sxx')}
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                  * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE))
                * 1000000.0) AS BIGINT) AS intercept_micro

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 
@@ -132,7 +133,7 @@ def q323_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q324
 @register(
     "q324_ratio_metric_delta",
-    """
+    f"""
     WITH per_user AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS x,
@@ -150,8 +151,8 @@ def q323_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT arm_a, CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
-               CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
-               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+               CAST(sy AS DOUBLE) AS sy, {dd_duck('sxy')} AS sxy,
+               {dd_duck('sxx')} AS sxx, {dd_duck('syy')} AS syy
         FROM s
     ),
     m AS (

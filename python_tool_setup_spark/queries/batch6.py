@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 from python_tool_setup_spark.staging import staging_dir
 
@@ -191,7 +192,7 @@ if _has_protobuf():  # pragma: no cover
 # ---------------------------------------------------------------- q140
 @register(
     "q140_grouped_statistics",
-    """
+    f"""
     WITH s AS (
         -- exact integer moments (q212 recipe): the engines' built-in
         -- corr/covar/stddev accumulate doubles in different orders
@@ -214,12 +215,12 @@ if _has_protobuf():  # pragma: no cover
     ),
     mm AS (
         SELECT l_returnflag, n,
-               CAST(CAST(n AS HUGEINT) * sqc
-                    - CAST(sq AS HUGEINT) * sc AS DOUBLE) AS covnum,
-               CAST(CAST(n AS HUGEINT) * sq2
-                    - CAST(sq AS HUGEINT) * sq AS DOUBLE) AS qvarnum,
-               CAST(CAST(n AS HUGEINT) * sc2
-                    - CAST(sc AS HUGEINT) * sc AS DOUBLE) AS cvarnum
+               {dd_duck("CAST(n AS HUGEINT) * sqc"
+                         " - CAST(sq AS HUGEINT) * sc")} AS covnum,
+               {dd_duck("CAST(n AS HUGEINT) * sq2"
+                         " - CAST(sq AS HUGEINT) * sq")} AS qvarnum,
+               {dd_duck("CAST(n AS HUGEINT) * sc2"
+                         " - CAST(sc AS HUGEINT) * sc")} AS cvarnum
         FROM s
     ),
     d2 AS (
@@ -238,8 +239,8 @@ if _has_protobuf():  # pragma: no cover
                  / (CAST(mm.n AS DOUBLE) * mm.n * 100))) / 10000.0
                AS price_qty_cov,
            ROUND(1000000 * SQRT(
-                 CAST(CAST(d2.n AS HUGEINT) * sd2
-                      - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                 {dd_duck("CAST(d2.n AS HUGEINT) * sd2"
+                          " - CAST(sd AS HUGEINT) * sd")}
                  / (CAST(d2.n AS DOUBLE) * d2.n * 10000))) / 1000000.0
                AS discount_sd,
            ROUND(1000000 * (covnum / (100 * qvarnum))) / 1000000.0

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _HILL_K = 100
@@ -95,7 +96,7 @@ def q325_hill_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- q326
 @register(
     "q326_burstiness",
-    """
+    f"""
     WITH gaps AS (
         SELECT user_id,
                CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id
@@ -111,7 +112,7 @@ def q325_hill_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT user_id, k,
                CAST(sg AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
-               sqrt((CAST(sgg AS DOUBLE)
+               sqrt(({dd_duck('sgg')}
                      - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
                        / CAST(k AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                    AS sigma

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 
@@ -50,8 +51,8 @@ def _dim_sums_sql() -> str:
         GROUP BY a.label, b.label
     )
     SELECT l1, l2,
-           CAST(ROUND(CAST(dot AS DOUBLE)
-               / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+           CAST(ROUND({dd_duck('dot')}
+               / (sqrt({dd_duck('na')}) * sqrt({dd_duck('nb')}))
                * 1000000.0) AS BIGINT) AS cos_micro
     FROM pairs ORDER BY l1, l2
     """,
@@ -125,11 +126,11 @@ def q338_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims GROUP BY label
     )
     SELECT label, CAST(n AS BIGINT) AS n_vectors,
-           CAST(ROUND(sqrt(CAST(s2 AS DOUBLE))
+           CAST(ROUND(sqrt({dd_duck('s2')})
                / CAST(n AS DOUBLE) / 1000000.0 * 1000000.0) AS BIGINT)
                AS centroid_norm_micro,
-           CAST(ROUND((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
-               - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE)
+           CAST(ROUND(({dd_duck('ss')} / CAST(n AS DOUBLE)
+               - {dd_duck('s2')} / (CAST(n AS DOUBLE)
                  * CAST(n AS DOUBLE)))
                / 1000000.0 / 1000000.0 * 1000000.0) AS BIGINT)
                AS avg_sq_dist_micro

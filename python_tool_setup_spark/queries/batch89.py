@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 _RSD = 0.05  # approx_count_distinct relative standard deviation
@@ -86,12 +87,12 @@ def q382_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sample_mean_cents,
            CAST(ROUND(ABS(CAST(t AS DOUBLE) / m - CAST(s AS DOUBLE) / n))
                AS BIGINT) AS abs_err_cents,
-           CAST(ROUND(sqrt((CAST(ss AS DOUBLE) / n
+           CAST(ROUND(sqrt(({dd_duck('ss')} / n
                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                    / m * (1.0 - CAST(m AS DOUBLE) / n))) AS BIGINT)
                AS se_cents,
            ABS(CAST(t AS DOUBLE) / m - CAST(s AS DOUBLE) / n)
-               <= 3.0 * sqrt((CAST(ss AS DOUBLE) / n
+               <= 3.0 * sqrt(({dd_duck('ss')} / n
                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
                    / m * (1.0 - CAST(m AS DOUBLE) / n)) AS within_3se
     FROM pop, smp

@@ -1,0 +1,133 @@
+"""Pin the HUGEINT->DOUBLE cast mechanism and its two-limb repair.
+
+Multi-seed catch #6 (seed 2468, q505): DuckDB's native HUGEINT /
+DECIMAL(38)->DOUBLE cast is not correctly rounded above 2^53, while
+Spark's Decimal->double (BigDecimal.doubleValue) is — so an oracle
+final whose double math consumes a >2^53 exact-integer moment can sit
+1 ulp away from Spark's, and a downstream ROUND boundary turns that
+into a value mismatch. queries/exactcast.py documents the two-limb
+conversion both engines evaluate bit-identically AND correctly
+rounded for |x| < 2^101.
+
+These tests pin:
+1. the DuckDB defect on the reproducing value (if a DuckDB upgrade
+   fixes the native cast, the pin flips and the workaround can be
+   retired);
+2. the two-limb recipe's correct rounding on randomized >2^53
+   integers (both sign, both engines' dialect semantics);
+3. the anti-reversion census: no oracle may cast a HUGEINT-defined
+   column to DOUBLE natively — every such name must go through the
+   two-limb text (or stay in integer/comparison contexts).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import duckdb
+import pytest
+
+from python_tool_setup_spark.queries import all_queries
+from python_tool_setup_spark.queries.exactcast import K, dd_duck, dd_spark
+
+# the value from the seed-2468 q505 dataset whose native cast is 1 ulp
+# low (0x1.404f9d4823216p+65 instead of ...217p+65)
+REPRO = 46161679096899359540
+
+
+def test_duckdb_native_cast_misrounds_repro_value():
+    con = duckdb.connect()
+    native = con.execute(
+        f"SELECT CAST(CAST({REPRO} AS HUGEINT) AS DOUBLE)"
+    ).fetchone()[0]
+    # float(int) in Python is correctly rounded (round-half-even)
+    assert native != float(REPRO), (
+        "DuckDB's native HUGEINT->DOUBLE cast now rounds correctly — "
+        "the exactcast workaround can be retired"
+    )
+
+
+def test_two_limb_matches_correct_rounding_on_repro():
+    con = duckdb.connect()
+    two = con.execute(f"SELECT {dd_duck(f'CAST({REPRO} AS HUGEINT)')}"
+                      ).fetchone()[0]
+    assert two == float(REPRO)
+    assert two.hex() == "0x1.404f9d4823217p+65"
+
+
+def test_two_limb_correctly_rounds_random_hugeints():
+    con = duckdb.connect()
+    rng = random.Random(20260816)
+    vals = [
+        rng.getrandbits(rng.randint(54, 100))
+        * (1 if rng.random() < 0.5 else -1)
+        for _ in range(500)
+    ]
+    con.execute("CREATE TABLE t(v HUGEINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(str(v),) for v in vals])
+    rows = con.execute(f"SELECT v, {dd_duck('v')} FROM t").fetchall()
+    for v, limb in rows:
+        assert limb == float(int(v)), f"{v}: {limb.hex()}"
+
+
+def test_two_limb_spark_dialect_matches(spark):
+    vals = [REPRO, -REPRO, 2**53 + 1, 12345, -7, 0,
+            98765432109876543210987654321]
+    exprs = ", ".join(
+        dd_spark(f"CAST('{v}' AS DECIMAL(38,0))") for v in vals
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for v, got in zip(vals, row):
+        assert got == float(v), f"{v}: {got.hex()}"
+
+
+def test_below_2_53_two_limb_is_exact_cast():
+    con = duckdb.connect()
+    for v in (0, 1, -1, 2**52, -(2**53) + 1, 999999999999):
+        got = con.execute(
+            f"SELECT {dd_duck(f'CAST({v} AS HUGEINT)')}"
+        ).fetchone()[0]
+        assert got == float(v) and float(v) == v
+
+
+# ---------------------------------------------------------------- census
+def _hugeint_names(sql: str) -> set[str]:
+    """Names whose defining expression contains AS HUGEINT."""
+    names: set[str] = set()
+    for m in re.finditer(r"SUM\([^;]*?AS HUGEINT[^;]*?\)\s+AS\s+(\w+)", sql):
+        names.add(m.group(1))
+    for line in sql.splitlines():
+        if "HUGEINT" in line:
+            m = re.search(r"AS\s+(\w+)\s*,?\s*$", line.strip())
+            if m:
+                names.add(m.group(1))
+    return names
+
+
+def test_no_native_double_cast_of_hugeint_columns():
+    """Anti-reversion: CAST(<hugeint name> AS DOUBLE) is banned in
+    oracle SQL — the two-limb text (// 2^48 limbs) must be used."""
+    offenders: list[str] = []
+    for gname, q in all_queries().items():
+        sql = q.oracle
+        if not sql or "HUGEINT" not in sql:
+            continue
+        for col in _hugeint_names(sql):
+            if re.search(rf"CAST\(\s*{col}\s+AS DOUBLE\)", sql):
+                offenders.append(f"{gname}:{col}")
+    assert offenders == [], offenders
+
+
+def test_census_regex_still_detects_the_banned_shape():
+    """The census must keep flagging the exact pre-fix q505 shape."""
+    sql = """
+    s AS (SELECT SUM(CAST(x AS HUGEINT) * x) AS qs FROM t)
+    SELECT CAST(ROUND(CAST(qs AS DOUBLE) / n) AS BIGINT) FROM s
+    """
+    assert _hugeint_names(sql) == {"qs"}
+    assert re.search(r"CAST\(\s*qs\s+AS DOUBLE\)", sql)
+
+
+def test_exactcast_constant_is_2_pow_48():
+    assert K == 2**48

@@ -82,6 +82,28 @@ PINS: dict[tuple[int, float], list[str]] = {
         "q393_interarrival_percentiles",
         "q446_tail_treatment_moments",
     ],
+    # seed 2468 caught TWO new mechanisms in round 8's continuation:
+    # - q505 (catch #6): DuckDB's native HUGEINT->DOUBLE cast is not
+    #   correctly rounded above 2^53 (~1.4% of values land 1 ulp off;
+    #   queries/exactcast.py pins the mechanism), so the delta-method
+    #   variance flipped its last micro digits; fixed by the two-limb
+    #   correctly-rounded conversion across the whole census.
+    # - q92 (catch #7): the Spark side truncated session gaps to whole
+    #   seconds while the oracle compared full-precision intervals; a
+    #   1800.119515 s gap truncates to exactly 1800 s and the engines
+    #   split sessions differently; fixed by microsecond-integer gaps
+    #   on both sides.
+    # The other gates are the highest-magnitude exactcast conversions
+    # re-verified on the reproducing dataset.
+    (2468, 0.012): [
+        "q505_ratio_metric_delta_method",
+        "q92_sessionize",
+        "q506_cuped_variance_reduction",
+        "q510_price_elasticity",
+        "q140_grouped_statistics",
+        "q543_partial_correlation",
+        "q545_split_half_reliability",
+    ],
 }
 
 CASES = [
