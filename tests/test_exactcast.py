@@ -131,3 +131,41 @@ def test_census_regex_still_detects_the_banned_shape():
 
 def test_exactcast_constant_is_2_pow_48():
     assert K == 2**48
+
+
+def test_duckdb_scaled_decimal_to_double_is_not_correctly_rounded():
+    """Sibling mechanism pin: DuckDB converts SCALED decimals to
+    double via int->double-then-divide (two roundings), so ~30% of
+    DECIMAL(38,2) values differ by 1 ulp from the correctly-rounded
+    rational (what Spark's BigDecimal.doubleValue produces). The
+    engine convention therefore keeps money/micro quantities in
+    INTEGER units (scale-0) end-to-end; q180 compares decimals as
+    VARCHAR. This pin documents why."""
+    from fractions import Fraction
+
+    con = duckdb.connect()
+    rng = random.Random(20260816)
+    bad = 0
+    for _ in range(200):
+        v = rng.getrandbits(rng.randint(54, 62))
+        got = con.execute(
+            f"SELECT CAST(CAST('{v}.25' AS DECIMAL(38,2)) AS DOUBLE)"
+        ).fetchone()[0]
+        if got != float(Fraction(v * 100 + 25, 100)):
+            bad += 1
+    assert bad > 0, (
+        "DuckDB's scaled-DECIMAL->DOUBLE cast now rounds correctly — "
+        "the integer-units convention is no longer load-bearing here"
+    )
+
+
+def test_no_scaled_decimal_to_double_in_oracles():
+    """Anti-class lint: no oracle may cast to a SCALED decimal except
+    q180, which compares exact decimal strings (VARCHAR finals)."""
+    offenders = []
+    for gname, q in all_queries().items():
+        sql = q.oracle or ""
+        if re.search(r"DECIMAL\(\d+,\s*[1-9]\d*\)", sql):
+            if gname != "q180_decimal_exact_agg":
+                offenders.append(gname)
+    assert offenders == [], offenders
