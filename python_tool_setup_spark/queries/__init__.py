@@ -381,7 +381,7 @@ def all_queries() -> dict[str, Query]:
         "q338_", "q339_", "q383_", "q426_", "q433_", "q448_",
         "q471_", "q490_", "q502_", "q522_", "q531_", "q532_",
         "q533_", "q535_", "q536_", "q538_", "q544_", "q546_",
-        "q547_", "q548_",
+        "q547_", "q548_", "q527_",
     )
     # Ordered by prefix position (oldest unverified math first), not
     # registration order, so earlier-round conversions outrank newer

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
 
 _RC_WINDOW = 12
@@ -28,12 +29,13 @@ _RC_REGION_B = "EUROPE"
 
 # Pearson r from exact integer window sufficient stats, micro-
 # quantized through shared expression text.
-_RC_R_EXPR = (
-    "CAST(ROUND((CAST(k AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)"
-    " / SQRT((CAST(k AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)"
-    "        * (CAST(k AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb))"
-    " * 1000000) AS BIGINT)"
-)
+def _rc_r_expr(dd) -> str:
+    return (
+        f"CAST(ROUND((CAST(k AS DOUBLE) * {dd('sab')} - CAST(sa AS DOUBLE) * sb)"
+        f" / SQRT((CAST(k AS DOUBLE) * {dd('qa')} - CAST(sa AS DOUBLE) * sa)"
+        f"        * (CAST(k AS DOUBLE) * {dd('qb')} - CAST(sb AS DOUBLE) * sb))"
+        " * 1000000) AS BIGINT)"
+    )
 
 
 @register(
@@ -75,8 +77,8 @@ _RC_R_EXPR = (
     )
     SELECT CAST(idx AS BIGINT) AS month_idx,
            CAST(k AS BIGINT) AS window_months,
-           {_RC_R_EXPR} AS corr_micro,
-           ABS({_RC_R_EXPR}) > 700000 AS strongly_coupled
+           {_rc_r_expr(dd_duck)} AS corr_micro,
+           ABS({_rc_r_expr(dd_duck)}) > 700000 AS strongly_coupled
     FROM full_w ORDER BY month_idx
     """,
     doc="Rolling correlation (trailing-12-month Pearson between two "
@@ -148,8 +150,8 @@ def q527_rolling_correlation(
     return full_w.select(
         F.col("idx").cast("long").alias("month_idx"),
         F.col("k").cast("long").alias("window_months"),
-        F.expr(_RC_R_EXPR).alias("corr_micro"),
-        (F.abs(F.expr(_RC_R_EXPR)) > 700000).alias(
+        F.expr(_rc_r_expr(dd_spark)).alias("corr_micro"),
+        (F.abs(F.expr(_rc_r_expr(dd_spark))) > 700000).alias(
             "strongly_coupled"
         ),
     ).orderBy("month_idx")

@@ -93,7 +93,10 @@ def test_below_2_53_two_limb_is_exact_cast():
 
 # ---------------------------------------------------------------- census
 def _hugeint_names(sql: str) -> set[str]:
-    """Names whose defining expression contains AS HUGEINT."""
+    """Names whose defining expression contains AS HUGEINT — except
+    names produced BY the two-limb conversion (those are already
+    correctly-rounded doubles; the HUGEINT token in their defining
+    lines belongs to the converted operand)."""
     names: set[str] = set()
     for m in re.finditer(r"SUM\([^;]*?AS HUGEINT[^;]*?\)\s+AS\s+(\w+)", sql):
         names.add(m.group(1))
@@ -102,12 +105,24 @@ def _hugeint_names(sql: str) -> set[str]:
             m = re.search(r"AS\s+(\w+)\s*,?\s*$", line.strip())
             if m:
                 names.add(m.group(1))
-    return names
+    converted = {
+        m.group(1)
+        for m in re.finditer(
+            rf"% {K} AS DOUBLE\)\)\s+AS\s+(\w+)", sql
+        )
+    }
+    return names - converted
 
 
 def test_no_native_double_cast_of_hugeint_columns():
-    """Anti-reversion: CAST(<hugeint name> AS DOUBLE) is banned in
-    oracle SQL — the two-limb text (// 2^48 limbs) must be used."""
+    """Anti-reversion: a HUGEINT-defined column must never reach
+    double context through DuckDB's native conversion — neither the
+    explicit ``CAST(name AS DOUBLE)`` (the q505 shape) nor implicit
+    coercion via bare ``/`` division or multiplication against a
+    double (the q543 ``CAST(n AS DOUBLE) * sab`` blind spot). Integer
+    contexts (``name // k``, ``name % k`` — the two-limb text itself —
+    plus +, -, comparisons, and integer-typed finals) are exact and
+    stay allowed."""
     offenders: list[str] = []
     for gname, q in all_queries().items():
         sql = q.oracle
@@ -115,7 +130,19 @@ def test_no_native_double_cast_of_hugeint_columns():
             continue
         for col in _hugeint_names(sql):
             if re.search(rf"CAST\(\s*{col}\s+AS DOUBLE\)", sql):
-                offenders.append(f"{gname}:{col}")
+                offenders.append(f"{gname}:{col}:explicit-cast")
+            # bare '/' (DuckDB divides integers as DOUBLE) — '//' and
+            # '/ 1000000' style on the two-limb OUTPUT are fine; we
+            # only flag the raw name as an operand of single '/'
+            if re.search(rf"\b{col}\s*/(?!/)", sql) or re.search(
+                rf"(?<!/)/\s*{col}\b", sql
+            ):
+                offenders.append(f"{gname}:{col}:implicit-div")
+            # double-cast operand multiplied by the raw hugeint name
+            if re.search(
+                rf"AS DOUBLE\)\s*\*\s*{col}\b", sql
+            ) or re.search(rf"\b{col}\s*\*\s*CAST\([^)]+AS DOUBLE\)", sql):
+                offenders.append(f"{gname}:{col}:implicit-mul")
     assert offenders == [], offenders
 
 
