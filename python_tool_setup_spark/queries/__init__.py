@@ -340,58 +340,21 @@ def all_queries() -> dict[str, Query]:
         k: v for k, v in fresh.items() if k.startswith(_PRIORITY_PREFIXES)
     }
     fresh_rest = {k: v for k, v in fresh.items() if k not in priority}
-    # Round-8 re-sample tier: gates whose MATH changed after their last
-    # official sample, so their existing green rows predate the current
-    # form. The ten proactive r7 product-sum cent conversions landed
-    # AFTER the r7 driver sample ran (q01 — also entry() — q04, q86,
-    # q116, q181, q182, q215, q216, q218, q249), the four r7 multi-seed
-    # knife-edge fixes (q212, q64, q208, q210) were never re-sampled on
-    # the fixed form, and q285/q158/q211/q214/q189 + the round-8 tier-1
-    # conversions changed this round. Each needs one official green row
-    # on its current math; once CORRECTNESS_r8 records it, this tier
-    # empties itself (latest_row is green AND the name leaves the set
-    # below as rounds advance — names are pruned manually next round).
-    _RESAMPLE_R8 = (
-        "q01_", "q04_", "q86_", "q116_", "q181_", "q182_", "q215_",
-        "q216_", "q218_", "q249_", "q212_", "q64_", "q208_", "q210_",
-        "q285_", "q158_", "q211_", "q214_", "q189_", "q255_", "q264_",
-        "q02_", "q45_", "q19_", "q234_", "q250_", "q143_", "q75_",
-        # round-8 knife-edge-audit conversions: the 28 raw money-sum
-        # gates whose worst-case any-order bound failed at the bench SF
-        # (tools/knife_edge_audit.py) — all now integer cents; each
-        # needs an official green row on the converted math
-        "q05_", "q09_", "q106_", "q11_", "q127_", "q130_", "q131_",
-        "q134_", "q145_", "q155_", "q174_", "q193_", "q195_", "q198_",
-        "q224_", "q227_", "q228_", "q230_", "q235_", "q245_", "q267_",
-        "q29_", "q30_", "q58_", "q61_", "q62_", "q63_",
-        # round-8 latent ROUND-tie conversions (exact moments /
-        # scale-first rounds) — same class, lower per-dataset odds
-        "q56_", "q105_", "q113_", "q115_", "q121_", "q140_",
-        # round-8 multi-seed catch #5 (q524, quantile-interpolation
-        # tie on seed 5050) + its same-shape conversions
-        "q524_", "q497_", "q393_", "q446_",
-        # round-8 continuation, multi-seed catches #6 and #7 (seed
-        # 2468): q505 exposed DuckDB's non-correctly-rounded
-        # HUGEINT->DOUBLE cast (queries/exactcast.py) — the whole
-        # hugeint-moment census moved to the two-limb conversion —
-        # and q92 exposed mixed second/microsecond gap precision.
-        # Each needs an official row on the current form.
-        "q505_", "q92_", "q506_", "q510_", "q543_", "q545_",
-        "q301_", "q303_", "q315_", "q319_", "q324_", "q326_",
-        "q338_", "q339_", "q383_", "q426_", "q433_", "q448_",
-        "q471_", "q490_", "q502_", "q522_", "q531_", "q532_",
-        "q533_", "q535_", "q536_", "q538_", "q544_", "q546_",
-        "q547_", "q548_", "q527_",
-    )
-    # Ordered by prefix position (oldest unverified math first), not
-    # registration order, so earlier-round conversions outrank newer
-    # ones when the tier exceeds the 50-gate sample window.
-    resample = {
-        k: _REGISTRY[k]
-        for p in _RESAMPLE_R8
-        for k in _REGISTRY
-        if k.startswith(p) and k not in stale_fail
-    }
+    # Round-9: the round-8 re-sample tier is retired. Every gate whose
+    # math changed in r7/r8 now carries verified signal on its current
+    # form: 50 drew into the official r8 driver sample (CORRECTNESS_r08
+    # 50/50 green) and the judge independently re-verified the other 83
+    # changed gates plus 40 random never-sampled ones against the DuckDB
+    # oracle on the driver's vanilla session shape (VERDICT.md r8:
+    # "123 ran, 123 matched, 0 failures"). Per the r8 verdict (next-round
+    # item 2), the sample window now points at the never-officially-
+    # sampled set — ~247 gates registered before CORRECTNESS files
+    # recorded them — so each round's 50 official rows convert
+    # judge-spot-checked gates into driver-ledger greens. With zero
+    # engine-math changes this round, ordering is:
+    #   stale_fail (latest official row red; empty as of r8)
+    #   -> priority ∩ never-sampled -> never-sampled rest -> green.
+    resample: dict[str, Query] = {}
     green = {
         k: v
         for k, v in _REGISTRY.items()
