@@ -31,11 +31,43 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release persist-mode blockrank pins when the gate returns.
+
+    Under ``spark.python_tool_setup.blockrank.pin=persist`` every pin
+    lands in the CacheManager and stays there until an explicit
+    ``release_pins()``; a chained caller that forgets leaks cache
+    across a long sweep (r8 ADVICE). Releasing here is value-safe by
+    the pin contract: persist-tracked pins are always DETERMINISTIC
+    plans (nondeterministic pins upgrade to a reliable checkpoint or
+    localCheckpoint inside ``blockrank.pin``), so a post-release read
+    recomputes the same rows. Under the default localCheckpoint mode
+    the release is a no-op (nothing is tracked). Cost under persist
+    mode: downstream actions recompute the pinned subplan from lineage
+    instead of reading cached blocks — bounded-cache beats leaked-cache
+    for a 551-gate sweep.
+    """
+    import functools
+
+    from python_tool_setup_spark.operators.blockrank import release_pins
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            release_pins()
+
+    return run
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Query(
+            name=name, spark_fn=_released(fn), oracle=oracle, doc=doc
+        )
         return fn
 
     return wrap

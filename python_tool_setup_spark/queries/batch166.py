@@ -23,9 +23,7 @@ from python_tool_setup_spark.tables import load_table
 # Pearson r between a pair, from exact integer moments (n, sums,
 # squares, cross), micro-quantized — instantiated per pair by
 # suffix substitution so all three pairs share one template.
-def _r_expr(a: str, b: str, dd=None) -> str:
-    from python_tool_setup_spark.queries.exactcast import dd_duck
-    dd = dd or dd_duck
+def _r_expr(a: str, b: str, dd) -> str:
     return (
         f"((CAST(n AS DOUBLE) * {dd(f's{a}{b}')} - {dd(f's{a}')} * {dd(f's{b}')})"
         f" / SQRT((CAST(n AS DOUBLE) * {dd(f'q{a}')} - {dd(f's{a}')}"
@@ -53,7 +51,10 @@ def _pc_expr(dd) -> str:
         + ")) * 1000000) AS BIGINT)"
     )
 
-_PC_EXPR = _pc_expr(None)
+# DuckDB-dialect text ('//' integer division) — oracle-side only; the
+# Spark side instantiates _pc_expr(dd_spark) at the use site so the
+# dialect is visible at the definition (ADVICE r8).
+_PC_EXPR = _pc_expr(dd_duck)
 
 
 @register(
@@ -77,15 +78,15 @@ _PC_EXPR = _pc_expr(None)
         FROM v
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
-           CAST(ROUND({_r_expr('x', 'y')} * 1000000) AS BIGINT)
+           CAST(ROUND({_r_expr('x', 'y', dd_duck)} * 1000000) AS BIGINT)
                AS r_xy_micro,
-           CAST(ROUND({_r_expr('x', 'z')} * 1000000) AS BIGINT)
+           CAST(ROUND({_r_expr('x', 'z', dd_duck)} * 1000000) AS BIGINT)
                AS r_xz_micro,
-           CAST(ROUND({_r_expr('y', 'z')} * 1000000) AS BIGINT)
+           CAST(ROUND({_r_expr('y', 'z', dd_duck)} * 1000000) AS BIGINT)
                AS r_yz_micro,
            {_PC_EXPR} AS r_xy_given_z_micro,
            ABS({_PC_EXPR}
-               - CAST(ROUND({_r_expr('x', 'y')} * 1000000)
+               - CAST(ROUND({_r_expr('x', 'y', dd_duck)} * 1000000)
                       AS BIGINT)) < 50000 AS confounder_negligible
     FROM s
     """,

@@ -29,8 +29,9 @@ change a value that was already correct.
 Dialect note: integer division spells `//` in DuckDB and `DIV` in
 Spark SQL; everything else is shared text.
 
-Pinned in tests/test_exactcast.py; census of converted sites in
-tests/test_hugeint_cast_census.py (anti-reversion lint).
+Pinned in tests/test_exactcast.py, which also holds the census of
+converted sites (test_no_native_double_cast_of_hugeint_columns, the
+anti-reversion lint).
 """
 
 from __future__ import annotations

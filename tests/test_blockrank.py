@@ -3,12 +3,15 @@ exactly while opening no unpartitioned window in the physical plan."""
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import prefix_agg, prefix_rank
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _rows(n, seed=7):
@@ -420,6 +423,39 @@ def test_pinned_range_path_never_persists_under_persist_conf(spark):
         br.release_pins()
         if was_empty:
             assert jcm.isEmpty(), "range-layout pin leaked into CacheManager"
+    finally:
+        spark.conf.unset(key)
+        spark.catalog.clearCache()
+
+
+def test_gate_adapter_releases_persist_pins(spark):
+    """VERDICT r8 (next-round item 4): under pin=persist, the registry
+    gate adapter must release every persist-mode pin when the gate
+    returns — a chained caller that forgets ``release_pins()`` must not
+    leak CacheManager entries across queries. Runs the two persist-
+    pinning prefix-family gates (q533 Mann-Whitney: explicit pin() +
+    prefix_agg; q475 RLE advisor: prefix_rank) back-to-back under the
+    persist conf and asserts the CacheManager is empty after EACH gate
+    — both right after the adapter returns (pins are created eagerly
+    during plan construction) and after the result is materialized
+    (the post-release recompute must still produce rows; the pin
+    contract guarantees persist-tracked plans are deterministic, so
+    values are unaffected)."""
+    from python_tool_setup_spark.queries import all_queries
+
+    key = "spark.python_tool_setup.blockrank.pin"
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcm.isEmpty()
+    qs = all_queries()
+    spark.conf.set(key, "persist")
+    try:
+        for name in ("q533_mann_whitney_u", "q475_rle_encoding_advisor"):
+            df = qs[name].spark_fn(spark, SF_DIR)
+            if was_empty:
+                assert jcm.isEmpty(), f"{name}: adapter left a persist pin"
+            assert df.count() > 0
+            if was_empty:
+                assert jcm.isEmpty(), f"{name}: collect re-registered a pin"
     finally:
         spark.conf.unset(key)
         spark.catalog.clearCache()

@@ -196,3 +196,146 @@ def test_no_scaled_decimal_to_double_in_oracles():
             if gname != "q180_decimal_exact_agg":
                 offenders.append(gname)
     assert offenders == [], offenders
+
+
+# ------------------------------------------- implicit-HUGEINT census
+# DuckDB implicitly widens SUM(BIGINT) to HUGEINT, so a natively-cast
+# linear sum reaches DOUBLE through the same non-correctly-rounded
+# native path the explicit census above bans — it just can't MIS-round
+# until |sum| >= 2^53 (ADVICE r8). Every waived site below is a linear
+# sum of per-row integer terms bounded by ~5*10^7 (cents of a single
+# order / micro-scaled similarity / small squared quantities), and the
+# oracle comparison only ever runs at sf<=0.1 (~6*10^5 lineitems), so
+# |sum| <= 3*10^13 — a ~300x margin under 2^53; at sf1 the margin is
+# still ~30x. The snapshot pins the full site set: a NEW site (new
+# gate or new column) fails the census until either the same bound
+# argument holds and the snapshot is extended, or the site converts to
+# the two-limb exact cast (queries/exactcast.py), which is mandatory
+# for product sums (cents*quantity and larger — the r8 conversion
+# class).
+
+_WAIVED_LINEAR_SUM_SITES = {
+    'q107_skew_report': ['total'],
+    'q261_psi_corpus_drift': ['p', 'q'],
+    'q293_welch_ttest': ['na', 'nb', 'sxa', 'sxb', 'sxxa', 'sxxb'],
+    'q294_mutual_information': ['n', 'nx', 'ny'],
+    'q297_top_bigram_repetition': ['total'],
+    'q299_benford_audit': ['total'],
+    'q305_cohens_kappa': ['a1', 'agree', 'b1', 'total'],
+    'q308_calibration_ece': ['n_pos', 'sum_p_micro'],
+    'q309_average_precision': ['cum_pos'],
+    'q315_cuped_adjustment': ['na', 'nb', 'sx', 'sxa', 'sxb', 'sy', 'sya', 'syb'],
+    'q319_grouped_trend': ['sx', 'sy'],
+    'q320_decile_lift': ['n_pos'],
+    'q321_kaplan_meier': ['n_at_risk'],
+    'q324_ratio_metric_delta': ['sx', 'sy'],
+    'q326_burstiness': ['sg'],
+    'q327_char_entropy': ['t'],
+    'q335_mix_shift_decomposition': ['n1', 'n2', 'u1', 'u2'],
+    'q349_effective_diversity': ['t'],
+    'q351_cramers_v': ['n', 'nx', 'ny'],
+    'q353_grouped_map': ['cum_pos'],
+    'q354_fleiss_kappa': ['pi_numer', 's1'],
+    'q358_woe_iv': ['bd', 'g'],
+    'q359_gini_split': ['n', 'nl', 'pl'],
+    'q379_label_shift_estimate': ['fp', 'neg', 'np', 'ny', 'pos', 'tp'],
+    'q383_sampling_error_audit': ['s', 't'],
+    'q395_revenue_concentration': ['total'],
+    'q403_wilson_interval_flags': ['r'],
+    'q406_hierarchical_shares': ['r_cents'],
+    'q409_neardup_pr_curve': ['pos', 'pred_pos', 'tp'],
+    'q410_chisq_goodness_of_fit': ['nd'],
+    'q417_geometric_fit_order_sizes': ['tot'],
+    'q422_consistent_hash_rebalance': ['moved'],
+    'q426_ab_power_mde': ['s'],
+    'q427_horvitz_thompson_audit': ['true_total'],
+    'q443_slo_burn_rate': ['e'],
+    'q444_readability_scores': ['sents', 'sylls', 'words'],
+    'q448_overdispersion_index': ['s'],
+    'q452_storage_showback': ['bytes_est'],
+    'q457_nzv_feature_screen': ['n'],
+    'q476_benjamini_hochberg_fdr': ['q_j', 's_j'],
+    'q477_benford_first_digit': ['n'],
+    'q478_zone_map_clustering_depth': ['n'],
+    'q479_ewma_control_chart': ['wsum', 'wtot'],
+    'q490_cusum_changepoint': ['s'],
+    'q492_kaplan_meier_survival': ['d', 'log_cum', 'n_risk'],
+    'q494_hill_tail_index': ['sum_nano'],
+    'q501_brier_decomposition': ['n', 'o', 'o_k'],
+    'q502_kish_effective_sample_size': ['s'],
+    'q503_capture_recapture_universe': ['n1', 'n2'],
+    'q504_good_turing_unseen_mass': ['total_tokens'],
+    'q515_mutual_information': ['mi_s', 'n', 'nx', 'ny'],
+    'q516_rank_biased_overlap': ['acc'],
+    'q520_chisq_cell_residuals': ['n', 'nx', 'ny'],
+    'q526_qini_curve': ['cnc', 'cnt', 'cpc', 'cpt'],
+    'q527_rolling_correlation': ['sa', 'sb'],
+    'q531_binary_segmentation': ['sl'],
+    'q532_wilcoxon_signed_rank': ['n', 'tplus2'],
+    'q533_mann_whitney_u': ['n', 'n1', 'n2'],
+    'q534_runs_test': ['n1', 'n2', 'runs'],
+    'q536_kruskal_wallis': ['n', 'nj'],
+    'q538_cochran_armitage_trend': ['n', 'r'],
+    'q539_p_chart': ['n', 'r'],
+    'q541_chao1_richness': ['f1'],
+    'q544_covariate_balance_smd': ['nc', 'nt', 'sc', 'st'],
+    'q545_split_half_reliability': ['sa', 'sb'],
+    'q546_intraclass_correlation': ['n', 'st'],
+    'q547_cronbach_alpha': ['s1', 's2', 's3', 's4', 'st'],
+    'q548_bland_altman': ['sd'],
+    'q69_shard_packing': ['prefix'],
+}
+
+
+def _implicit_sum_names(sql: str) -> set[str]:
+    """Columns defined by SUM over integer terms (DuckDB result type
+    HUGEINT) without an explicit HUGEINT/DOUBLE cast in the summand."""
+    names: set[str] = set()
+    for m in re.finditer(r"SUM\s*\((?P<body>[^;]*?)\)\s+AS\s+(?P<n>\w+)", sql):
+        body = m.group("body")
+        if "AS DOUBLE" in body or "e0" in body or re.search(r"\d\.\d", body):
+            continue  # double-typed sum: no HUGEINT widening
+        if "HUGEINT" in body:
+            continue  # explicit: covered by the census above
+        names.add(m.group("n"))
+    return names
+
+
+def test_implicit_hugeint_sum_census_is_pinned():
+    """Anti-reversion for the implicit class: every SUM(BIGINT)-defined
+    column that reaches double context must appear in the pinned
+    magnitude-waived snapshot (see block comment for the <2^53 bound
+    argument); anything new must be re-derived or converted."""
+    found: dict[str, list[str]] = {}
+    for gname, q in all_queries().items():
+        sql = q.oracle
+        if not sql:
+            continue
+        cols = []
+        for col in _implicit_sum_names(sql):
+            reaches_double = (
+                re.search(rf"CAST\(\s*{col}\s+AS DOUBLE\)", sql)
+                or re.search(rf"\b{col}\s*/(?!/)", sql)
+                or re.search(rf"(?<!/)/\s*{col}\b", sql)
+                or re.search(rf"AS DOUBLE\)\s*\*\s*{col}\b", sql)
+                or re.search(rf"\b{col}\s*\*\s*CAST\([^)]+AS DOUBLE\)", sql)
+            )
+            if reaches_double:
+                cols.append(col)
+        if cols:
+            found[gname] = sorted(set(cols))
+    new = {
+        g: [c for c in cols if c not in _WAIVED_LINEAR_SUM_SITES.get(g, [])]
+        for g, cols in found.items()
+    }
+    new = {g: c for g, c in new.items() if c}
+    assert new == {}, (
+        "unwaived implicit-HUGEINT sum reaches double context "
+        f"(convert via exactcast or extend the bounded waiver): {new}"
+    )
+    gone = {
+        g: [c for c in cols if c not in found.get(g, [])]
+        for g, cols in _WAIVED_LINEAR_SUM_SITES.items()
+    }
+    gone = {g: c for g, c in gone.items() if c}
+    assert gone == {}, f"stale waiver entries (prune the snapshot): {gone}"

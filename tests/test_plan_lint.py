@@ -135,3 +135,18 @@ def test_live_representative_gates_audit_clean(spark):
     assert fails == [], fails
     # the UDTF gate is present but allowlisted
     assert "BatchEvalPythonUDTF_allowed" in report.get("q57_udtf", {})
+
+
+def test_indent_strips_codegen_stage_prefix():
+    """ADVICE r8 (low): '*(3) ' vs '*(12) ' at the same tree depth must
+    measure the same indent — the stage-id digit count is not depth —
+    and a codegen-prefixed line must measure equal to a plain sibling
+    at the same tree position."""
+    from plan_lint import _indent
+
+    assert _indent(":  +- *(3) HashAggregate") == _indent(
+        ":  +- *(12) HashAggregate"
+    )
+    assert _indent("   +- *(7) Sort") == _indent("   +- Exchange")
+    # deeper stays deeper
+    assert _indent("   :  +- *(2) Filter") > _indent("   +- *(2) Filter")

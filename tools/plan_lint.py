@@ -38,9 +38,10 @@ from __future__ import annotations
 
 import json
 import re
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (pattern, gate) -> reason. A gate listed here may contain the node;
 # every OTHER occurrence is a lint failure.
@@ -128,7 +129,13 @@ _RANGE_BOUND = 100_000  # a literal Range below this is a constant spine
 
 
 def _indent(line: str) -> int:
-    """Tree depth of a plan line (count of leading tree-drawing chars)."""
+    """Tree depth of a plan line (count of leading tree-drawing chars).
+
+    The WholeStageCodegen prefix ``*(N) `` is stripped FIRST: its digit
+    count varies with the codegen stage id, so ``*(3) `` vs ``*(12) ``
+    at the same tree depth would otherwise measure one char apart and
+    skew subtree/branch splitting (ADVICE r8)."""
+    line = re.sub(r"^([\s:+\-]*)\*\(\d+\) ", r"\1", line)
     m = re.match(r"[\s:+\-*()0-9]*", line)
     return len(m.group(0)) if m else 0
 
