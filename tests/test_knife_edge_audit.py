@@ -286,3 +286,111 @@ def test_quantile_disc_conventions_agree(spark):
         ).approxQuantile("x", [q], 0.0)[0]
         assert float(d) == float(s), (trial, n, q, d, s)
     con.close()
+
+
+# ------------------------------------------- quantile family (r9)
+from knife_edge_audit import (  # noqa: E402
+    q_lattice_distance,
+    quantile_audit,
+    quantile_census,
+)
+from fractions import Fraction  # noqa: E402
+
+
+def test_quantile_census_shape(oracles):
+    """Parser pin: the census must see every quantile_cont /
+    quantile_disc / median oracle site (a refactor that hides one from
+    the audit fails here), parse p exactly, and detect the enclosing
+    ROUND(k * ..., s) shape."""
+    sites = quantile_census(oracles)
+    by_gate: dict[str, int] = {}
+    for s in sites:
+        by_gate[s["gate"]] = by_gate.get(s["gate"], 0) + 1
+    assert by_gate == {
+        "q47_percentiles": 3,
+        "q97_quality_percentile_filter": 1,
+        "q143_winsorize": 2,
+        "q149_mad_outliers": 2,
+        "q206_modern_aggregates": 1,
+        "q270_corpus_data_card": 1,
+        "q363_daily_value_bands": 3,
+        "q374_embedding_norm_outliers": 2,
+        "q380_rolling_median_anomaly": 1,
+        "q407_approx_percentile_audit": 1,
+        "q411_time_to_convert": 2,
+        "q418_fd_binning_advisor": 2,
+        "q425_anomaly_consensus": 4,
+        "q430_quantile_treatment_effect": 2,
+        "q461_median_heterogeneity": 1,
+        "q482_grouped_mad_outliers": 2,
+        "q534_runs_test": 1,
+    }, by_gate
+    k425 = {
+        (s["p"], s["k"], s["scale"])
+        for s in sites
+        if s["gate"] == "q425_anomaly_consensus"
+    }
+    assert (Fraction(1, 2), 2, 0) in k425 and (Fraction(1, 4), 4, 0) in k425
+    w380 = [s for s in sites if s["gate"] == "q380_rolling_median_anomaly"]
+    assert w380[0]["windowed"] and w380[0]["scale"] is None
+
+
+def test_q_lattice_distance_closed_form():
+    # integer-cents median doubled at scale 0: lattice Z, midpoints at
+    # k+1/2 -> half-integer distance.
+    assert q_lattice_distance(Fraction(1), 2, 2, 0) == pytest.approx(0.5)
+    # money (0.01) median at scale 4: (0.005)Z vs 1e-4 midpoints.
+    assert q_lattice_distance(
+        Fraction(1, 100), 1, 2, 4
+    ) == pytest.approx(5e-5)
+    # q149 MAD refinement: devs live on the 1/200-dollar lattice, so
+    # the median-of-devs lattice is (1/400)Z = 25 quarter-milli steps
+    # per 1e-4 -> midpoints UNREACHABLE (d = 5e-5)...
+    assert q_lattice_distance(
+        Fraction(1, 200), 1, 2, 4
+    ) == pytest.approx(5e-5)
+    # ...whereas a naive 1e-4-lattice reading would report d = 0
+    # (b even): the refinement is what proves the site.
+    assert q_lattice_distance(Fraction(1, 10000), 1, 2, 4) == 0.0
+    # micro-unit p90 at scale 4: (1/10)Z vs 1e-4 midpoints, r=1000 odd.
+    assert q_lattice_distance(Fraction(1), 1, 10, 4) == pytest.approx(5e-5)
+
+
+def test_quantile_margins_at_driver_sf(oracles):
+    """Every quantile site must earn a verdict — exact-FP (bit-identical
+    by construction), closed-form/measured margin >= 10, or a written
+    identical-pipeline proof. An unclassifiable site raises inside
+    quantile_audit with conversion instructions."""
+    if not os.path.isdir(SF001):
+        pytest.skip("driver fixtures not present")
+    rows = quantile_audit(SF001, oracles)
+    assert rows
+    bad = [r for r in rows if r["margin"] < 10]
+    assert not bad, (
+        "quantile sites within 10x of an interpolation knife edge — "
+        "convert to exact-rational interpolation (the q524 recipe): "
+        f"{[(r['gate'], r['arg'], round(r['margin'], 2)) for r in bad]}"
+    )
+    strategies = {r["strategy"] for r in rows}
+    assert {"exact-fp", "closed-form", "proven-identical"} <= strategies
+    exact = {r["gate"] for r in rows if r["strategy"] == "exact-fp"}
+    # the integer-population dyadic sites must stay on the exact path —
+    # a pop change (e.g. a float-valued CTE) demotes them and fails here
+    for g in (
+        "q425_anomaly_consensus",
+        "q461_median_heterogeneity",
+        "q482_grouped_mad_outliers",
+        "q534_runs_test",
+        "q374_embedding_norm_outliers",
+        "q270_corpus_data_card",
+    ):
+        assert g in exact, f"{g} left the exact-FP class"
+
+
+def test_quantile_margins_at_bench_sf(oracles):
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 fixtures not present")
+    bad = [r for r in quantile_audit(SF01, oracles) if r["margin"] < 2]
+    assert not bad, (
+        f"{[(r['gate'], r['arg'], round(r['margin'], 2)) for r in bad]}"
+    )
