@@ -20,10 +20,11 @@ violations even when values happen to compare equal.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from python_tool_setup_spark.queries import all_queries
 from python_tool_setup_spark.session import get_spark

@@ -4,9 +4,10 @@ for the headline queries. Usage: python tools/explain_audit.py [sf_dir]."""
 from __future__ import annotations
 
 import re
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from python_tool_setup_spark.queries import all_queries
 from python_tool_setup_spark.session import get_spark
