@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
+from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
 
 # (name, source column, integer quantization scale)
@@ -45,11 +46,20 @@ def _build_corr_sql() -> str:
         )
     casts = ["CAST(n AS DOUBLE) AS nd"]
     for name, _, _ in _COLS:
+        # linear cents sums stay < 2^53 at any tested SF (waived
+        # class) — the native cast is exact there
         casts.append(f"CAST(i_{name} AS DOUBLE) AS s_{name}")
     for i, j in _PAIRS + [(k, k) for k in range(len(_COLS))]:
         a = _COLS[i][0]
         b = _COLS[j][0]
-        casts.append(f"CAST(p_{a}_{b} AS DOUBLE) AS s_{a}_{b}")
+        # PRODUCT sums pass 2^53 (cents^2 per row up to 1e14), where
+        # DuckDB's native HUGEINT->DOUBLE cast is not correctly
+        # rounded (exactcast mechanism, multi-seed catch #6); Spark's
+        # DECIMAL(38,0)->double is. Two-limb conversion makes the
+        # oracle correctly rounded too. Surfaced by the r9-advice
+        # census rewrite in tests/test_exactcast.py (the old regex's
+        # swallowed-body hole had exempted exactly these sites).
+        casts.append(f"{dd_duck(f'p_{a}_{b}')} AS s_{a}_{b}")
     rows = []
     for i, j in _PAIRS:
         a = _COLS[i][0]

@@ -77,13 +77,82 @@ def test_bench_floors_file_matches_registry():
 
 def test_load_floors_rejects_other_sf():
     """bench.load_floors must ignore floors pinned at a different SF —
-    sf0.1 floors applied to an sf1 run would retry every gate."""
+    sf0.1 floors applied to an sf1 run would retry every gate — while
+    matching NUMERICALLY equal SF spellings (ADVICE r9 low: --pin-floors
+    writes float(sf), so '1' vs 1.0 must not silently drop floors)."""
     import bench
 
     gates, probe = bench.load_floors("0.1")
     assert gates and probe > 0
     gates2, probe2 = bench.load_floors("1")
     assert gates2 == {} and probe2 == 0.0
+    # numerically equal spelling of the pinned SF must load
+    gates3, probe3 = bench.load_floors("0.10")
+    assert gates3 == gates and probe3 == probe
+
+
+def test_settle_vote_semantics():
+    """settle_samples (shared by the per-gate retry and the second
+    pass, ADVICE r9 medium): two samples within 2x -> min; a >2x
+    disagreement triggers a third sample and reports the MEDIAN, so a
+    single warm-cache retry cannot set the value on its own."""
+    import bench
+
+    # agreement: min of the two
+    calls = iter([4.0])
+    out, samples = bench.settle_samples(5.0, lambda: next(calls))
+    assert out == 4.0 and samples == [5.0, 4.0]
+    # warm-fluke retry (0.1 vs true ~5.0): third sample votes 5.0
+    calls = iter([0.1, 5.2])
+    out, samples = bench.settle_samples(5.0, lambda: next(calls))
+    assert out == 5.0 and samples == [5.0, 0.1, 5.2]
+    # genuine fast gate measured under a spike: both retries agree low
+    calls = iter([0.7, 0.65])
+    out, samples = bench.settle_samples(11.0, lambda: next(calls))
+    assert out == 0.7 and samples == [11.0, 0.7, 0.65]
+
+
+def test_pass2_cap_is_drift_adaptive():
+    """VERDICT r9 item 3: the r9 driver run saturated the fixed cap of
+    150 at drift 1.38, stranding 12 gates >2x floor in the headline."""
+    import bench
+
+    assert bench.pass2_cap(1.0) == 150
+    assert bench.pass2_cap(1.2) == 150
+    assert bench.pass2_cap(1.21) == 250
+    assert bench.pass2_cap(1.38) == 250
+
+
+def test_payload_publishes_first_pass_total_and_n_retried():
+    """VERDICT r9 item 1: the headline is a best-of-N sum; the payload
+    must also carry the raw sum of every gate's FIRST sample and the
+    retried-gate count so raw-vs-repaired is auditable from the
+    artifact alone — and stay under the driver's ~2000-char stdout
+    tail at full registry size."""
+    import bench
+    from python_tool_setup_spark.queries import all_queries
+
+    names = sorted(all_queries())
+    timings = {n: 1.0 + (i % 7) for i, n in enumerate(names)}
+    retried = {n: [9.0, 1.0] for n in names[:120]}
+    payload = bench.build_payload(
+        timings=timings,
+        retried=retried,
+        first_pass_total=1234.5,
+        probes=[0.2, 0.3, 0.25],
+        probe_floor=0.18,
+        drift=1.38,
+        n_pass2=150,
+        sf="0.1",
+    )
+    assert payload["first_pass_total"] == 1234.5
+    assert payload["n_retried"] == 120
+    assert payload["value"] == round(sum(timings.values()), 3)
+    assert payload["pass2"] == 150 and payload["drift"] == 1.38
+    assert payload["n_queries"] == len(names)
+    assert len(payload["retried"]) <= 8
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1950, f"payload too long for driver tail: {len(line)}"
 
 
 def test_merge_take_min_semantics(tmp_path):

@@ -183,8 +183,12 @@ def test_no_cachemanager_leak(spark):
     """ADVICE r5: the pinned-range path must not register anything in
     the CacheManager (Dataset.persist leaks there until an explicit
     unpersist; localCheckpoint storage is ContextCleaner-managed)."""
+    import python_tool_setup_spark.operators.blockrank as br
+
     jcm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = jcm.isEmpty()
+    br.release_pins()
+    spark.catalog.clearCache()
+    assert jcm.isEmpty()
     df = spark.createDataFrame(
         [(str(i % 9), i) for i in range(500)], "g string, v long"
     )
@@ -192,8 +196,7 @@ def test_no_cachemanager_leak(spark):
         df, [("g", "asc"), ("v", "asc")], {"p": ("count", None)}
     )
     assert out.count() == 500
-    if was_empty:
-        assert jcm.isEmpty(), "prefix_agg leaked a CacheManager entry"
+    assert jcm.isEmpty(), "prefix_agg leaked a CacheManager entry"
 
 
 def test_reserved_bound_names_do_not_clobber(spark):
@@ -354,7 +357,12 @@ def test_persist_mode_refuses_nondeterministic_pin(spark):
 
     key = "spark.python_tool_setup.blockrank.pin"
     jcm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = jcm.isEmpty()
+    # clean entry so the CacheManager assertions are never vacuous
+    # (ADVICE r9 low: a was_empty guard skipped them silently under
+    # unlucky test ordering)
+    br.release_pins()
+    spark.catalog.clearCache()
+    assert jcm.isEmpty()
     spark.conf.set(key, "persist")
     try:
         nondet = spark.range(200).select("id", F.rand(1).alias("x"))
@@ -365,8 +373,7 @@ def test_persist_mode_refuses_nondeterministic_pin(spark):
         assert any("recomputable" in str(c.message) for c in caught), (
             "no warning on persist-mode nondeterministic pin"
         )
-        if was_empty:
-            assert jcm.isEmpty(), "nondeterministic pin landed in CacheManager"
+        assert jcm.isEmpty(), "nondeterministic pin landed in CacheManager"
 
         # Deterministic pin under the same conf: no warning, persisted,
         # tracked, released by release_pins().
@@ -388,8 +395,7 @@ def test_persist_mode_refuses_nondeterministic_pin(spark):
         assert out2.count() == 200
         assert not caught, "reliable checkpoint path should not warn"
         assert any(os.scandir(ckpt)), "no checkpoint files written"
-        if was_empty:
-            assert jcm.isEmpty()
+        assert jcm.isEmpty()
     finally:
         spark.conf.unset(key)
         spark.catalog.clearCache()
@@ -405,7 +411,9 @@ def test_pinned_range_path_never_persists_under_persist_conf(spark):
 
     key = "spark.python_tool_setup.blockrank.pin"
     jcm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = jcm.isEmpty()
+    br.release_pins()
+    spark.catalog.clearCache()
+    assert jcm.isEmpty()
     spark.conf.set(key, "persist")
     try:
         df = spark.createDataFrame(
@@ -421,41 +429,70 @@ def test_pinned_range_path_never_persists_under_persist_conf(spark):
         # the INPUT pin may persist (deterministic local rows are
         # trivial -> no pin at all here); the range-layout pin must not
         br.release_pins()
-        if was_empty:
-            assert jcm.isEmpty(), "range-layout pin leaked into CacheManager"
+        assert jcm.isEmpty(), "range-layout pin leaked into CacheManager"
     finally:
         spark.conf.unset(key)
         spark.catalog.clearCache()
 
 
-def test_gate_adapter_releases_persist_pins(spark):
-    """VERDICT r8 (next-round item 4): under pin=persist, the registry
-    gate adapter must release every persist-mode pin when the gate
-    returns — a chained caller that forgets ``release_pins()`` must not
-    leak CacheManager entries across queries. Runs the two persist-
-    pinning prefix-family gates (q533 Mann-Whitney: explicit pin() +
-    prefix_agg; q475 RLE advisor: prefix_rank) back-to-back under the
-    persist conf and asserts the CacheManager is empty after EACH gate
-    — both right after the adapter returns (pins are created eagerly
-    during plan construction) and after the result is materialized
-    (the post-release recompute must still produce rows; the pin
-    contract guarantees persist-tracked plans are deterministic, so
-    values are unaffected)."""
+def test_gate_adapter_defers_persist_pin_release(spark):
+    """ADVICE r9 (medium): the r8 finally-release fired at gate RETURN,
+    before the returned DataFrame was ever materialized — so persist
+    mode paid every pin's eager materialization and then recomputed
+    the pinned subplan at action time (the q323 chained-recompute
+    class). The adapter now defers: gate N's pins stay cached through
+    gate N's materialization and are released at entry to gate N+1,
+    bounding the CacheManager to one gate's pins across a sweep.
+
+    Pins to assert (cache cleared at entry, so all unconditional):
+    1. after a persist-pinning gate returns, its pins ARE in the
+       CacheManager (available to the caller's action);
+    2. the action completes and the pins are still cached after it;
+    3. calling the NEXT registry gate releases them;
+    4. an explicit harness-side release_pins() empties the cache, and
+       the released result still recomputes the same row count (pin
+       contract: persist-tracked plans are deterministic)."""
+    import python_tool_setup_spark.operators.blockrank as br
     from python_tool_setup_spark.queries import all_queries
 
     key = "spark.python_tool_setup.blockrank.pin"
     jcm = spark._jsparkSession.sharedState().cacheManager()
-    was_empty = jcm.isEmpty()
+    # clean entry regardless of test order (ADVICE r9 low: the old
+    # was_empty guard made these assertions vacuous after any test
+    # left a cached relation behind)
+    br.release_pins()
+    spark.catalog.clearCache()
+    assert jcm.isEmpty()
     qs = all_queries()
     spark.conf.set(key, "persist")
     try:
-        for name in ("q533_mann_whitney_u", "q475_rle_encoding_advisor"):
-            df = qs[name].spark_fn(spark, SF_DIR)
-            if was_empty:
-                assert jcm.isEmpty(), f"{name}: adapter left a persist pin"
-            assert df.count() > 0
-            if was_empty:
-                assert jcm.isEmpty(), f"{name}: collect re-registered a pin"
+        df1 = qs["q533_mann_whitney_u"].spark_fn(spark, SF_DIR)
+        assert not jcm.isEmpty(), (
+            "q533: persist pins were released before the caller could "
+            "materialize (the r9-advice recompute regression)"
+        )
+        assert br._PERSISTED_PINS, "no tracked persist pins after q533"
+        pinned = br._PERSISTED_PINS[0]
+        assert pinned.storageLevel.useDisk
+        n1 = df1.count()
+        assert n1 > 0
+        assert pinned.storageLevel.useDisk, (
+            "q533: pins evaporated during the gate's own action"
+        )
+
+        # next registry call releases the previous gate's pins
+        df2 = qs["q475_rle_encoding_advisor"].spark_fn(spark, SF_DIR)
+        assert not pinned.storageLevel.useDisk, (
+            "q475 entry did not release q533's pins — CacheManager "
+            "would grow across a 551-gate sweep"
+        )
+        assert df2.count() > 0
+
+        # harness-side eager cleanup, then post-release recompute
+        br.release_pins()
+        assert jcm.isEmpty(), "release_pins left CacheManager entries"
+        assert df1.count() == n1, "post-release recompute changed rows"
     finally:
         spark.conf.unset(key)
+        br.release_pins()
         spark.catalog.clearCache()

@@ -30,6 +30,7 @@ import pytest
 
 from python_tool_setup_spark.queries import all_queries
 from python_tool_setup_spark.queries.exactcast import K, dd_duck, dd_spark
+from tools.knife_edge_audit import _balanced
 
 # the value from the seed-2468 q505 dataset whose native cast is 1 ulp
 # low (0x1.404f9d4823216p+65 instead of ...217p+65)
@@ -215,6 +216,32 @@ def test_no_scaled_decimal_to_double_in_oracles():
 # class).
 
 _WAIVED_LINEAR_SUM_SITES = {
+    # Sites below this comment were surfaced by the r9-advice detector
+    # rewrite (balanced-paren bodies + OVER support); each is either
+    # the same bounded linear class (cents / quantities / lengths,
+    # per-row term <= ~5*10^7, so |sum| <= 3*10^13 at sf0.1) or a
+    # textual false positive noted inline. q298's p_* PRODUCT sums,
+    # surfaced by the same rewrite, were NOT waived — they pass 2^53
+    # and were converted to the two-limb exactcast (queries/batch47.py).
+    'q105_outlier_zscore': ['sc'],          # linear cents
+    'q117_pagerank': ['dang'],              # false positive: SUM over a
+                                            # DOUBLE rank column (r is
+                                            # ROUND(1.0/n,...)); no
+                                            # HUGEINT widening occurs
+    'q215_top_supplier': ['rev_c'],         # linear cents
+    'q298_correlation_matrix':              # linear cents moments (the
+        ['i_disc', 'i_price', 'i_qty', 'i_tax'],  # product moments use
+                                            # the two-limb exactcast)
+    'q412_neyman_allocation': ['s'],        # linear cents
+    'q416_price_dispersion_topk': ['s'],    # linear cents (unit price)
+    'q468_dictionary_encoding_advisor':
+        ['plain'],                          # sum of value lengths:
+                                            # <= ~200 chars * rows,
+                                            # ~1.2*10^9 even at sf1
+    'q510_price_elasticity': ['qty'],       # linear quantities (<=50/row)
+    'q56_grouped_map': ['sc'],              # linear cents
+    # ('sj' for q546_intraclass_correlation is merged into its
+    # pre-existing entry below)
     'q107_skew_report': ['total'],
     'q261_psi_corpus_drift': ['p', 'q'],
     'q293_welch_ttest': ['na', 'nb', 'sxa', 'sxb', 'sxxa', 'sxxb'],
@@ -242,7 +269,7 @@ _WAIVED_LINEAR_SUM_SITES = {
     'q383_sampling_error_audit': ['s', 't'],
     'q395_revenue_concentration': ['total'],
     'q403_wilson_interval_flags': ['r'],
-    'q406_hierarchical_shares': ['r_cents'],
+    'q406_hierarchical_shares': ['cents', 'r_cents'],
     'q409_neardup_pr_curve': ['pos', 'pred_pos', 'tp'],
     'q410_chisq_goodness_of_fit': ['nd'],
     'q417_geometric_fit_order_sizes': ['tot'],
@@ -271,33 +298,71 @@ _WAIVED_LINEAR_SUM_SITES = {
     'q526_qini_curve': ['cnc', 'cnt', 'cpc', 'cpt'],
     'q527_rolling_correlation': ['sa', 'sb'],
     'q531_binary_segmentation': ['sl'],
-    'q532_wilcoxon_signed_rank': ['n', 'tplus2'],
+    'q532_wilcoxon_signed_rank': ['tplus2'],
     'q533_mann_whitney_u': ['n', 'n1', 'n2'],
     'q534_runs_test': ['n1', 'n2', 'runs'],
-    'q536_kruskal_wallis': ['n', 'nj'],
+    'q536_kruskal_wallis': ['n'],
     'q538_cochran_armitage_trend': ['n', 'r'],
     'q539_p_chart': ['n', 'r'],
     'q541_chao1_richness': ['f1'],
     'q544_covariate_balance_smd': ['nc', 'nt', 'sc', 'st'],
     'q545_split_half_reliability': ['sa', 'sb'],
-    'q546_intraclass_correlation': ['n', 'st'],
+    'q546_intraclass_correlation': ['n', 'sj', 'st'],
     'q547_cronbach_alpha': ['s1', 's2', 's3', 's4', 'st'],
     'q548_bland_altman': ['sd'],
     'q69_shard_packing': ['prefix'],
 }
 
 
+# Alias names that are really type keywords captured from surrounding
+# CAST(... AS <type>) text, never result columns.
+_TYPE_WORDS = frozenset({
+    "DOUBLE", "HUGEINT", "BIGINT", "INTEGER", "DECIMAL", "VARCHAR",
+    "DATE", "TIMESTAMP",
+})
+
+
 def _implicit_sum_names(sql: str) -> set[str]:
     """Columns defined by SUM over integer terms (DuckDB result type
-    HUGEINT) without an explicit HUGEINT/DOUBLE cast in the summand."""
+    HUGEINT) without an explicit HUGEINT/DOUBLE cast in the summand.
+
+    ADVICE r9 rewrite: the original non-greedy regex could swallow
+    sibling expressions into the SUM body ('SUM(a) + SUM(b) AS x'
+    matched with body 'a) + SUM(b'), so one double-typed token
+    anywhere in the combined body exempted the whole site — the hole
+    that hid q298's >2^53 product sums. Bodies are now extracted with
+    balanced parens, an optional OVER (...) window clause is skipped,
+    the alias is taken only when reachable without crossing another
+    call, and double-typed detection is token-level (a scientific or
+    decimal LITERAL, not any 'e0'/digit-dot-digit substring, which a
+    column name like 'type0' can produce)."""
     names: set[str] = set()
-    for m in re.finditer(r"SUM\s*\((?P<body>[^;]*?)\)\s+AS\s+(?P<n>\w+)", sql):
-        body = m.group("body")
-        if "AS DOUBLE" in body or "e0" in body or re.search(r"\d\.\d", body):
+    for m in re.finditer(r"SUM\s*\(", sql):
+        try:
+            end = _balanced(sql, m.end() - 1)
+        except ValueError:
+            continue
+        body = sql[m.end() : end - 1]
+        over = re.match(r"\s*OVER\s*\(", sql[end:])
+        if over:  # window sum: SUM(x) OVER (...) AS name
+            try:
+                end = _balanced(sql, end + over.end() - 1)
+            except ValueError:
+                continue
+        # alias reachable without crossing another call's open paren
+        # (closing wrappers like COALESCE(SUM(x), 0) AS n still match)
+        alias = re.match(r"[^;(]*?\bAS\s+(\w+)", sql[end:])
+        if not alias or alias.group(1).upper() in _TYPE_WORDS:
+            continue
+        if (
+            "AS DOUBLE" in body
+            or re.search(r"\b\d+(\.\d+)?[eE][+-]?\d+", body)
+            or re.search(r"\b\d+\.\d+", body)
+        ):
             continue  # double-typed sum: no HUGEINT widening
         if "HUGEINT" in body:
             continue  # explicit: covered by the census above
-        names.add(m.group("n"))
+        names.add(alias.group(1))
     return names
 
 

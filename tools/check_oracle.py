@@ -26,6 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from python_tool_setup_spark.operators.blockrank import release_pins
 from python_tool_setup_spark.queries import all_queries
 from python_tool_setup_spark.session import get_spark
 from python_tool_setup_spark.testing import compare_query, oracle_connection
@@ -58,6 +59,12 @@ def main() -> int:
             print(f"FAIL {name}: error: {exc}")
             failures.append(name)
             continue
+        finally:
+            # harness-side eager cleanup for persist-mode pins (the
+            # gate adapter defers release to the NEXT registry call);
+            # compare_query has collected by now, so this fires after
+            # materialization. No-op under default localCheckpoint.
+            release_pins()
         if mismatch is not None:
             print(f"FAIL {name}: {mismatch}")
             failures.append(name)

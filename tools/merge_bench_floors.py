@@ -100,12 +100,19 @@ def main() -> int:
                 probes.extend(p for p in data["probe"] if p and p > 0)
             elif data.get("probe"):
                 probes.append(float(data["probe"]))
-            if data.get("pinned_total"):
-                totals.append(float(data["pinned_total"]))
+            # "pinned_total" is the pre-r10 name for the same envelope
+            for key in ("floor_envelope_total", "pinned_total"):
+                if data.get(key):
+                    totals.append(float(data[key]))
+                    break
     merged = {
         "sf": 0.1,
         "probe": round(min(probes), 3) if probes else 0.0,
-        "pinned_total": round(sum(gates.values()), 3),
+        # Sum of per-gate MINIMA — an ENVELOPE (each gate independently
+        # at its best), not a measured end-to-end run total. Renamed
+        # from "pinned_total" per VERDICT r9 item 4 so it can't be
+        # quoted as a run measurement.
+        "floor_envelope_total": round(sum(gates.values()), 3),
         "source_totals": totals,
         "n_sources": len(srcs),
         "gates": dict(sorted(gates.items())),
@@ -114,8 +121,8 @@ def main() -> int:
         json.dump(merged, fh, indent=0, separators=(",", ":"))
     print(
         f"merged {len(gates)} gate floors from {len(srcs)} sources -> "
-        f"{out_path} (sum {merged['pinned_total']}s, probe "
-        f"{merged['probe']}s)"
+        f"{out_path} (floor envelope {merged['floor_envelope_total']}s "
+        f"— per-gate minima, not a run total; probe {merged['probe']}s)"
     )
     return 0
 
