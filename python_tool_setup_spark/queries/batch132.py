@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -107,7 +107,10 @@ def q475_rle_encoding_advisor(
         "o_orderpriority",
         "o_orderstatus",
     )
-    ranked = prefix_rank(o, [("o_orderkey", "asc")], alias="r")
+    # Pin the ranked layout once: the adjacent-rank self-join references
+    # it twice, and without the pin each side re-instantiates the whole
+    # blockrank subtree (scan + bounds + repartition + window).
+    ranked = pin(prefix_rank(o, [("o_orderkey", "asc")], alias="r"))
     prev = ranked.select(
         (F.col("r") + 1).alias("pr"),
         *[F.col(c).alias(f"p_{c}") for c in cols],
@@ -117,30 +120,52 @@ def q475_rle_encoding_advisor(
         c: F.col(f"p_{c}").isNull() | (F.col(c) != F.col(f"p_{c}"))
         for c in cols
     }
-    run_stats = pairs.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            F.sum(changed[c].cast("long")).alias(f"runs_{c}")
-            for c in cols
-        ],
-        *[
-            F.sum(
-                F.when(changed[c], F.length(c) + _RUN_HDR).otherwise(0)
-            ).alias(f"rbytes_{c}")
-            for c in cols
-        ],
-        *[F.sum(F.length(c)).alias(f"plain_{c}") for c in cols],
+    # Pin the 1-row run-stats aggregate: it is fanned out once per
+    # audited column below, and without the pin each fan-out arm
+    # re-instantiates the rank join (39 scans / 51 Exchange nodes in
+    # the r10-before plan).
+    run_stats = pin(
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(changed[c].cast("long")).alias(f"runs_{c}")
+                for c in cols
+            ],
+            *[
+                F.sum(
+                    F.when(changed[c], F.length(c) + _RUN_HDR).otherwise(0)
+                ).alias(f"rbytes_{c}")
+                for c in cols
+            ],
+            *[F.sum(F.length(c)).alias(f"plain_{c}") for c in cols],
+        )
+    )
+    # Per-column distinct stats in ONE pass: stack the audited columns
+    # into a (column_name, v) relation and aggregate the distinct
+    # values per column — one scan + one shuffle instead of one
+    # distinct-aggregate scan per column. Same values: DISTINCT over
+    # (column_name, v) is exactly the per-column distinct value set.
+    stacked = o.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, v)".format(
+                n=len(_RLE_COLS),
+                args=", ".join(f"'{lb}', {c}" for lb, c in _RLE_COLS),
+            )
+        )
+    )
+    dstats_all = pin(
+        stacked.distinct()
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum(F.length("v") + _RUN_HDR).alias("sorted_bytes"),
+        )
     )
     out = None
     for label, c in _RLE_COLS:
-        dstats = (
-            o.select(F.col(c).alias("v"))
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).alias("d"),
-                F.sum(F.length("v") + _RUN_HDR).alias("sorted_bytes"),
-            )
-        )
+        dstats = dstats_all.filter(
+            F.col("column_name") == label
+        ).select("d", "sorted_bytes")
         row = run_stats.crossJoin(F.broadcast(dstats)).select(
             F.lit(label).alias("column_name"),
             F.col("n_rows").cast("long").alias("n_rows"),

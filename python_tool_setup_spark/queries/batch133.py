@@ -234,7 +234,7 @@ def _depth_oracle(layout: str, key: str) -> str:
 def q478_zone_map_clustering_depth(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from python_tool_setup_spark.operators.blockrank import prefix_agg
+    from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
@@ -285,9 +285,18 @@ def q478_zone_map_clustering_depth(
 
     stored = depth_for("stored", "l_orderkey")
     srt = depth_for("sorted_by_shipdate", "l_shipdate")
-    both = stored.unionByName(srt)
-    sa = stored.select(F.col("avg_depth_micro").alias("sa"))
-    ba = srt.select(F.col("avg_depth_micro").alias("ba"))
+    # Pin the 2-row union before the scalar fan-out: sa/ba re-reference
+    # the depth pipelines, and without the pin each reference
+    # re-instantiates the whole scan+prefix+join subtree (64 Exchange
+    # nodes / 8 scans in the r10-before plan). Materializing the two
+    # result rows once collapses the fan-out to metadata.
+    both = pin(stored.unionByName(srt))
+    sa = both.filter(F.col("layout") == "stored").select(
+        F.col("avg_depth_micro").alias("sa")
+    )
+    ba = both.filter(F.col("layout") == "sorted_by_shipdate").select(
+        F.col("avg_depth_micro").alias("ba")
+    )
     return (
         both.crossJoin(F.broadcast(sa))
         .crossJoin(F.broadcast(ba))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
@@ -74,7 +75,12 @@ def q509_market_basket_lift(
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    items = (
+    # Pin the (order, brand) item set once: it feeds four consumers
+    # (the order count, the per-brand margin, and BOTH sides of the
+    # pair self-join), and without the pin each consumer re-runs the
+    # join + distinct shuffle (10 parquet scans in the r10-before
+    # plan). It is the algorithm's working set at any scale.
+    items = pin(
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
         .distinct()

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg, prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -90,14 +90,21 @@ def q306_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("s", "asc"), ("source", "asc")],
         {"i0": ("count", None), "cum_ex": ("sum", "s")},
     )
-    ordd = pre.crossJoin(F.broadcast(tots)).select(
-        "source",
-        "n_docs",
-        "s",
-        (F.col("i0") + 1).alias("i"),
-        (F.col("cum_ex") + F.col("s")).alias("cum"),
-        "n",
-        "total",
+    # Pin the source-domain ordered table once: it is referenced four
+    # times below (feasibility scan, k-th cum lookup, n_all, final
+    # allocation), and without the pin each reference re-instantiates
+    # the prefix machinery (41 Exchange nodes in the r10-before plan).
+    # |rows| = |sources| — metadata-sized.
+    ordd = pin(
+        pre.crossJoin(F.broadcast(tots)).select(
+            "source",
+            "n_docs",
+            "s",
+            (F.col("i0") + 1).alias("i"),
+            (F.col("cum_ex") + F.col("s")).alias("cum"),
+            "n",
+            "total",
+        )
     )
     feasible = ordd.filter(
         F.col("cum") + F.col("s") * (F.col("n") - F.col("i")) <= _BUDGET
