@@ -95,14 +95,6 @@ def q483_join_cardinality_audit(
         right = load_table(spark, sf_dir, rt)
         lkey = F.col(lk).cast("date") if cast_date else F.col(lk)
         rkey = F.col(rk).cast("date") if cast_date else F.col(rk)
-        ls = left.agg(
-            F.count(F.lit(1)).cast("long").alias("n_left"),
-            F.countDistinct(lkey).cast("long").alias("d_left"),
-        )
-        rs = right.agg(
-            F.count(F.lit(1)).cast("long").alias("n_right"),
-            F.countDistinct(rkey).cast("long").alias("d_right"),
-        )
         # actual join cardinality as sum of per-key count products —
         # identical to COUNT(*) of the join, but O(input) instead of
         # O(output): the correlated date join's true output grows
@@ -116,14 +108,44 @@ def q483_join_cardinality_audit(
             right.groupBy(rkey.alias("_k"))
             .agg(F.count(F.lit(1)).alias("_cr"))
         )
-        act = lc.join(rc, "_k").agg(
-            F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
-            .cast("long")
-            .alias("actual_rows")
-        )
+        # ONE full-outer join of the two per-key histograms yields
+        # every statistic at once (the r10-before plan scanned each
+        # table twice — once for count/countDistinct, once for the
+        # histogram): n_side = Σ counts (all histogram rows survive a
+        # full join), d_side = # non-null keys with a count (null join
+        # keys never match, exactly countDistinct's null exclusion),
+        # actual = Σ _cl*_cr over matched keys. One scan per table.
         row = (
-            ls.crossJoin(rs)
-            .crossJoin(act)
+            lc.join(rc, "_k", "full_outer")
+            .agg(
+                F.coalesce(F.sum("_cl"), F.lit(0))
+                .cast("long")
+                .alias("n_left"),
+                F.coalesce(F.sum("_cr"), F.lit(0))
+                .cast("long")
+                .alias("n_right"),
+                F.count(
+                    F.when(
+                        F.col("_k").isNotNull()
+                        & F.col("_cl").isNotNull(),
+                        1,
+                    )
+                )
+                .cast("long")
+                .alias("d_left"),
+                F.count(
+                    F.when(
+                        F.col("_k").isNotNull()
+                        & F.col("_cr").isNotNull(),
+                        1,
+                    )
+                )
+                .cast("long")
+                .alias("d_right"),
+                F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
+                .cast("long")
+                .alias("actual_rows"),
+            )
             .select(
                 F.lit(label).alias("join_name"),
                 "n_left",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -95,10 +96,17 @@ def q515_mutual_information(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    joint = o.groupBy(
-        F.col("o_orderpriority").alias("x"),
-        F.col("o_orderstatus").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    # Pin the joint contingency table once (|priority| × |status| ≤
+    # ~15 cells): it is referenced five times below (mx, my, tot,
+    # terms, cells), and without the pin each reference re-runs the
+    # full orders scan + groupBy (22 Exchange / 10 scans in the
+    # r10-before plan). One scan at any data scale after the pin.
+    joint = pin(
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        ).agg(F.count(F.lit(1)).alias("n_xy"))
+    )
     mx = joint.groupBy("x").agg(F.sum("n_xy").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("n_xy").alias("ny"))
     tot = joint.agg(F.sum("n_xy").alias("n"))

@@ -21,6 +21,7 @@ from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles,
     grouped_exact_percentiles_frac,
 )
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -111,7 +112,11 @@ def q523_join_order_benefit(
         .groupBy(F.col("o_orderkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    final = prod(hist(li, "l_orderkey"), occ)
+    # Pin the 1-row final-cardinality estimate: it feeds both plan
+    # rows, and without the pin each re-instantiates the lineitem
+    # histogram + customer-join pipeline (20 parquet scans in the
+    # r10-before plan).
+    final = pin(prod(hist(li, "l_orderkey"), occ))
     pa = lo.crossJoin(F.broadcast(final.select(
         F.col("rows_out").alias("final_rows")
     ))).select(
@@ -126,7 +131,9 @@ def q523_join_order_benefit(
         F.col("rows_out").alias("intermediate_rows"),
         "final_rows",
     )
-    plans = pa.unionByName(pb)
+    # Pin the 2-row plan table before the min/ratio fan-out: best and
+    # the final projection both re-reference it.
+    plans = pin(pa.unionByName(pb))
     best = plans.agg(F.min("intermediate_rows").alias("mn"))
     return (
         plans.crossJoin(F.broadcast(best))

@@ -266,9 +266,15 @@ def q536_kruskal_wallis(
     ranked = pooled.join(cum, "cents").select(
         "grp", (2 * F.col("bef") + F.col("c") + 1).alias("r2")
     )
-    byg = ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("nj"),
-        F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2j"),
+    # Pin the per-group rank sums (≤ |o_orderpriority| rows): byg is
+    # referenced three times below (ngroups, tot, terms), and without
+    # the pin each reference re-runs the pooled scan + rank join +
+    # groupBy (27 Exchange nodes in the r10-before plan).
+    byg = pin(
+        ranked.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("nj"),
+            F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2j"),
+        )
     )
     tie3 = hist.agg(
         F.sum(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -93,7 +93,10 @@ def q366_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = prefix_rank(toks, [("doc_id", "asc"), ("i", "asc")], alias="p")
     fp = pos.groupBy("tok").agg(F.min("p").alias("first_pos"))
-    tot = pos.agg(F.count(F.lit(1)).alias("n_tok"))
+    # prefix_rank preserves row count, so the token total does not
+    # need the rank machinery at all — count the raw token stream and
+    # skip a second instantiation of the prefix pipeline.
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
     curve_row = fp.agg(
         *[
             F.sum(F.when(F.col("first_pos") <= n, 1).otherwise(0)).alias(
@@ -120,15 +123,21 @@ def q366_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .filter(F.col("N") <= F.col("n_tok"))
     )
-    pts = curve.select(
-        "N",
-        "vocab",
-        F.round(F.log(F.col("N").cast("double")) * 1e9).cast("long").alias(
-            "x"
-        ),
-        F.round(F.log(F.col("vocab").cast("double")) * 1e9)
-        .cast("long")
-        .alias("y"),
+    # Pin the curve points once (≤ len(_CPS) rows): they feed both the
+    # regression aggregate and the final projection, and without the
+    # pin each reference re-instantiates the whole token/prefix-rank
+    # pipeline (26 Exchange nodes in the r10-before plan).
+    pts = pin(
+        curve.select(
+            "N",
+            "vocab",
+            F.round(F.log(F.col("N").cast("double")) * 1e9)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("vocab").cast("double")) * 1e9)
+            .cast("long")
+            .alias("y"),
+        )
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
     fit = pts.agg(
