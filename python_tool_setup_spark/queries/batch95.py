@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -79,6 +79,11 @@ def q394_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Pin the two-year spend table once (O(customers) rows — the
+    # algorithm's working set): each decile arm references it twice
+    # (rank + total), so the unpinned plan re-ran the orders scan +
+    # groupBy four times (20 Exchange nodes in the r10-before plan).
+    spend = pin(spend)
 
     def deciles(year: int, out: str) -> DataFrame:
         yr = spend.filter(F.col("y") == year)

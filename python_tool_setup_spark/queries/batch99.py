@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -91,6 +91,11 @@ def q402_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_acctbal").alias("x"), "y")
     )
+    # Pin the per-customer (x, y) table once (O(customers) rows): the
+    # two rank histograms and the rank join-back all re-reference it,
+    # so the unpinned plan ran the customer-orders join three times
+    # (18 Exchange nodes in the r10-before plan).
+    base = pin(base)
     hx = base.groupBy("x").agg(F.count("*").alias("c"))
     hy = base.groupBy("y").agg(F.count("*").alias("c"))
     rx = _rank2(hx, "x")
