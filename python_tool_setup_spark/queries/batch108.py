@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles,
 )
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -219,9 +220,14 @@ def q424_simpson_reversal_detector(
 )
 def q425_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").alias("x"))
+    # Pin the per-(type, day) counts once: three consumers (moments,
+    # percentiles, deviations) re-ran the events scan + groupBy
+    # unpinned (15 Exchange / 6 scans in the r10-before plan).
+    daily = pin(
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count("*").alias("x"))
+    )
     dec = "decimal(38,0)"
     mom = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -237,8 +243,12 @@ def q425_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(4 * F.col("p75")).cast("long").alias("q75x4"),
     )
     stats = mom.join(pct, "event_type")
-    dev = daily.join(F.broadcast(stats), "event_type").withColumn(
-        "dev2", F.abs(2 * F.col("x") - F.col("med2"))
+    # Pin deviations: both the MAD percentile pass and the flag pass
+    # re-reference them.
+    dev = pin(
+        daily.join(F.broadcast(stats), "event_type").withColumn(
+            "dev2", F.abs(2 * F.col("x") - F.col("med2"))
+        )
     )
     mad = grouped_exact_percentiles(
         dev, ["event_type"], "dev2", {"dm": 0.5}

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles,
 )
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -187,27 +188,42 @@ def q481_incremental_agg_maintenance(
 def q482_grouped_mad_outliers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    x = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("grp"),
-        F.round(100 * F.col("o_totalprice"))
-        .cast("long")
-        .alias("cents"),
+    # MAD is inherently multi-pass (median, then median of
+    # deviations, then flags) and every stage here is re-referenced
+    # downstream; unpinned, the r10-before plan re-ran the orders scan
+    # + percentile machinery 7 times (14 Exchange / 7 scans). Pin each
+    # chain node once: x and dev are the O(rows) working set, med and
+    # mad are ≤|priority| rows but their percentile machinery is the
+    # expensive part.
+    x = pin(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(100 * F.col("o_totalprice"))
+            .cast("long")
+            .alias("cents"),
+        )
     )
-    med = grouped_exact_percentiles(
-        x, ["grp"], "cents", {"p50": 0.5}
-    ).select(
-        "grp",
-        F.round(2 * F.col("p50")).cast("long").alias("med2"),
-        F.col("n").cast("long").alias("n"),
+    med = pin(
+        grouped_exact_percentiles(
+            x, ["grp"], "cents", {"p50": 0.5}
+        ).select(
+            "grp",
+            F.round(2 * F.col("p50")).cast("long").alias("med2"),
+            F.col("n").cast("long").alias("n"),
+        )
     )
-    dev = x.join(F.broadcast(med.select("grp", "med2")), "grp").select(
-        "grp",
-        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    dev = pin(
+        x.join(F.broadcast(med.select("grp", "med2")), "grp").select(
+            "grp",
+            F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+        )
     )
-    mad = grouped_exact_percentiles(
-        dev, ["grp"], "dev2", {"p50": 0.5}
-    ).select(
-        "grp", F.round(2 * F.col("p50")).cast("long").alias("mad4")
+    mad = pin(
+        grouped_exact_percentiles(
+            dev, ["grp"], "dev2", {"p50": 0.5}
+        ).select(
+            "grp", F.round(2 * F.col("p50")).cast("long").alias("mad4")
+        )
     )
     flags = (
         dev.join(F.broadcast(mad), "grp")

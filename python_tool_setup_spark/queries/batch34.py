@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -108,7 +109,10 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
-    lm = (
+    # Pin the train-split LM once (vocabulary-sized — the model IS
+    # the working set): tots and nll both re-reference it, and each
+    # unpinned reference re-ran the tokenize + count shuffle.
+    lm = pin(
         toks.filter(F.col("split") == "train")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -145,6 +149,10 @@ def q268_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_toks"),
         )
     )
+    # Pin per-doc scores (O(docs) rows): the global total and the
+    # final keep-rule aggregation both re-reference scored, and each
+    # unpinned reference re-tokenized the corpus.
+    scored = pin(scored)
     g = scored.agg(
         F.sum("total_nll").alias("g_nll"), F.sum("n_toks").alias("g_toks")
     )

@@ -85,19 +85,33 @@ from python_tool_setup_spark.tables import load_table
 )
 def q294_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    joint = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
-        ).agg(F.count(F.lit(1)).alias("nxy"))
-    )
-    n_tot = joint.agg(F.sum("nxy").alias("n"))
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    # ONE tree over the ≤15-cell contingency table: margins, the grand
+    # total, and per-axis representative flags all come from window
+    # functions over the cells, so every statistic folds into a single
+    # final aggregation — one orders scan instead of six (18 Exchange
+    # / 6 scans in the r10-before plan). The marginal entropy terms
+    # are numerically IDENTICAL to the old per-axis re-aggregation:
+    # each distinct x contributes -(nx/n)·ln(nx/n) exactly once (the
+    # rep_x row), with the same per-term rounding.
     marg = joint.select(
         "x",
         "y",
         "nxy",
         F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
         F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
-    ).crossJoin(F.broadcast(n_tot))
+        F.sum("nxy")
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("x").orderBy("y"))
+        .alias("rep_x"),
+        F.row_number()
+        .over(Window.partitionBy("y").orderBy("x"))
+        .alias("rep_y"),
+    )
     nd = F.col("n").cast("double")
     pxy = F.col("nxy").cast("double") / nd
     mi_term = F.round(
@@ -109,34 +123,20 @@ def q294_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000000.0
     ).cast("long")
     hxy_term = F.round(-pxy * F.log(pxy) * 1000000000.0).cast("long")
-    terms = marg.select(
-        mi_term.alias("mi_term_nano"), hxy_term.alias("hxy_term_nano")
-    )
-
-    def _marg_entropy(key: str, out: str) -> DataFrame:
-        m = joint.groupBy(key).agg(F.sum("nxy").alias("nk"))
-        m = m.crossJoin(F.broadcast(m.agg(F.sum("nk").alias("n"))))
-        p = F.col("nk").cast("double") / F.col("n").cast("double")
-        t = F.round(-p * F.log(p) * 1000000000.0).cast("long")
-        return m.select(t.alias("t")).agg(F.sum("t").alias(out))
-
-    hx = _marg_entropy("x", "hx_nano")
-    hy = _marg_entropy("y", "hy_nano")
-    agg = terms.agg(
+    px = F.col("nx").cast("double") / nd
+    py = F.col("ny").cast("double") / nd
+    hx_term = F.round(-px * F.log(px) * 1000000000.0).cast("long")
+    hy_term = F.round(-py * F.log(py) * 1000000000.0).cast("long")
+    return marg.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("mi_term_nano").cast("long").alias("mi_nano"),
-        F.sum("hxy_term_nano").cast("long").alias("h_joint_nano"),
-    )
-    return (
-        agg.crossJoin(F.broadcast(hx))  # 1-row scalar attaches
-        .crossJoin(F.broadcast(hy))
-        .select(
-            "n_cells",
-            "mi_nano",
-            "h_joint_nano",
-            F.col("hx_nano").cast("long").alias("h_x_nano"),
-            F.col("hy_nano").cast("long").alias("h_y_nano"),
-        )
+        F.sum(mi_term).cast("long").alias("mi_nano"),
+        F.sum(hxy_term).cast("long").alias("h_joint_nano"),
+        F.sum(F.when(F.col("rep_x") == 1, hx_term))
+        .cast("long")
+        .alias("h_x_nano"),
+        F.sum(F.when(F.col("rep_y") == 1, hy_term))
+        .cast("long")
+        .alias("h_y_nano"),
     )
 
 
