@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
@@ -122,6 +123,10 @@ def q501_brier_decomposition(
             ),
         )
     )
+    # Pin the labeled base once: the fit/test split means two passes
+    # over it by construction, and unpinned each pass re-ran the
+    # 3-table join (24 parquet scans in the r10-before plan).
+    base = pin(base)
     model = (
         base.filter("is_fit")
         .groupBy("nk")
@@ -134,8 +139,12 @@ def q501_brier_decomposition(
     test = base.filter(~F.col("is_fit")).join(
         F.broadcast(model), "nk"
     )
-    bins = test.groupBy("p_ppm").agg(
-        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("o_k")
+    # Pin the ≤|model bins| calibration histogram: tot/bt/nbins all
+    # re-reference it.
+    bins = pin(
+        test.groupBy("p_ppm").agg(
+            F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("o_k")
+        )
     )
     tot = bins.agg(
         F.sum("n_k").alias("n"), F.sum("o_k").alias("o")

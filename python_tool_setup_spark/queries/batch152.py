@@ -13,10 +13,9 @@ rankings, the drift check for trending-token dashboards).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -96,55 +95,43 @@ def q515_mutual_information(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Pin the joint contingency table once (|priority| × |status| ≤
-    # ~15 cells): it is referenced five times below (mx, my, tot,
-    # terms, cells), and without the pin each reference re-runs the
-    # full orders scan + groupBy (22 Exchange / 10 scans in the
-    # r10-before plan). One scan at any data scale after the pin.
-    joint = pin(
-        o.groupBy(
-            F.col("o_orderpriority").alias("x"),
-            F.col("o_orderstatus").alias("y"),
-        ).agg(F.count(F.lit(1)).alias("n_xy"))
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    # ONE tree over the ≤15-cell contingency table (the q294 shape):
+    # margins, the grand total, and one representative row per
+    # distinct x / y value come from window functions, so every sum
+    # (mi, hx, hy, cells) folds into a single aggregation — one
+    # orders scan instead of five (22 Exchange / 10 scans in the
+    # r10-before plan). Term expressions and per-term rounding are
+    # unchanged, so the sums are numerically identical.
+    marg = joint.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("n_xy").over(Window.partitionBy(F.lit(1))).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("x").orderBy("y"))
+        .alias("rep_x"),
+        F.row_number()
+        .over(Window.partitionBy("y").orderBy("x"))
+        .alias("rep_y"),
     )
-    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("nx"))
-    my = joint.groupBy("y").agg(F.sum("n_xy").alias("ny"))
-    tot = joint.agg(F.sum("n_xy").alias("n"))
-    terms = (
-        joint.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(tot))
-        .select(F.expr(_MI_TERM_EXPR).alias("t"))
-    )
-    mi_s = terms.agg(F.sum("t").alias("mi_s"))
-    hx_s = (
-        mx.crossJoin(F.broadcast(tot))
-        .select(
-            F.expr(
-                _H_TERM_EXPR.replace("c ", "nx ").replace(
-                    "/ c", "/ nx"
-                )
-            ).alias("t")
-        )
-        .agg(F.sum("t").alias("hx_s"))
-    )
-    hy_s = (
-        my.crossJoin(F.broadcast(tot))
-        .select(
-            F.expr(
-                _H_TERM_EXPR.replace("c ", "ny ").replace(
-                    "/ c", "/ ny"
-                )
-            ).alias("t")
-        )
-        .agg(F.sum("t").alias("hy_s"))
-    )
-    cells = joint.agg(F.count(F.lit(1)).alias("cells"))
-    agg = (
-        mi_s.crossJoin(F.broadcast(hx_s))
-        .crossJoin(F.broadcast(hy_s))
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(cells))
+    hx_t = _H_TERM_EXPR.replace("c ", "nx ").replace("/ c", "/ nx")
+    hy_t = _H_TERM_EXPR.replace("c ", "ny ").replace("/ c", "/ ny")
+    agg = marg.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("cells"),
+        F.sum(F.expr(_MI_TERM_EXPR)).alias("mi_s"),
+        F.sum(
+            F.when(F.col("rep_x") == 1, F.expr(hx_t))
+        ).alias("hx_s"),
+        F.sum(
+            F.when(F.col("rep_y") == 1, F.expr(hy_t))
+        ).alias("hy_s"),
     )
     nd = F.col("n").cast("double")
     mi = F.col("mi_s") / nd

@@ -114,6 +114,11 @@ def q535_friedman_test(
             ).alias("cents")
         )
     )
+    # Pin the per-(month, region) matrix once (O(months × regions)
+    # rows): the full-block filter and the rank pass both re-reference
+    # it, and unpinned each re-ran the 4-table join (16 parquet scans
+    # in the r10-before plan).
+    m = pin(m)
     full_m = (
         m.groupBy("idx")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -124,8 +129,12 @@ def q535_friedman_test(
         "rk",
         F.rank().over(Window.partitionBy("idx").orderBy("cents")),
     )
-    rsum = ranked.groupBy("r_name").agg(
-        F.sum("rk").alias("rj"), F.count(F.lit(1)).alias("nb")
+    # Pin the ≤|regions| rank sums: the statistic and the final
+    # projection both re-reference them.
+    rsum = pin(
+        ranked.groupBy("r_name").agg(
+            F.sum("rk").alias("rj"), F.count(F.lit(1)).alias("nb")
+        )
     )
     s = rsum.agg(
         F.max("nb").alias("n"),
