@@ -11,7 +11,7 @@ quantile sketch every 100 TB pipeline actually uses).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -84,11 +84,22 @@ def q406_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    reg = rev.groupBy("r_name").agg(F.sum("cents").alias("r_cents"))
-    tot = rev.agg(F.sum("cents").alias("g_cents"))
+    # Region and global totals as window sums over the ≤|nations|-row
+    # rev table (the q294 single-tree shape): the old reg/tot/join
+    # fan-out re-ran the lineitem-orders join three times (15 parquet
+    # scans in the r10-before plan). Integer sums — identical values.
     return (
-        rev.join(F.broadcast(reg), "r_name")
-        .crossJoin(F.broadcast(tot))
+        rev.select(
+            "r_name",
+            "n_name",
+            "cents",
+            F.sum("cents")
+            .over(Window.partitionBy("r_name"))
+            .alias("r_cents"),
+            F.sum("cents")
+            .over(Window.partitionBy(F.lit(1)))
+            .alias("g_cents"),
+        )
         .select(
             "r_name",
             "n_name",

@@ -96,6 +96,10 @@ def q424_simpson_reversal_detector(
             ),
         )
     )
+    # Pin the ≤(nations × priorities) contingency cells once: pooled,
+    # ca and cb all re-reference them, and unpinned each re-ran the
+    # lineitem-orders join (16 parquet scans in the r10-before plan).
+    cells = pin(cells)
     pooled = cells.groupBy("pr").agg(F.sum("n").alias("n"), F.sum("r").alias("r"))
     pa = pooled.select(
         F.col("pr").alias("pa"), F.col("n").alias("na"), F.col("r").alias("ra")

@@ -11,7 +11,7 @@ under-merging, per item, not per pair).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -204,11 +204,19 @@ def q450_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100000).alias("truth"),
     )
     cells = labels.groupBy("pred", "truth").agg(F.count("*").alias("m"))
-    csize = cells.groupBy("pred").agg(F.sum("m").alias("nc"))
-    tsize = cells.groupBy("truth").agg(F.sum("m").alias("nt"))
+    # Cluster and truth sizes as window sums over the bounded-slice
+    # cell table (the q294 single-tree shape): the old
+    # csize/tsize/join fan-out re-instantiated the cell aggregation
+    # three times (14 Exchange / 9 scans / 5 SortMergeJoin in the
+    # r10-before plan). Integer sums — identical values.
     scored = (
-        cells.join(csize, "pred")
-        .join(tsize, "truth")
+        cells.select(
+            "pred",
+            "truth",
+            "m",
+            F.sum("m").over(Window.partitionBy("pred")).alias("nc"),
+            F.sum("m").over(Window.partitionBy("truth")).alias("nt"),
+        )
         .select(
             "m",
             F.round(F.lit(1e9) * F.col("m") / F.col("nc"))

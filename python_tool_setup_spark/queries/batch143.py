@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from python_tool_setup_spark.operators.percentiles import (
     grouped_exact_percentiles_frac,
 )
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -124,22 +125,32 @@ def q497_conformal_calibration(
         ),
         (F.col("o_custkey") % 2 == 0).alias("is_cal"),
     )
+    # Pin the labeled base: the calibration/test split is two passes
+    # by construction, and unpinned each pass re-ran the
+    # customer-orders join (10 Exchange / 14 scans in the r10-before
+    # plan). pred and width are ≤|segments| rows but their
+    # aggregation machinery is the expensive part — pin those too.
+    base = pin(base)
     cal = base.filter("is_cal")
-    pred = cal.groupBy("seg").agg(
-        F.round(F.sum("cents") * 1.0 / F.count(F.lit(1)))
-        .cast("long")
-        .alias("mean_cents"),
-        F.count(F.lit(1)).alias("n_cal"),
+    pred = pin(
+        cal.groupBy("seg").agg(
+            F.round(F.sum("cents") * 1.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_cents"),
+            F.count(F.lit(1)).alias("n_cal"),
+        )
     )
     resid = cal.join(F.broadcast(pred), "seg").select(
         "seg", F.abs(F.col("cents") - F.col("mean_cents")).alias("r")
     )
     # exact-rational q90: see the oracle comment
-    width = grouped_exact_percentiles_frac(
-        resid, ["seg"], "r", {"p": (9, 10)}
-    ).select(
-        "seg",
-        F.floor((F.col("p_num") + 5) / 10).cast("long").alias("w"),
+    width = pin(
+        grouped_exact_percentiles_frac(
+            resid, ["seg"], "r", {"p": (9, 10)}
+        ).select(
+            "seg",
+            F.floor((F.col("p_num") + 5) / 10).cast("long").alias("w"),
+        )
     )
     test = (
         base.filter(~F.col("is_cal"))

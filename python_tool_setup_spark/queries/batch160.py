@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
@@ -269,8 +270,14 @@ def q532_wilcoxon_signed_rank(
             ).alias("d")
         )
     )
-    nz = m.filter(F.col("d") != 0).select(
-        "idx", "d", F.abs("d").alias("ad")
+    # Pin the nonzero month deltas once (O(months) rows): the
+    # magnitude histogram and the rank join both re-reference them,
+    # and unpinned each re-ran the 4-table join + groupBy (12 parquet
+    # scans in the r10-before plan).
+    nz = pin(
+        m.filter(F.col("d") != 0).select(
+            "idx", "d", F.abs("d").alias("ad")
+        )
     )
     hist = nz.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
     # bounded-domain: ad is the |month-delta difference| magnitude
