@@ -10,9 +10,10 @@ this emits the gap RANGES an orchestrator actually schedules).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -77,13 +78,25 @@ def q454_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")
         ).alias("t")
     ).agg(F.count("*").alias("x"))
-    st = daily.agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
     dec = "decimal(38,0)"
-    centered = daily.crossJoin(F.broadcast(st)).select(
-        "t",
-        (F.col("n").cast(dec) * F.col("x") - F.col("sx")).alias("c"),
-        "n",
+    # n and sx as global window sums over the O(days) daily table (no
+    # second daily instantiation), then pin: c0 and both lag sides
+    # re-reference centered, and unpinned each re-ran the events scan
+    # + groupBy (14 Exchange / 7 scans in the r10-before plan).
+    wall = Window.partitionBy(F.lit(1))
+    centered = pin(
+        daily.select(
+            "t",
+            "x",
+            F.count("*").over(wall).alias("n"),
+            F.sum("x").over(wall).alias("sx"),
+        ).select(
+            "t",
+            (F.col("n").cast(dec) * F.col("x") - F.col("sx")).alias("c"),
+            "n",
+        )
     )
+    st = centered.agg(F.max("n").alias("n"))  # scalar n off the pin
     c0 = centered.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
     ks = spark.range(1, _MAX_LAG + 1).select(F.col("id").alias("k"))
     a = centered.select("t", F.col("c").alias("ca"))

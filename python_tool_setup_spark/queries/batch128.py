@@ -167,13 +167,30 @@ def q468_dictionary_encoding_advisor(
         .when(F.col("d") <= 65536, 16)
         .otherwise(32)
     )
-    out = None
+    # ONE pass per TABLE, not per column (the q475 stacked-distinct
+    # shape): columns of the same table stack into a (column_name, v)
+    # relation, so each table is scanned once and one shuffle computes
+    # every column's frequency table — 4 scans instead of 7 (14
+    # Exchange / 7 scans in the r10-before plan). DISTINCT semantics
+    # and the per-column stats are exactly the per-column originals.
+    by_table: dict[str, list[tuple[str, str]]] = {}
     for label, table, col in _DICT_COLS:
+        by_table.setdefault(table, []).append((label, col))
+    out = None
+    for table, cols in by_table.items():
         t = load_table(spark, sf_dir, table)
-        freq = t.groupBy(F.col(col).alias("v")).agg(
+        stacked = t.select(
+            F.expr(
+                "stack({n}, {args}) AS (column_name, v)".format(
+                    n=len(cols),
+                    args=", ".join(f"'{lb}', {c}" for lb, c in cols),
+                )
+            )
+        )
+        freq = stacked.groupBy("column_name", "v").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        stats = freq.agg(
+        stats = freq.groupBy("column_name").agg(
             F.sum("cnt").alias("n"),
             F.count(F.lit(1)).alias("d"),
             F.sum(F.length("v").cast("long") * F.col("cnt")).alias("plain"),
@@ -182,8 +199,8 @@ def q468_dictionary_encoding_advisor(
         dict_bytes = F.col("dictv") + F.floor(
             (F.col("n") * idx_bits + 7) / 8
         )
-        row = stats.select(
-            F.lit(label).alias("column_name"),
+        rows = stats.select(
+            "column_name",
             F.col("n").cast("long").alias("n_rows"),
             F.col("d").cast("long").alias("n_distinct"),
             F.col("plain").cast("long").alias("plain_bytes"),
@@ -193,5 +210,5 @@ def q468_dictionary_encoding_advisor(
             .alias("savings_ppm"),
             (dict_bytes * 10 <= F.col("plain") * 9).alias("recommend_dict"),
         )
-        out = row if out is None else out.unionByName(row)
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("column_name")

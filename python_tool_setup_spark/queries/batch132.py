@@ -13,7 +13,7 @@ discovery rate instead of ballooning with the segment count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
@@ -294,11 +294,6 @@ def q476_benjamini_hochberg_fdr(
         F.sum("cents").alias("s_j"),
         F.sum(F.col("cents") * F.col("cents")).alias("q_j"),
     )
-    tot = per_order.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("q"),
-    )
     m_j = F.col("s_j").cast("double") / F.col("n_j")
     s_r = (F.col("s") - F.col("s_j")).cast("double")
     n_r = F.col("n") - F.col("n_j")
@@ -311,7 +306,16 @@ def q476_benjamini_hochberg_fdr(
     v_r = ((F.col("q") - F.col("q_j")).cast("double") - s_r * s_r / n_r) / (
         n_r - 1
     )
-    z = grp.crossJoin(F.broadcast(tot)).select(
+    # global totals as window sums over the ≤|nations|-row grp table
+    # (q294 shape): the old tot aggregate re-ran the 3-table join a
+    # second time (14 Exchange in the r10-before plan)
+    wall = Window.partitionBy(F.lit(1))
+    z = grp.select(
+        "*",
+        F.sum("n_j").over(wall).alias("n"),
+        F.sum("s_j").over(wall).alias("s"),
+        F.sum("q_j").over(wall).alias("q"),
+    ).select(
         "n_name",
         "n_j",
         ((m_j - m_r) / F.sqrt(v_j / F.col("n_j") + v_r / n_r)).alias(
@@ -323,7 +327,11 @@ def q476_benjamini_hochberg_fdr(
         F.abs("zval").alias("az"),
         (1 / (1 + 0.2316419 * F.abs("zval"))).alias("tt"),
     ).select("n_name", "n_j", "zval", F.expr(_P_EXPR).alias("p6"))
-    ranked = prefix_rank(p, [("p6", "asc"), ("n_name", "asc")], alias="i")
+    # Pin the ≤|nations|-row ranked p-values: kmax and the final
+    # projection both re-reference them.
+    ranked = pin(
+        prefix_rank(p, [("p6", "asc"), ("n_name", "asc")], alias="i")
+    )
     kmax = ranked.agg(
         F.max(
             F.when(

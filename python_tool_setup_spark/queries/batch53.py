@@ -8,9 +8,10 @@ two-snapshot churn).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -156,8 +157,13 @@ def q311_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual"),
         F.when(h % 4 == 0, F.lit("en")).otherwise(F.col("lang")).alias("pred"),
     )
-    cells = labeled.groupBy("actual", "pred").agg(
-        F.count(F.lit(1)).alias("n")
+    # Pin the ≤|langs|² confusion cells once: tp/fp/fn/classes all
+    # re-referenced them, each re-running the docs scan + md5 noise
+    # (14 Exchange / 8 scans in the r10-before plan).
+    cells = pin(
+        labeled.groupBy("actual", "pred").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     tp = cells.filter(F.col("actual") == F.col("pred")).select(
         F.col("actual").alias("c"), F.col("n").alias("tp")
@@ -172,7 +178,9 @@ def q311_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("actual").alias("c"))
         .agg(F.sum("n").alias("fn"))
     )
-    classes = labeled.select(F.col("actual").alias("c")).distinct()
+    # every actual value appears in some cell, so the class domain can
+    # come from the pinned cells instead of a second corpus pass
+    classes = cells.select(F.col("actual").alias("c")).distinct()
     stats = (
         classes.join(tp, "c", "left")
         .join(fp, "c", "left")
@@ -191,13 +199,16 @@ def q311_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").cast("long").alias("fn"),
         f1.alias("f1_micro_units"),
     )
-    tots = per_class.agg(
-        F.sum("f1_micro_units").alias("_sf1"),
-        F.count(F.lit(1)).alias("_nc"),
-        F.sum("tp").alias("_stp"),
-        F.sum("fp").alias("_sfp"),
-    )
-    return per_class.crossJoin(F.broadcast(tots)).select(
+    # macro/micro totals as global window sums over the tiny
+    # per-class table (q294 shape) — no second instantiation
+    wall = Window.partitionBy(F.lit(1))
+    return per_class.select(
+        "*",
+        F.sum("f1_micro_units").over(wall).alias("_sf1"),
+        F.count(F.lit(1)).over(wall).alias("_nc"),
+        F.sum("tp").over(wall).alias("_stp"),
+        F.sum("fp").over(wall).alias("_sfp"),
+    ).select(
         F.col("c").alias("class"),
         "tp",
         "fp",

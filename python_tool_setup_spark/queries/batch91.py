@@ -82,15 +82,20 @@ def q386_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = pre.select(
         "t", (F.col("before") + F.col("delta")).alias("active")
     )
-    peak = swept.agg(F.max("active").alias("peak_active"))
+    # Single-pass argmax: max(struct(active, -t)) yields the peak AND
+    # its earliest timestamp in one aggregation — the old
+    # peak-broadcast + equality-join re-ran the whole sweep pipeline
+    # a second time (15 Exchange in the r10-before plan). Identical
+    # result: struct ordering is (active desc, then -t desc = t asc).
     n = ev.agg(F.count(F.lit(1)).alias("n_intervals"))
     return (
-        swept.join(
-            F.broadcast(peak), swept["active"] == peak["peak_active"]
+        swept.agg(
+            F.max(F.struct(F.col("active"), (-F.col("t")).alias("negt")))
+            .alias("pk")
         )
-        .agg(
-            F.max("peak_active").cast("long").alias("peak_active"),
-            F.min("t").cast("long").alias("first_peak_epoch_sec"),
+        .select(
+            F.col("pk.active").cast("long").alias("peak_active"),
+            (-F.col("pk.negt")).cast("long").alias("first_peak_epoch_sec"),
         )
         .crossJoin(F.broadcast(n))
         .select(
