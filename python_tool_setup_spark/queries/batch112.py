@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
@@ -157,24 +158,39 @@ def q433_embedding_effective_rank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "e")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("e").cast("double") * F.lit(1000000.0))
-        .cast("long")
-        .alias("q"),
+    # Micro-quantized element ARRAYS, pinned once: n_vec, the per-dim
+    # sums and the co-moment cells all derive from this one scan.
+    qarr = pin(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x ->"
+                " cast(round(cast(x as double) * 1000000.0) as bigint))"
+            ).alias("qs"),
+        )
     )
-    n_vec = emb.agg(F.count_distinct("vec_id").alias("n"))
-    dims = elems.groupBy("i").agg(F.sum("q").alias("s"))
-    a = elems.select("vec_id", F.col("i").alias("di"), F.col("q").alias("qa"))
-    b = elems.select("vec_id", F.col("i").alias("dj"), F.col("q").alias("qb"))
+    n_vec = qarr.agg(F.count_distinct("vec_id").alias("n"))
+    dims = qarr.select(F.posexplode("qs").alias("i0", "q")).groupBy(
+        (F.col("i0") + 1).alias("i")
+    ).agg(F.sum("q").alias("s"))
+    # Upper-triangle co-moments ARRAY-LOCALLY (guide §2.3/§2.4): the
+    # old vec_id self-join shuffled |vecs| x dims elements on BOTH
+    # sides and then shipped |vecs| x dims^2/2 joined rows into the
+    # cell groupBy. Expanding each vector's own upper triangle with
+    # slice() needs no join at all, and map-side partial aggregation
+    # collapses the products to <= dims^2/2 cells per task before the
+    # only remaining exchange. Same (di, dj, qa*qb) addends, so the
+    # decimal sums are bit-identical.
     dec = "decimal(38,0)"
+    tri = qarr.select("qs", F.posexplode("qs").alias("i0", "qa")).select(
+        (F.col("i0") + 1).alias("di"),
+        "qa",
+        F.posexplode(
+            F.slice(F.col("qs"), F.col("i0") + 1, F.size("qs") - F.col("i0"))
+        ).alias("k0", "qb"),
+    )
     moments = (
-        a.join(b, "vec_id")
-        .where(F.col("dj") >= F.col("di"))
-        .groupBy("di", "dj")
+        tri.groupBy("di", (F.col("di") + F.col("k0")).alias("dj"))
         .agg(F.sum(F.col("qa").cast(dec) * F.col("qb")).alias("sij"))
         .join(
             F.broadcast(dims.select(F.col("i").alias("di"), F.col("s").alias("si"))),

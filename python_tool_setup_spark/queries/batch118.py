@@ -223,34 +223,49 @@ def q446_tail_treatment_moments(
     )
     dec = "decimal(38,0)"
 
-    def moments(df: DataFrame, name: str):
-        v = F.col("v").cast(dec)
-        m = df.agg(
-            F.count("*").alias("n"),
-            F.sum(v).alias("s1"),
-            F.sum(v * F.col("v")).alias("s2"),
-            F.sum(v * F.col("v") * F.col("v")).alias("s3"),
-        )
-        nn = F.col("n").cast("double")
-        s1 = F.col("s1").cast("double")
-        s2 = F.col("s2").cast("double")
-        s3 = F.col("s3").cast("double")
-        var = s2 / nn - (s1 / nn) * (s1 / nn)
-        skew = (
-            (nn * nn * s3 - F.lit(3.0) * F.col("n") * s1 * F.col("s2").cast("double")
-             + F.lit(2.0) * s1 * F.col("s1").cast("double") * F.col("s1").cast("double"))
-            / (nn * F.col("n") * F.col("n"))
-            / F.pow(var, F.lit(1.5))
-        )
-        return m.select(
-            F.lit(name).alias("variant"),
-            F.col("n").cast("long").alias("n"),
-            F.round(F.lit(1e3) * skew).cast("long").alias("skewness_milli"),
-        )
-
-    capped = vals.crossJoin(F.broadcast(bounds)).select(
-        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("v")
+    # BOTH variants' exact moment sums in ONE orders pass (§2.3
+    # aggregate-before-shuffle): the raw and winsorized value ride the
+    # same row, the 1-row moment aggregate is stacked into the 2-row
+    # (variant, n, s1, s2, s3) table, and one shared skew expression
+    # finishes. The old shape ran moments() twice (two scans) and
+    # unioned the two 1-row aggregates. Decimal addends identical per
+    # variant, so the sums — and the doubles derived from them — are
+    # bit-identical.
+    both = vals.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("w"),
     )
-    return moments(vals, "raw").unionByName(
-        moments(capped, "winsorized")
+    vd = F.col("v").cast(dec)
+    wd = F.col("w").cast(dec)
+    m = both.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("s1r"),
+        F.sum(vd * F.col("v")).alias("s2r"),
+        F.sum(vd * F.col("v") * F.col("v")).alias("s3r"),
+        F.sum(wd).alias("s1w"),
+        F.sum(wd * F.col("w")).alias("s2w"),
+        F.sum(wd * F.col("w") * F.col("w")).alias("s3w"),
+    )
+    stacked = m.select(
+        F.expr(
+            "stack(2, 'raw', n, s1r, s2r, s3r,"
+            " 'winsorized', n, s1w, s2w, s3w)"
+            " AS (variant, n, s1, s2, s3)"
+        )
+    )
+    nn = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    var = s2 / nn - (s1 / nn) * (s1 / nn)
+    skew = (
+        (nn * nn * s3 - F.lit(3.0) * F.col("n") * s1 * F.col("s2").cast("double")
+         + F.lit(2.0) * s1 * F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (nn * F.col("n") * F.col("n"))
+        / F.pow(var, F.lit(1.5))
+    )
+    return stacked.select(
+        "variant",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.lit(1e3) * skew).cast("long").alias("skewness_milli"),
     ).orderBy("variant")

@@ -115,7 +115,12 @@ def q513_kmv_intersection_estimate(
         F.expr(_H_EXPR).cast("long").alias("h"),
     ).distinct()
     w = Window.partitionBy("side_a").orderBy("h")
-    kmv = (
+    # Pin the ≤2K-row KMV sketch: merged, a_set and b_set all
+    # re-reference it, and unpinned each re-ran the documents scan +
+    # distinct + window chain (5 scans in the r10-before plan).
+    from python_tool_setup_spark.operators.blockrank import pin
+
+    kmv = pin(
         h.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _KMV_K)
         .select("side_a", "h")

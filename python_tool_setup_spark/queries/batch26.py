@@ -137,19 +137,37 @@ def q241_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    # percent_rank/cume_dist are constant within a (flag, qty) tie
+    # group, so they are pure functions of the VALUE HISTOGRAM:
+    # pr = |rows before| / (n-1), cd = |rows up to| / n. The raw
+    # window sorted every lineitem row inside <=|flags| partitions
+    # (single-task per flag — the §2.5 skew shape at scale); the
+    # histogram is one aggregate shuffle with map-side partials and
+    # the window runs over <=|flags|x50 rows. Identical integer
+    # rank/count inputs -> identical IEEE divisions.
+    hist = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wf = Window.partitionBy("l_returnflag").orderBy("qty")
+    wp = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "qty",
+        (F.sum("cnt").over(wf) - F.col("cnt")).alias("before"),
+        F.sum("cnt").over(wf).alias("upto"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    pr = F.when(
+        F.col("n") > 1, F.col("before") / (F.col("n") - 1)
+    ).otherwise(F.lit(0.0))
     return (
-        li.select(
+        cum.select(
             "l_returnflag",
-            F.col("l_quantity").cast("int").alias("qty"),
-            # scale-first rounds: see the oracle comment
-            (F.round(1000000 * F.percent_rank().over(w)) / 1000000.0).alias(
-                "pr"
-            ),
-            (F.round(1000000 * F.cume_dist().over(w)) / 1000000.0).alias(
-                "cd"
-            ),
+            "qty",
+            (F.round(1000000 * pr) / 1000000.0).alias("pr"),
+            (
+                F.round(1000000 * (F.col("upto") / F.col("n"))) / 1000000.0
+            ).alias("cd"),
         )
-        .distinct()
         .orderBy("l_returnflag", "qty")
     )

@@ -61,16 +61,29 @@ _MINSUP = 3
 )
 def q296_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
+    # Per-order item BASKETS in one shuffle (q304 shape): collect_set
+    # replaces the standalone distinct, the basket-bounded pairs
+    # expand array-locally instead of through the o-keyed self-join,
+    # and n_orders/item derive from the basket table (the old b was
+    # instantiated 4x — scan + distinct each time).
+    baskets = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_orders = b.agg(F.countDistinct("o").alias("n"))
-    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    a = b.alias("a")
-    c = b.alias("c")
+    ).groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("np")
+    )
     pair = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
-        .groupBy(F.col("a.p").alias("x"), F.col("c.p").alias("y"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x, y))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("sxy"))
         .filter(F.col("sxy") >= _MINSUP)
     )

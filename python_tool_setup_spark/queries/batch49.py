@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
@@ -128,7 +128,10 @@ def q302_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q303_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    hist = sizes.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    # Pin the ≤|distinct sizes|-row histogram: tot and the prefix both
+    # re-reference it, and unpinned each re-ran the events scan + the
+    # user-key shuffle.
+    hist = pin(sizes.groupBy("x").agg(F.count(F.lit(1)).alias("m")))
     tot = hist.agg(
         F.sum("m").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("m")).alias("total"),

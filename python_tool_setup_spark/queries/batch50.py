@@ -72,15 +72,31 @@ _TOP_K = 3
 )
 def q304_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
+    # Per-order item BASKETS in one shuffle (collect_set dedups the
+    # (order, part) pairs the old .distinct() needed its own exchange
+    # for), then the basket-bounded co-occurrence pairs expand
+    # ARRAY-LOCALLY — the old o-keyed self-join shuffled the distinct
+    # pair set twice more, and the sym union below re-instantiated
+    # that whole pipeline per branch (12 scans in the r10-before
+    # plan); re-running the two-shuffle basket pipeline per branch is
+    # cheaper than a pin barrier (measured 2.5 s vs 3.0-3.3 s pinned).
+    baskets = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    a = b.alias("a")
-    c = b.alias("c")
+    ).groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    item = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("np")
+    )
     pair = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
-        .groupBy(F.col("a.p").alias("x"), F.col("c.p").alias("y"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x, y))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("sxy"))
         .filter(F.col("sxy") >= _MIN_CO)
     )

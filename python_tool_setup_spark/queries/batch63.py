@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -74,12 +75,16 @@ def q331_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(out))
         )
 
-    v1 = (
+    # Pin the two fan-out funnel stages (each O(users), narrow): v1
+    # feeds both the click join and its own count, c1 both the
+    # purchase join and its count — unpinned every count re-ran the
+    # whole upstream chain (7 events scans in the r10-before plan).
+    v1 = pin(
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    c1 = first_after(v1, "v_ts", "click", "c_ts")
+    c1 = pin(first_after(v1, "v_ts", "click", "c_ts"))
     p1 = first_after(c1, "c_ts", "purchase", "p_ts")
     n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
     nv = v1.agg(F.count(F.lit(1)).alias("step_view"))

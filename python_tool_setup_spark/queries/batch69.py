@@ -13,6 +13,7 @@ from math import factorial
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.staging import local_rows_df
 from python_tool_setup_spark.tables import load_table
@@ -239,14 +240,20 @@ def q343_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("conv"), F.lit(0)).alias("conv"),
         )
     )
-    v = journeys.groupBy("s_key").agg(
-        F.round(
-            F.sum("conv").cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * 1000000000.0
+    # Pin the ≤|subsets|-row coalition-value table: it is broadcast
+    # TWICE below (v_s and v_si), and unpinned each broadcast re-ran
+    # the whole journeys pipeline (3 events scans each — 8 scans in
+    # the r10-before plan).
+    v = pin(
+        journeys.groupBy("s_key").agg(
+            F.round(
+                F.sum("conv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1000000000.0
+            )
+            .cast("long")
+            .alias("v_nano")
         )
-        .cast("long")
-        .alias("v_nano")
     )
     grid = local_rows_df(
         spark,

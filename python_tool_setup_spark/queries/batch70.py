@@ -7,10 +7,10 @@ finds the days a fact table silently skipped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -59,20 +59,25 @@ _BUDGET = 100
 )
 def q344_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    tot = strata.agg(F.sum("n").alias("t"))
-    quotas = strata.crossJoin(F.broadcast(tot)).select(
+    # Pin the ≤|langs|-row strata (tot/quotas/floors/rank all derive
+    # from it — unpinned each re-ran the documents scan + groupBy) and
+    # take the grand total and the floor-quota leftover as window sums
+    # over the tiny table instead of scalar crossJoins (q294 shape).
+    strata = pin(d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    wall = Window.partitionBy(F.lit(1))
+    quotas = strata.select(
+        "lang", "n", F.sum("n").over(wall).alias("t")
+    ).select(
         "lang",
         "n",
         F.expr(f"div({_BUDGET} * n, t)").alias("floor_q"),
         ((F.lit(_BUDGET) * F.col("n")) % F.col("t")).alias("rem"),
     )
-    floors = quotas.agg(
-        (F.lit(_BUDGET) - F.sum("floor_q")).alias("leftover")
-    )
     ranked = prefix_rank(
         quotas, [("rem", "desc"), ("lang", "asc")], alias="rk"
-    ).crossJoin(F.broadcast(floors))
+    ).withColumn(
+        "leftover", F.lit(_BUDGET) - F.sum("floor_q").over(wall)
+    )
     return ranked.select(
         "lang",
         F.col("n").cast("long").alias("n_docs"),
