@@ -17,7 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.staging import staging_dir
 from python_tool_setup_spark.tables import load_table
@@ -51,12 +51,16 @@ from python_tool_setup_spark.tables import load_table
 )
 def q176_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # Narrow 2-column base read by BOTH the rank machinery and the
+    # total count: pin it so orders is scanned once.
+    base = pin(o.select("o_totalprice", "o_orderkey"))
     ranked = prefix_rank(
-        o.select("o_totalprice", "o_orderkey"),
+        base,
         [("o_totalprice", "asc"), ("o_orderkey", "asc")],
         alias="rk",
+        cache_input=False,  # base is pinned above
     )
-    n_tot = o.agg(F.count(F.lit(1)).alias("n"))
+    n_tot = base.agg(F.count(F.lit(1)).alias("n"))
     deciled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
         "decile",
         F.expr(

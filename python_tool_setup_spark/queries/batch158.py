@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
@@ -124,6 +124,9 @@ def q527_rolling_correlation(
             ).alias("b"),
         )
     )
+    # O(months) rows, referenced twice (offset fan-out + the full-
+    # window semi-join): pin it so the orders star join runs ONCE.
+    m = pin(m)
     off = spark.range(0, _RC_WINDOW).select(
         F.col("id").cast("int").alias("off")
     )
@@ -213,19 +216,28 @@ def q528_monetary_unit_sampling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    x = o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(100 * F.col("o_totalprice")).cast("long").alias(
-            "cents"
-        ),
+    # Narrow 3-column base read by BOTH the grand total and the
+    # prefix-sum machinery: pin it so orders is scanned once (the
+    # prefix_agg would otherwise pin its own copy AND tot would
+    # re-scan the parquet).
+    x = pin(
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(100 * F.col("o_totalprice")).cast("long").alias(
+                "cents"
+            ),
+        )
     )
     tot = x.agg(F.sum("cents").alias("t"))
     itv = tot.select(
         F.expr(f"t DIV {_MUS_N_TARGET}").cast("long").alias("interval")
     )
     cum = prefix_agg(
-        x, [("o_orderkey", "asc")], {"bef": ("sum", "cents")}
+        x,
+        [("o_orderkey", "asc")],
+        {"bef": ("sum", "cents")},
+        cache_input=False,  # x is pinned above
     )
     hits = cum.crossJoin(F.broadcast(itv)).select(
         "o_orderpriority",

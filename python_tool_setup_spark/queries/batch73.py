@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -95,12 +96,18 @@ def _pos_sql(key: str, i: str) -> str:
 def q350_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    keys = (
+    # Three consumers each for the filtered key set (bit build, truth
+    # semi-join, n_keys) and the customer key column (probes, truth,
+    # n_probed): pin both narrow frames so orders and customer are
+    # scanned ONCE instead of 3x each. bits is bounded by the filter
+    # domain (_K_HASH hash positions), pinned to stop the cand probe
+    # and the n_bits_set count from re-running the distinct.
+    keys = pin(
         o.filter(F.col("o_totalprice") > _PRICE_CUT)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-    bits = (
+    bits = pin(
         keys.select(
             F.explode(
                 F.array(*[_pos_spark(F.col("k"), i) for i in range(_K_HASH)])
@@ -108,14 +115,15 @@ def q350_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probes = c.select(
-        F.col("c_custkey").alias("k"),
+    ck = pin(c.select(F.col("c_custkey").alias("k")))
+    probes = ck.select(
+        "k",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        _pos_spark(F.col("c_custkey"), i).alias("pos"),
+                        _pos_spark(F.col("k"), i).alias("pos"),
                     )
                     for i in range(_K_HASH)
                 ]
@@ -129,13 +137,11 @@ def q350_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hits") == _K_HASH)
         .select("k")
     )
-    truth = c.select(F.col("c_custkey").alias("k")).join(
-        F.broadcast(keys), "k", "left_semi"
-    )
+    truth = ck.join(F.broadcast(keys), "k", "left_semi")
     stats = [
         keys.agg(F.count(F.lit(1)).alias("n_keys")),
         bits.agg(F.count(F.lit(1)).alias("n_bits_set")),
-        c.agg(F.count(F.lit(1)).alias("n_probed")),
+        ck.agg(F.count(F.lit(1)).alias("n_probed")),
         cand.agg(F.count(F.lit(1)).alias("n_candidates")),
         truth.agg(F.count(F.lit(1)).alias("n_true")),
     ]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -204,13 +205,20 @@ def q374_embedding_norm_outliers(
 )
 def q375_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i0", "e"),
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("e").cast("double") * 1000000.0).cast("long").alias("q"),
+    # Quantized (vec_id, dim, q) table feeds THREE consumers (the JL
+    # projection plus both sides of the paired-distance joins): pin it
+    # so embeddings is scanned once (q433 precedent).
+    dims = pin(
+        emb.select(
+            "vec_id",
+            F.posexplode("embedding").alias("i0", "e"),
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("e").cast("double") * 1000000.0)
+            .cast("long")
+            .alias("q"),
+        )
     )
     sign_rows = [
         (j, i)
@@ -242,29 +250,30 @@ def q375_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-1)
         .alias("sgn"),
     )
-    proj = (
+    proj = pin(
         dims.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
         .agg(
             F.sum(F.col("sgn").cast("decimal(38,0)") * F.col("q")).alias("pj")
         )
     )
-    pairs = emb.select(F.col("vec_id").alias("va")).filter(
-        F.col("va") % 2 == 0
-    ).join(
-        emb.select((F.col("vec_id") - 1).alias("va"),
-                   F.col("vec_id").alias("vb")),
-        "va",
-    )
-    da = dims.select(
+    # (va even, vb = va+1) pairing expressed directly on the pinned
+    # element/projection tables: db's join key is vec_id - 1, so the
+    # equi-join on (va, i) keeps exactly the pairs whose even va and
+    # odd va+1 both exist — the old emb-self-join "pairs" scaffold
+    # re-scanned embeddings twice only to re-derive ids the pinned
+    # frames already carry.
+    da = dims.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("va"), "i", F.col("q").alias("qa")
     )
     db = dims.select(
-        F.col("vec_id").alias("vb"), "i", F.col("q").alias("qb")
+        (F.col("vec_id") - 1).alias("va"),
+        F.col("vec_id").alias("vb"),
+        "i",
+        F.col("q").alias("qb"),
     )
     orig_d = (
-        pairs.join(da, "va")
-        .join(db, ["vb", "i"])
+        da.join(db, ["va", "i"])
         .groupBy("va", "vb")
         .agg(
             F.sum(
@@ -273,11 +282,17 @@ def q375_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2")
         )
     )
-    pa = proj.select(F.col("vec_id").alias("va"), "j", F.col("pj").alias("pja"))
-    pb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("pj").alias("pjb"))
+    pa = proj.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("va"), "j", F.col("pj").alias("pja")
+    )
+    pb = proj.select(
+        (F.col("vec_id") - 1).alias("va"),
+        F.col("vec_id").alias("vb"),
+        "j",
+        F.col("pj").alias("pjb"),
+    )
     proj_d = (
-        pairs.join(pa, "va")
-        .join(pb, ["vb", "j"])
+        pa.join(pb, ["va", "j"])
         .groupBy("va", "vb")
         .agg(
             F.sum(

@@ -153,17 +153,17 @@ def q381_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
 
     def check(name, child, child_key, parent, parent_key):
-        orphans = child.join(
-            parent.select(parent_key),
-            child[child_key] == parent[parent_key],
-            "left_anti",
-        )
+        # ONE pass per FK: a left join against the deduped parent keys
+        # yields both the child count and the orphan count (NOT EXISTS
+        # == no match == null probe key) in a single aggregation — the
+        # old anti-join + separate COUNT(*) re-scanned every child
+        # table twice.
+        pk = parent.select(F.col(parent_key).alias("_pk")).distinct()
         return (
-            child.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(
-                F.broadcast(
-                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-                )
+            child.join(pk, child[child_key] == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(F.col("_pk").isNull()).alias("n_orphans"),
             )
             .select(
                 F.lit(name).alias("fk"),

@@ -200,8 +200,16 @@ def q403_wilson_interval_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    glob = per_nation.agg(
-        F.round(F.lit(1e6) * F.sum("r") / F.sum("n_lines"))
+    # Global rate as WINDOW sums over the ≤|nations|-row aggregate
+    # (q294 shape): the old separate .agg() re-instantiated the whole
+    # 4-table star join a second time just to add up 25 rows.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    glob_col = (
+        F.round(
+            F.lit(1e6) * F.sum("r").over(w_all) / F.sum("n_lines").over(w_all)
+        )
         .cast("long")
         .alias("global_rate_micro")
     )
@@ -216,15 +224,17 @@ def q403_wilson_interval_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             + z2 / (F.lit(4.0) * nl * nl.cast("double"))
         )
     ) / (F.lit(1.0) + z2 / nl)
-    wilson = per_nation.select(
-        "n_name",
-        nl.cast("long").alias("n_lines"),
-        F.col("r").cast("long").alias("n_returned"),
-        F.round(F.lit(1e6) * F.col("r") / nl).cast("long").alias("rate_micro"),
-        F.round(F.lit(1e6) * lo).cast("long").alias("wilson_lo_micro"),
-    )
     return (
-        wilson.crossJoin(F.broadcast(glob))
+        per_nation.select(
+            "n_name",
+            nl.cast("long").alias("n_lines"),
+            F.col("r").cast("long").alias("n_returned"),
+            F.round(F.lit(1e6) * F.col("r") / nl)
+            .cast("long")
+            .alias("rate_micro"),
+            F.round(F.lit(1e6) * lo).cast("long").alias("wilson_lo_micro"),
+            glob_col,
+        )
         .withColumn(
             "flagged", F.col("wilson_lo_micro") > F.col("global_rate_micro")
         )
