@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck, dd_spark
 from python_tool_setup_spark.tables import load_table
@@ -273,10 +273,15 @@ def q522_kendall_tau_b(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
-        F.round("l_quantity").cast("long").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # Bounded (discount x quantity) histogram referenced FIVE times
+    # (both join sides + grand total + both tie margins): pin it so
+    # lineitem is scanned once.
+    cells = pin(
+        li.groupBy(
+            F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
+            F.round("l_quantity").cast("long").alias("y"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     a = cells.select(
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),

@@ -91,22 +91,29 @@ def q374_embedding_norm_outliers(
         "label",
         F.round(F.col("e").cast("double") * 1000000.0).cast("long").alias("q"),
     )
-    norms = dims.groupBy("vec_id", "label").agg(
-        F.round(
-            F.sqrt(
-                F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).cast(
-                    "double"
+    # MAD chain (q482 shape): norms feeds the median AND the deviation
+    # join; dev feeds the MAD percentile AND the final flag pass. Pin
+    # both O(vecs) frames so embeddings is exploded once.
+    norms = pin(
+        dims.groupBy("vec_id", "label").agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.col("q").cast("decimal(38,0)") * F.col("q")
+                    ).cast("double")
                 )
             )
+            .cast("long")
+            .alias("norm_micro")
         )
-        .cast("long")
-        .alias("norm_micro")
     )
     med = grouped_exact_percentiles(
         norms, ["label"], "norm_micro", {"p50": 0.5}
     ).select("label", F.round("p50").cast("long").alias("m"))
-    dev = norms.join(F.broadcast(med), "label").withColumn(
-        "adev", F.abs(F.col("norm_micro") - F.col("m"))
+    dev = pin(
+        norms.join(F.broadcast(med), "label").withColumn(
+            "adev", F.abs(F.col("norm_micro") - F.col("m"))
+        )
     )
     mad = grouped_exact_percentiles(dev, ["label"], "adev", {"p50": 0.5}).select(
         "label", F.round("p50").cast("long").alias("mad_")
