@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -87,7 +88,10 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calendar-bounded series.",
 )
 def q340_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir)
+    # O(types x days) aggregate read four times (both self-join
+    # sides, the point count, the tie term): pin it so events is
+    # scanned once.
+    daily = pin(_daily(spark, sf_dir))
     a = daily.select(
         F.col("event_type"), F.col("d").alias("da"), F.col("x").alias("xa")
     )
@@ -179,7 +183,9 @@ def q340_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per type; ranks ride the type-partitioned window.",
 )
 def q341_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir)
+    # Same daily aggregate, both sides of the slope self-join:
+    # pin it so events is scanned once.
+    daily = pin(_daily(spark, sf_dir))
     a = daily.select(
         F.col("event_type"), F.col("d").alias("da"), F.col("x").alias("xa")
     )

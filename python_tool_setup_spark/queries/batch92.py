@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -88,8 +89,12 @@ _EPOCH_MON = "2024-01-01"
 )
 def q388_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
+    # O(days) aggregate feeding the grand total, the per-dow means AND
+    # the variance pass: pin it so events is scanned once.
+    daily = pin(
+        ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     dowd = daily.select(
         (F.datediff("day", F.lit(_EPOCH_MON).cast("date")) % 7).alias("dow"),

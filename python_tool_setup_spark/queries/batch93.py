@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -85,7 +85,12 @@ def q390_bigram_lm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     split_docs = train_val_test_split(d, "doc_id", val_frac=0.10, test_frac=0.0)
-    toks = (
+    # The tokenization explode feeds both the unigram LM and the bigram
+    # window; the bigram table feeds both the train LM and the val
+    # probe; the unigram LM is read by the scoring join AND (twice) the
+    # vocab scalar. Pin all three (q268 precedent: pin the train LM +
+    # per-doc scores) so documents is tokenized once.
+    toks = pin(
         split_docs.select(
             "doc_id",
             "split",
@@ -96,17 +101,19 @@ def q390_bigram_lm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     wd = Window.partitionBy("doc_id").orderBy("i")
-    bigrams = toks.select(
-        "split",
-        F.col("w").alias("w1"),
-        F.lead("w").over(wd).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    bigrams = pin(
+        toks.select(
+            "split",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wd).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
+    )
     tr_bi = (
         bigrams.filter(F.col("split") == "train")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
-    tr_uni = (
+    tr_uni = pin(
         toks.filter(F.col("split") == "train")
         .groupBy(F.col("w").alias("w1"))
         .agg(F.count(F.lit(1)).alias("c1"))
