@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.batch90 import (
     _jacc_sql,
@@ -319,7 +320,9 @@ def q410_chisq_goodness_of_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 7
         ).alias("d"),
     )
-    cell = dow.groupBy("event_type", "d").agg(F.count("*").alias("o"))
+    # ≤|types|×7 contingency table read FOUR times (row/col margins,
+    # grand total, the term join): pin it so events is scanned once.
+    cell = pin(dow.groupBy("event_type", "d").agg(F.count("*").alias("o")))
     bytype = cell.groupBy("event_type").agg(F.sum("o").alias("nt"))
     byday = cell.groupBy("d").agg(F.sum("o").alias("nd"))
     tot = cell.agg(F.sum("o").alias("n"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -111,17 +112,24 @@ def q204_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a distinct shuffle and a sketch.",
 )
 def q205_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    # (segment, key) projection read by the bitmap build AND both exact
+    # counts; the bucket bitmaps feed the per-segment count AND the
+    # global OR-merge: pin both so customer is scanned once.
+    c = pin(
+        load_table(spark, sf_dir, "customer").select(
+            "c_mktsegment", "c_custkey"
+        )
+    )
     # bitmap bucketing: key -> (bucket, bit position); one bitmap per
     # (segment, bucket), counts summed per segment
-    per_bucket = c.groupBy(
+    per_bucket = pin(c.groupBy(
         "c_mktsegment",
         F.bitmap_bucket_number("c_custkey").alias("bucket"),
     ).agg(
         F.bitmap_construct_agg(
             F.bitmap_bit_position("c_custkey")
         ).alias("bm")
-    )
+    ))
     per_segment = per_bucket.groupBy("c_mktsegment").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("bitmap_distinct")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -181,7 +181,14 @@ def q354_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle on source + a histogram join.",
 )
 def q355_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Narrow 3-column base read by the value histogram, the grand
+    # count AND the per-source rank window: pin it so documents is
+    # scanned once.
+    d = pin(
+        load_table(spark, sf_dir, "documents").select(
+            "source", "n_chars", "doc_id"
+        )
+    )
     hist = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -66,7 +67,12 @@ def q372_source_concentration_hhi(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # O(lang×source) cell table: every downstream consumer (totals,
+    # shares, HHI, top-source window) re-instantiated it — pin it so
+    # documents is scanned once.
+    cells = pin(
+        d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
     shares = cells.join(F.broadcast(tot), "lang").withColumn(
         "p", F.col("n").cast("double") / F.col("nl")
