@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg, prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg, prefix_rank
 
 
 def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
@@ -62,10 +62,15 @@ def average_precision(
     score-histogram cumsum + per-block partitioned windows (never a
     global window). Returns one row: n_docs, n_pos, sum_term_nano,
     ap_micro."""
-    scored = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(score_col).alias("s"),
-        F.col(label_col).alias("y"),
+    # Three consumers (score histogram, rank join-back, doc count) each
+    # re-instantiated the caller's input plan: pin the narrow triple so
+    # the source is scanned once.
+    scored = pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).alias("y"),
+        )
     )
     hist = scored.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("cnt_pos")
@@ -117,8 +122,12 @@ def ndcg_at_k(
     nano-quantized. Returns one row: dcg_nano, idcg_nano,
     ndcg_micro."""
 
+    # Both the DCG and IDCG top-k passes read the caller's plan: pin
+    # the narrow projection so the source is scanned once.
+    base = pin(df.select(score_col, id_col, gain_col))
+
     def _dcg(sort_col: str, alias: str) -> DataFrame:
-        top = df.orderBy(F.col(sort_col).desc(), F.col(id_col)).limit(k)
+        top = base.orderBy(F.col(sort_col).desc(), F.col(id_col)).limit(k)
         ranked = prefix_rank(
             top, [(sort_col, "desc"), (id_col, "asc")], alias="r"
         ).select(F.col(gain_col).alias("g"), "r")
@@ -152,7 +161,9 @@ def calibration_ece(
     [0, 1e6]) so bin sums are exact. Returns per-bin rows with the
     shared ece_micro column."""
     width = 1000000 // n_bins
-    binned = (
+    # O(bins) aggregate read by the ECE total AND the per-bin output:
+    # pin it so the caller's plan runs once.
+    binned = pin(
         df.select(F.col(p_micro_col).alias("p"), F.col(label_col).alias("y"))
         .groupBy(
             F.least(F.lit(n_bins - 1), F.expr(f"div(p, {width})")).alias("bin")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -83,9 +83,13 @@ def q436_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0).alias("is_new"),
     )
-    hist = binned.groupBy("b").agg(
-        F.sum(1 - F.col("is_new")).alias("c_old"),
-        F.sum("is_new").alias("c_new"),
+    # Bin histogram read by the totals AND the prefix machinery: pin
+    # it so orders is scanned once.
+    hist = pin(
+        binned.groupBy("b").agg(
+            F.sum(1 - F.col("is_new")).alias("c_old"),
+            F.sum("is_new").alias("c_new"),
+        )
     )
     tot = hist.agg(
         F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
@@ -94,6 +98,7 @@ def q436_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist,
         [("b", "asc")],
         {"p_old": ("sum", "c_old"), "p_new": ("sum", "c_new")},
+        cache_input=False,  # hist is pinned above
     )
     cdf = pre.select(
         "b",

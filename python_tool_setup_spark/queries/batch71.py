@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -70,12 +70,19 @@ def q346_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = d.select(
         F.col("n_chars").alias("v"), (F.col("doc_id") % 2 == 1).alias("g")
     )
-    hist = tagged.groupBy("v").agg(
-        F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("c2"),
+    # Value histogram read by the prefix machinery AND the sample-size
+    # totals: pin it so documents is scanned once.
+    hist = pin(
+        tagged.groupBy("v").agg(
+            F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("c2"),
+        )
     )
     pre = prefix_agg(
-        hist, [("v", "asc")], {"b1": ("sum", "c1"), "b2": ("sum", "c2")}
+        hist,
+        [("v", "asc")],
+        {"b1": ("sum", "c1"), "b2": ("sum", "c2")},
+        cache_input=False,  # hist is pinned above
     )
     cum = pre.select(
         (F.col("b1") + F.col("c1")).alias("cum1"),

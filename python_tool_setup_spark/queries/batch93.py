@@ -198,8 +198,16 @@ def q391_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    ranked = prefix_rank(freq, [("n", "desc"), ("tok", "asc")], alias="rk")
+    # Vocabulary-sized frequency table read by the rank machinery AND
+    # the mass/size totals: pin it so the tokenization explode runs
+    # once.
+    freq = pin(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    ranked = prefix_rank(
+        freq,
+        [("n", "desc"), ("tok", "asc")],
+        alias="rk",
+        cache_input=False,  # freq is pinned above
+    )
     tot = freq.agg(F.sum("n").alias("mass"), F.count(F.lit(1)).alias("v"))
     cov_row = ranked.agg(
         *[

@@ -148,12 +148,21 @@ def q394_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q395_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy(F.col("o_custkey").alias("c")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "cents"
+    # O(customers) spend table read by the rank machinery AND the
+    # count/total aggregate: pin it so orders is scanned once.
+    spend = pin(
+        o.groupBy(F.col("o_custkey").alias("c")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
         )
     )
-    ranked = prefix_rank(spend, [("cents", "desc"), ("c", "asc")], alias="rk")
+    ranked = prefix_rank(
+        spend,
+        [("cents", "desc"), ("c", "asc")],
+        alias="rk",
+        cache_input=False,  # spend is pinned above
+    )
     tot = spend.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
     )

@@ -1429,3 +1429,34 @@ def test_date_spine_gaps_reference(spark):
         )
     else:
         assert r["first_gap_day"] is None and r["last_gap_day"] is None
+
+
+def test_evalmetrics_single_input_evaluation(spark):
+    """r10 optimization pin: every evalmetrics operator materializes
+    its input ONCE (blockrank.pin) instead of re-instantiating the
+    caller's plan per consumer. A Range source makes the property
+    checkable from the plan text: with the pin the Range node is
+    fully replaced by the checkpoint scan; without it the fan-out
+    re-instantiates Range (2-3 copies)."""
+    from pyspark.sql import functions as F
+
+    from python_tool_setup_spark.operators.evalmetrics import (
+        average_precision,
+        calibration_ece,
+        ndcg_at_k,
+    )
+
+    src = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 101).alias("s"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+        (F.col("id") % 7).cast("int").alias("gain"),
+        (F.col("id") * 4999 % 1000001).cast("long").alias("p_micro"),
+    )
+    for out in (
+        average_precision(src, "s", "doc_id", "y"),
+        ndcg_at_k(src, "s", "doc_id", "gain", 10),
+        calibration_ece(src, "p_micro", "y", n_bins=10),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Range (" not in plan, plan[:2000]
