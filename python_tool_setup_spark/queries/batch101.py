@@ -153,10 +153,12 @@ def q406_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q407_approx_percentile_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from python_tool_setup_spark.operators.blockrank import prefix_agg
+    from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 
     li = load_table(spark, sf_dir, "lineitem")
-    vals = li.select(F.col("l_extendedprice").alias("v"))
+    # Single value column read by the sketch, the rank check and the
+    # exact histogram: pin it so lineitem is scanned once.
+    vals = pin(li.select(F.col("l_extendedprice").alias("v")))
     approx = vals.agg(
         F.percentile_approx("v", 0.5, _ACC).alias("ap"),
         F.count("*").alias("n"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
@@ -140,14 +140,23 @@ def q319_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q320_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        F.col("n_chars").alias("s"),
-        F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
+    # scored feeds the histogram AND the rank join-back; hist feeds the
+    # prefix machinery AND the grand total; the decile aggregate feeds
+    # its own total AND the cumulative prefix. Pin all three so
+    # documents is scanned once (q394 multi-pin precedent).
+    scored = pin(
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("s"),
+            F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
+        )
     )
-    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = pin(scored.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")))
     offsets = prefix_agg(
-        hist, [("s", "desc")], {"cnt_gt": ("sum", "cnt")}
+        hist,
+        [("s", "desc")],
+        {"cnt_gt": ("sum", "cnt")},
+        cache_input=False,  # hist is pinned above
     ).select("s", "cnt_gt")
     n_tot = hist.agg(F.sum("cnt").alias("n"))
     joined = scored.join(F.broadcast(offsets), "s").crossJoin(
@@ -162,8 +171,10 @@ def q320_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciled = ranked.select(
         "y", F.expr("div(10 * (k - 1), n)").alias("decile")
     )
-    agg = deciled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    agg = pin(
+        deciled.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+        )
     )
     tot = agg.agg(F.sum("n").alias("nt"), F.sum("n_pos").alias("pt"))
     out = prefix_agg(
