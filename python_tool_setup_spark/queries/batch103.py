@@ -62,7 +62,7 @@ _BUDGET = 10_000
     "aggregates and one user-key join.",
 )
 def q411_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_tool_setup_spark.operators.blockrank import prefix_agg
+    from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 
     e = load_table(spark, sf_dir, "events")
     firsts = (
@@ -93,8 +93,13 @@ def q411_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact interpolated percentiles from the latency histogram
     # (single group -> inline blockrank prefix, same as q407)
-    hist = conv.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
-    pre = prefix_agg(hist, [("lat_s", "asc")], {"before": ("sum", "cnt")})
+    hist = pin(conv.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt")))
+    pre = prefix_agg(
+        hist,
+        [("lat_s", "asc")],
+        {"before": ("sum", "cnt")},
+        cache_input=False,  # hist is pinned above
+    )
     tot = hist.agg(F.sum("cnt").alias("n"))
     pre = pre.crossJoin(F.broadcast(tot))
 

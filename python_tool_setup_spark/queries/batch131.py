@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -70,7 +70,9 @@ def q473_front_coding_advisor(
 ) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     vals = p.select(F.col("p_name").alias("v")).distinct()
-    ranked = prefix_rank(vals, [("v", "asc")], alias="r")
+    # Ranked values feed BOTH self-join sides: pin so the rank
+    # machinery runs once.
+    ranked = pin(prefix_rank(vals, [("v", "asc")], alias="r"))
     cur = ranked.alias("cur")
     prev = ranked.select(
         F.col("v").alias("pv"), (F.col("r") + 1).alias("pr")

@@ -189,13 +189,22 @@ def q518_pipeline_loss_accounting(
             for name, cond in _STAGES
         ]
     )
-    stages = None
-    for name, _ in _STAGES:
-        row = counts.select(
-            F.lit(name).alias("stage"),
-            F.col(name).alias("n_rows"),
-        )
-        stages = row if stages is None else stages.unionByName(row)
+    # ONE instantiation of the 1-row counts frame: the old per-stage
+    # union re-ran the md5 dedup window over documents once per stage
+    # (6 full passes for 6 output rows).
+    stages = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(name).alias("n_rows"),
+                    )
+                    for name, _ in _STAGES
+                ]
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_rows")
     # bounded-domain: one row per pipeline stage (fixed _STAGES list)
     w = Window.orderBy("stage")
     tot = stages.filter(F.col("stage") == "0_raw").select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -176,10 +177,14 @@ def q520_chisq_cell_residuals(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    joint = o.groupBy(
-        F.col("o_orderpriority").alias("x"),
-        F.col("o_orderstatus").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    # Bounded priority x status cell table read by both margins, the
+    # total and the residual join: pin it so orders is scanned once.
+    joint = pin(
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        ).agg(F.count(F.lit(1)).alias("n_xy"))
+    )
     mx = joint.groupBy("x").agg(F.sum("n_xy").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("n_xy").alias("ny"))
     tot = joint.agg(F.sum("n_xy").alias("n"))

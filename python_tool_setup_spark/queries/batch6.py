@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.queries.exactcast import dd_duck
 from python_tool_setup_spark.tables import load_table
@@ -725,8 +726,13 @@ def q148_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the identical downstream plan.",
 )
 def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    # MAD is inherently 3-pass (median -> deviations -> flags): pin the
+    # narrow 2-column base so lineitem is scanned once, not three times
+    # (the q482 grouped-MAD precedent).
+    li = pin(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
     )
     med = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -69,13 +69,18 @@ def q358_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("b"),
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
-    agg = rows.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("bad")
-    ).withColumn("good", F.col("n") - F.col("bad"))
+    # O(buckets) aggregate read by the totals AND the WoE terms; the
+    # terms feed the IV total AND the final rows: pin both so documents
+    # is scanned once.
+    agg = pin(
+        rows.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("bad")
+        ).withColumn("good", F.col("n") - F.col("bad"))
+    )
     tot = agg.agg(F.sum("good").alias("g"), F.sum("bad").alias("bd"))
     gs = (F.col("good") + F.lit(5e-1)) / F.col("g")
     bs = (F.col("bad") + F.lit(5e-1)) / F.col("bd")
-    terms = agg.crossJoin(F.broadcast(tot)).select(
+    terms = pin(agg.crossJoin(F.broadcast(tot)).select(
         "b",
         "n",
         "bad",
@@ -83,7 +88,7 @@ def q358_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1e6) * (gs - bs) * F.log(gs / bs))
         .cast("long")
         .alias("iv_term_micro"),
-    )
+    ))
     iv = terms.agg(F.sum("iv_term_micro").alias("iv_total_micro"))
     return (
         terms.crossJoin(F.broadcast(iv))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -57,7 +58,9 @@ from python_tool_setup_spark.tables import load_table
 )
 def q392_co_engagement_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # Distinct (user, type) pairs feed the sizes aggregate AND both
+    # self-join sides: pin so events is scanned (and deduped) once.
+    ut = pin(ev.select("user_id", "event_type").distinct())
     sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("t1"))
     b = ut.select("user_id", F.col("event_type").alias("t2"))
