@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -75,8 +76,11 @@ def q517_revenue_cohort_nrr(
         F.year("o_orderdate") * 4
         + F.floor((F.month("o_orderdate") - 1) / 3.0).cast("long")
     )
-    first_q = o.groupBy("o_custkey").agg(F.min(q).alias("cq"))
-    rev = (
+    # first_q feeds the revenue join AND the max-cohort scalar; rev
+    # feeds the base slice AND the final rows: pin both so orders is
+    # scanned twice (the two algorithmic passes), not four times.
+    first_q = pin(o.groupBy("o_custkey").agg(F.min(q).alias("cq")))
+    rev = pin(
         o.join(F.broadcast(first_q), "o_custkey")
         .groupBy("cq", (q - F.col("cq")).alias("age"))
         .agg(

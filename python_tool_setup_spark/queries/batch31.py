@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -200,6 +201,10 @@ def q257_dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("b"),
         )
     )
+    # Bucketed token stream feeds the source AND target histograms
+    # (and the per-doc join-back below): pin it so documents is
+    # tokenized once.
+    toks = pin(toks)
     # per-bucket target/source counts: <=64 rows each, the totals ride
     # an empty-frame window over that tiny relation (no collect)
     src = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))

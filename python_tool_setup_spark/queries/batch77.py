@@ -165,11 +165,18 @@ def q359_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("v"),
         F.when(F.col("text").contains("data"), 1).otherwise(0).alias("y"),
     )
-    hist = rows.groupBy("v").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    # Value histogram read by the prefix machinery AND the totals: pin
+    # it so documents is scanned once.
+    hist = pin(
+        rows.groupBy("v").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+        )
     )
     pre = prefix_agg(
-        hist, [("v", "asc")], {"nb": ("sum", "cnt"), "pb": ("sum", "pos")}
+        hist,
+        [("v", "asc")],
+        {"nb": ("sum", "cnt"), "pb": ("sum", "pos")},
+        cache_input=False,  # hist is pinned above
     )
     cum = pre.select(
         "v",

@@ -70,10 +70,12 @@ _MID_K = 1000
     "pass, one token groupBy, one broadcast join back.",
 )
 def q370_vocab_tier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_tool_setup_spark.operators.blockrank import prefix_rank
+    from python_tool_setup_spark.operators.blockrank import pin, prefix_rank
 
     d = load_table(spark, sf_dir, "documents")
-    toks = (
+    # Tokenization explode feeds the frequency ranking AND the tier
+    # join-back: pin it so documents is tokenized once.
+    toks = pin(
         d.select(
             "source",
             F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
