@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -236,8 +236,15 @@ def q470_compaction_bin_packing(
             + F.length("l_linestatus")
         ).alias("bytes")
     )
+    # daily feeds the prefix machinery AND the n_days scalar count —
+    # the count is a SEPARATE ACTION, so runtime exchange reuse cannot
+    # share the scan; pin makes both read one materialization.
+    daily = pin(daily)
     packed = prefix_agg(
-        daily, [("day", "asc")], {"off": ("sum", "bytes")}
+        daily,
+        [("day", "asc")],
+        {"off": ("sum", "bytes")},
+        cache_input=False,  # daily is pinned above
     ).select(
         "day",
         "bytes",
