@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -97,21 +98,28 @@ def q451_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _SLICE
     )
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "e")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("e").cast("double") * F.lit(1000000.0))
-        .cast("long")
-        .alias("q"),
+    # Quantized element table feeds the norms AND both dot-product
+    # sides (q433/q375 shape): pin it so embeddings is exploded once;
+    # norms likewise feeds both scored join sides.
+    elems = pin(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "e")
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("e").cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .alias("q"),
+        )
     )
     # exact-integer sums in LONG, not DECIMAL(38): q <= 1e6 and dim=64
     # bound every dot/norm by 6.4e13 << 2^63, and long aggregation is
     # several times faster JVM-side than decimal
     dec = "long"
-    norms = elems.groupBy("vec_id").agg(
-        F.sum(F.col("q").cast(dec) * F.col("q")).alias("n2")
+    norms = pin(
+        elems.groupBy("vec_id").agg(
+            F.sum(F.col("q").cast(dec) * F.col("q")).alias("n2")
+        )
     )
     a = elems.select(F.col("vec_id").alias("va"), "i", F.col("q").alias("qa"))
     b = elems.select(F.col("vec_id").alias("vb"), "i", F.col("q").alias("qb"))
