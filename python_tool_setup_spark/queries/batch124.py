@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_agg
+from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -126,12 +126,26 @@ def q459_join_funnel_retention(
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     nt = load_table(spark, sf_dir, "nation")
+    # Four separate count actions; unpinned, step k re-executes every
+    # upstream join (1+2+3 join stages). Inner equi-joins keep their
+    # cardinality under projection, so each step is pinned as ONLY the
+    # key column the next step needs — each join runs once, narrow.
     s0 = li.count()
-    j1 = li.join(o, o.o_orderkey == li.l_orderkey)
+    j1 = pin(
+        li.join(o, o.o_orderkey == li.l_orderkey).select(
+            o.o_custkey.alias("o_custkey")
+        )
+    )
     s1 = j1.count()
-    j2 = j1.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+    j2 = pin(
+        j1.join(F.broadcast(c), c.c_custkey == F.col("o_custkey")).select(
+            c.c_nationkey.alias("c_nationkey")
+        )
+    )
     s2 = j2.count()
-    s3 = j2.join(F.broadcast(nt), nt.n_nationkey == c.c_nationkey).count()
+    s3 = j2.join(
+        F.broadcast(nt), nt.n_nationkey == F.col("c_nationkey")
+    ).count()
     steps = [
         ("step0_lineitem", s0, s0),
         ("step1_orders", s1, s0),

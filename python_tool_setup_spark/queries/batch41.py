@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -134,8 +135,13 @@ def q288_vocabulary_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("half").orderBy(F.col("n").desc(), "tok")
-    top = toks.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _CHURN_K
+    # top-K vocab feeds THREE separate count actions (shared, dropped,
+    # new); runtime reuse cannot share scans across actions, so pin the
+    # O(2K)-row frame (tokenize + window run once).
+    top = pin(
+        toks.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= _CHURN_K
+        )
     )
     va = top.filter(F.col("half") == 0).select("tok")
     vb = top.filter(F.col("half") == 1).select("tok")
