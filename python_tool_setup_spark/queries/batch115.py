@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -118,10 +119,15 @@ def q439_distributed_topk_audit(
 def q440_mergeable_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(100 * F.col("o_totalprice")).cast("long")
-    base = o.select(
-        cents.alias("c"),
-        "o_custkey",
-        (F.col("o_orderkey") % 2).alias("half"),
+    # base feeds THREE separate actions (per-half partials, the
+    # distinct merge, the full-table truth): pin the narrow projection
+    # so orders is scanned once.
+    base = pin(
+        o.select(
+            cents.alias("c"),
+            "o_custkey",
+            (F.col("o_orderkey") % 2).alias("half"),
+        )
     )
     partials = (
         base.groupBy("half")

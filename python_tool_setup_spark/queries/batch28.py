@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -145,7 +146,10 @@ def q243_right_to_be_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from python_tool_setup_spark.staging import staging_dir
 
-    ev = (
+    # ev feeds three separate actions (argmax collect + two versioned
+    # writes): pin the filtered 2-column frame so events is scanned
+    # once.
+    ev = pin(
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") % 15 == 0)
         .select("user_id", "value")

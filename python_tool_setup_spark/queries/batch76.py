@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -188,10 +189,15 @@ def q357_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = F.concat_ws(
         " ", F.col("w"), F.lead("w", 1).over(wd), F.lead("w", 2).over(wd)
     )
-    grams = toks.select(
-        "split",
-        F.when(F.lead("w", 2).over(wd).isNotNull(), gram).alias("g"),
-    ).filter(F.col("g").isNotNull())
+    # The 3-gram stream feeds the train-distinct AND val-count sides
+    # with different filters (no plan identity, no stage reuse): pin it
+    # so the tokenize + position window run once.
+    grams = pin(
+        toks.select(
+            "split",
+            F.when(F.lead("w", 2).over(wd).isNotNull(), gram).alias("g"),
+        ).filter(F.col("g").isNotNull())
+    )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     val_g = (
         grams.filter(F.col("split") == "val")
