@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_tool_setup_spark.operators.blockrank import pin
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -141,10 +142,15 @@ _SEED_MOD = 500  # seed nodes: customers with custkey % _SEED_MOD = 0
 )
 def q280_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 1000)
-    edges = o.select(
-        F.col("o_custkey").alias("src"),
-        (F.col("o_custkey") * 7 % 1000).alias("dst"),
-    ).distinct()
+    # The edge set is probed by every hop's frontier join AND each
+    # hop's count action re-executes it from lineage: pin it once
+    # (the frontier itself is already checkpointed per hop).
+    edges = pin(
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_custkey") * 7 % 1000).alias("dst"),
+        ).distinct()
+    )
     reached = (
         edges.filter(F.col("src") % _SEED_MOD == 0)
         .select(F.col("src").alias("node"))
