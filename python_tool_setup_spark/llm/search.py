@@ -82,8 +82,16 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
     )
+    # df/idf only for the handful of QUERY terms, not the whole
+    # vocabulary: scoring inner-joins on the query terms anyway, so
+    # restricting postings first (broadcast semi of the tiny term
+    # list) drops the full-vocab term shuffle from the plan — at scale
+    # that shuffle moves the entire postings index to aggregate rows
+    # whose idf nothing ever reads (guide §2.3/§2.4). df per surviving
+    # term is unchanged: the restriction filters rows by term only.
     idf = (
-        postings.groupBy("term")
+        postings.join(F.broadcast(query_terms.select("term").distinct()), "term")
+        .groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
         .crossJoin(F.broadcast(n_and_avg.select("n_docs")))
         .select(

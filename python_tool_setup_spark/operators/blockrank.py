@@ -25,8 +25,12 @@ strategies:
   a broadcast min/max aggregate — so NOTHING about physical execution
   can change it. Blocks are equal-width in the value domain, not
   equal-count; a skewed leading key degrades balance but never
-  correctness (and every current caller's leading key is
-  near-uniform or histogram-bounded). NULL leading keys go to the
+  correctness (every current caller's leading key is near-uniform or
+  histogram-bounded; a caller with a hot leading value opts into the
+  pinned range layout below via ``persist=True``, whose partitioner
+  keys on the FULL sort tuple and therefore splits the hot value by
+  the tiebreakers — both properties are pinned by planted-skew tests
+  in tests/test_blockrank.py). NULL leading keys go to the
   first block under ``asc`` (Spark sorts NULLS FIRST ascending) and
   the last block under ``desc`` (NULLS LAST); NaN float/double keys
   go to the opposite end (Spark sorts NaN greater than any value).
@@ -259,7 +263,7 @@ _PIN_CONF = "spark.python_tool_setup.blockrank.pin"
 _PIN_MODES = ("localCheckpoint", "persist")
 
 
-def pin(df: DataFrame, nondeterministic: bool = False) -> DataFrame:
+def pin(df: DataFrame, nondeterministic: bool | None = None) -> DataFrame:
     """Materialize ONCE and truncate lineage.
 
     Default strategy — RDD-backed eager ``localCheckpoint``: storage
@@ -276,7 +280,15 @@ def pin(df: DataFrame, nondeterministic: bool = False) -> DataFrame:
 
     ``nondeterministic=True`` declares that the pin exists to FREEZE a
     plan whose re-execution can yield different rows (rand()/sample/
-    range-exchange sampling). Persist cannot honor that contract —
+    range-exchange sampling). The default (``None``) auto-detects by
+    inspecting the analyzed plan (:func:`_has_nondeterminism`) — the
+    same safety the prefix machinery applies internally — so a direct
+    caller pinning a rand()/sample-derived plan under the persist conf
+    cannot silently opt into a recomputable pin (ADVICE r10). The
+    inspection only runs under persist mode (localCheckpoint pins are
+    never recomputable, so the distinction is moot there and the
+    plan-text round-trip is skipped). Persist cannot honor that
+    contract —
     it is recomputable by design, so a 2-replica loss silently
     re-derives DIFFERENT rows — therefore such pins upgrade to a
     RELIABLE checkpoint when ``sparkContext.setCheckpointDir`` has
@@ -298,6 +310,8 @@ def pin(df: DataFrame, nondeterministic: bool = False) -> DataFrame:
             "(case-sensitive)"
         )
     if mode == "persist":
+        if nondeterministic is None:
+            nondeterministic = _has_nondeterminism(df)
         if nondeterministic:
             ckpt_dir = None
             try:
@@ -344,6 +358,28 @@ def release_pins() -> int:
 
 # Backwards-compatible internal alias (pre-round-8 name).
 _pin = pin
+
+
+def _range_blocked(df: DataFrame, sort: list, n_blocks: int) -> DataFrame:
+    """Pinned range layout: equal-count blocks from the sampled range
+    exchange, pinned because the sampling is NOT stable across
+    physical executions (and exchange reuse has been observed to miss
+    intermittently under AQE, silently corrupting the prefixes) —
+    i.e. this pin is ALWAYS nondeterminism-triggered, so persist mode
+    is never allowed to serve it (see :func:`pin`).
+
+    Skew note: the range partitioner keys on the FULL sort tuple, so a
+    hot LEADING value (one key owning most rows) is still split across
+    blocks by the tiebreaker columns — this path (``persist=True``) is
+    the opt-in remedy when the width-bucket default would put most
+    rows in one block (guide §2.5; planted-skew property tests in
+    tests/test_blockrank.py)."""
+    return pin(
+        df.repartitionByRange(n_blocks, *sort).withColumn(
+            "_blk", F.spark_partition_id()
+        ),
+        nondeterministic=True,
+    )
 
 
 def prefix_agg(
@@ -439,19 +475,7 @@ def prefix_agg(
             .repartition(n_blocks, "_blk")
         )
     else:
-        # Pinned range layout: equal-count blocks from the sampled
-        # range exchange, pinned because the sampling is NOT stable
-        # across physical executions (and exchange reuse has been
-        # observed to miss intermittently under AQE, silently
-        # corrupting the prefixes) — i.e. this pin is ALWAYS
-        # nondeterminism-triggered, so persist mode is never allowed
-        # to serve it (see pin()).
-        blocked = pin(
-            df.repartitionByRange(n_blocks, *sort).withColumn(
-                "_blk", F.spark_partition_id()
-            ),
-            nondeterministic=True,
-        )
+        blocked = _range_blocked(df, sort, n_blocks)
     totals = blocked.groupBy("_blk").agg(
         *[_KINDS[k](_src(k, c)).alias(f"_t_{a}") for a, (k, c) in aggs.items()]
     )

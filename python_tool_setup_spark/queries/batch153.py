@@ -193,9 +193,12 @@ def q518_pipeline_loss_accounting(
             for name, cond in _STAGES
         ]
     )
-    # ONE instantiation of the 1-row counts frame: the old per-stage
-    # union re-ran the md5 dedup window over documents once per stage
-    # (6 full passes for 6 output rows).
+    # One instantiation of the 1-row counts frame PER CONSUMER: the
+    # old per-stage union re-ran the md5 dedup window over documents
+    # once per stage (4 full passes for 4 output rows); the conditional
+    # aggregate needs one pass per reference (tot + seq below), which
+    # exchange reuse unifies when the planner reuses the identical
+    # aggregate exchange.
     stages = counts.select(
         F.explode(
             F.array(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_tool_setup_spark.operators.blockrank import prefix_rank
+
 from python_tool_setup_spark.queries import register
 from python_tool_setup_spark.tables import load_table
 
@@ -206,17 +206,29 @@ def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "doc_id")
         .limit(_TOPN)
     )
-    rank_a = prefix_rank(
-        cand_a, [("tf", "desc"), ("doc_id", "asc")], alias="r_a"
-    ).select("doc_id", "r_a")
+    # bounded-domain: rank over the TakeOrdered top-_TOPN (=50) rows —
+    # a compile-time-constant domain, so the single window task holds
+    # 50 rows at ANY scale; routing 50 rows through the blockrank
+    # machinery paid two pin materializations + bounds aggregates per
+    # retriever for nothing (r11 fan-out sweep).
+    rank_a = cand_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("r_a"),
+    )
     cand_b = (
         d.select("doc_id", "n_chars")
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .limit(_TOPN)
     )
-    rank_b = prefix_rank(
-        cand_b, [("n_chars", "desc"), ("doc_id", "asc")], alias="r_b"
-    ).select("doc_id", "r_b")
+    # bounded-domain: same 50-row TakeOrdered candidate list as rank_a
+    rank_b = cand_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("r_b"),
+    )
     part = (
         F.coalesce(
             F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_a")).cast("double"), F.lit(0.0)

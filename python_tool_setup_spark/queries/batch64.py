@@ -18,21 +18,12 @@ _T_NUM, _T_DEN = 3, 5
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    sh = F.concat_ws(
-        " ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)
-    )
-    return (
-        toks.select(
-            "doc_id",
-            F.when(F.lead("w", 2).over(w).isNotNull(), sh).alias("sh"),
-        )
-        .filter(F.col("sh").isNotNull())
-        .distinct()
-    )
+    # Array-local 3-gram construction (zero shuffles — see
+    # batch90._spark_shingles for the rationale and the exact-set
+    # equivalence argument vs the old explode + lead window + distinct).
+    from python_tool_setup_spark.queries.batch90 import _spark_shingles
+
+    return _spark_shingles(d, 3)
 
 
 # ---------------------------------------------------------------- q333
@@ -113,7 +104,7 @@ def q333_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("n") - F.expr(f"div({_T_NUM} * n + 4, {_T_DEN})") + 1
-    ).select("doc_id", "sh", "n")
+    ).select("doc_id", "sh", "n", "rk")
     a = prefix.alias("a")
     b = prefix.alias("b")
     # length filter: J >= 3/5 forces 5*min(n1,n2) >= 3*max(n1,n2)
@@ -121,18 +112,58 @@ def q333_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold otherwise) — sizes ride the prefix rows, so the prune
     # happens inside candidate generation, before the distinct and
     # long before the verification join
+    # PPJoin positional filter (Xiao et al.): per candidate pair,
+    # upper-bound the achievable overlap from the prefix matches
+    # themselves. Both docs list tokens in the SAME global order
+    # (df asc, sh tiebreak), so the shared prefix tokens appear in the
+    # same relative order in both docs and the match with the largest
+    # rank on one side is the largest on the other. With po = number
+    # of prefix-prefix shared tokens and (i*, j*) the ranks of the
+    # LAST such token, every other shared token sits strictly after
+    # (i*, j*) on BOTH sides (a shared token outside either prefix is
+    # later in the global order than every prefix-prefix match), so
+    #   overlap <= po + min(n1 - i*, n2 - j*).
+    # Jaccard >= 3/5 needs 8*overlap >= 3*(n1+n2); pairs whose upper
+    # bound cannot reach that are pruned HERE — before the verify join
+    # expands each pair by its full token sets — with exact integer
+    # arithmetic, so no true pair is ever lost (the r10 revert showed
+    # the verify expansion is the real cost; this shrinks its input).
+    # The groupBy replaces the old .distinct(): same shuffle key, a
+    # few small agg columns instead of dedup, strictly fewer pairs out.
+    matches = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (_T_DEN * F.col("a.n") >= _T_NUM * F.col("b.n"))
+        & (_T_DEN * F.col("b.n") >= _T_NUM * F.col("a.n")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.rk").alias("ia"),
+        F.col("b.rk").alias("jb"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (_T_DEN * F.col("a.n") >= _T_NUM * F.col("b.n"))
-            & (_T_DEN * F.col("b.n") >= _T_NUM * F.col("a.n")),
+        matches.groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("po"),
+            F.max("ia").alias("ia"),
+            F.max("jb").alias("jb"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        .filter(
+            (_T_NUM + _T_DEN)
+            * (
+                F.col("po")
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+                )
+            )
+            >= _T_NUM * (F.col("na") + F.col("nb"))
         )
-        .distinct()
+        .select("d1", "d2")
     )
     t1 = toks.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     t2 = toks.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))

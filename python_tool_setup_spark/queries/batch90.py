@@ -12,7 +12,7 @@ corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -36,18 +36,26 @@ def _pair_shingles_sql(n: int, alias: str) -> str:
 
 
 def _spark_shingles(d: DataFrame, n: int) -> DataFrame:
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    # Array-local n-gram construction: the word array never leaves its
+    # row, so there is NO per-doc window shuffle and NO global distinct
+    # shuffle (the old posexplode + lead().over(doc window) + distinct
+    # paid two exchanges per instantiation — and the q384/q385/q409/
+    # q414 family instantiates this subtree up to 24x per plan, a cost
+    # the r10 pin attempts could not remove because the consumers
+    # prune/filter divergently). array_distinct reproduces the old
+    # global distinct exactly: shingles are only ever compared within
+    # a doc_id, and (doc_id, sh) dedup == per-doc set dedup.
+    size = F.size("_arr")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_arr"), i + F.lit(j) + 1) for j in range(n)]
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    leads = [F.lead("w", k).over(w) for k in range(1, n)]
-    gram = F.concat_ws(" ", F.col("w"), *leads)
-    guard = leads[-1].isNotNull() if leads else F.lit(True)
-    return (
-        toks.select("doc_id", F.when(guard, gram).alias("sh"))
-        .filter(F.col("sh").isNotNull())
-        .distinct()
-    )
+    grams = F.when(
+        size >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), size - n), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.split("text", " ").alias("_arr")
+    ).select("doc_id", F.explode(grams).alias("sh"))
 
 
 def _jacc_sql(sh: str) -> str:

@@ -496,3 +496,82 @@ def test_gate_adapter_defers_persist_pin_release(spark):
         spark.conf.unset(key)
         br.release_pins()
         spark.catalog.clearCache()
+
+
+def _skewed_df(spark, n=2000, hot_frac=0.7, seed=13):
+    """One hot leading-key value owning >= hot_frac of rows (VERDICT
+    r10 item 3: the width-bucket balance concession must be tested,
+    not assumed). id is the unique tiebreaker the order contract
+    requires."""
+    rng = random.Random(seed)
+    n_hot = int(n * hot_frac)
+    rows = [(i, 0, rng.randint(-100, 100)) for i in range(n_hot)] + [
+        (i, rng.randint(1, 50), rng.randint(-100, 100))
+        for i in range(n_hot, n)
+    ]
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def test_skewed_leading_key_width_path_correct(spark):
+    """Default width buckets under a 70%-hot leading key: balance
+    degrades (the hot value maps to ONE block) but every prefix value
+    stays exact — skew must never be a correctness event."""
+    df = _skewed_df(spark)
+    got = prefix_agg(
+        df,
+        [("k", "asc"), ("id", "asc")],
+        {"pre": ("sum", "v"), "cnt": ("count", None)},
+        n_blocks=8,
+    )
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "id",
+        F.coalesce(F.sum("v").over(w), F.lit(0)).alias("pre"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    assert sorted(got.select("id", "pre", "cnt").collect()) == sorted(
+        want.collect()
+    )
+
+
+def test_skewed_leading_key_range_path_balances(spark):
+    """persist=True (pinned range layout) is the documented skew
+    opt-in: the range partitioner keys on the FULL sort tuple, so the
+    hot leading value is split across blocks by the id tiebreaker —
+    block fan-out stays bounded — and the prefix stays exact."""
+    from python_tool_setup_spark.operators.blockrank import (
+        _range_blocked,
+        _sort_exprs,
+    )
+
+    df = _skewed_df(spark)
+    n_blocks = 8
+    blocked = _range_blocked(
+        df, _sort_exprs([("k", "asc"), ("id", "asc")]), n_blocks
+    )
+    sizes = {
+        r["_blk"]: r["n"]
+        for r in blocked.groupBy("_blk").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    assert total == 2000
+    # the 70% hot key must NOT land in one block: range boundaries
+    # sample the tiebreaker, so the largest block stays a bounded
+    # fraction (allow generous sampling slack vs the 12.5% ideal)
+    assert max(sizes.values()) <= 0.5 * total, sizes
+    assert len(sizes) >= 4, sizes
+
+    got = prefix_agg(
+        df,
+        [("k", "asc"), ("id", "asc")],
+        {"pre": ("sum", "v")},
+        n_blocks=n_blocks,
+        persist=True,
+    )
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("pre")
+    )
+    assert sorted(got.select("id", "pre").collect()) == sorted(
+        want.collect()
+    )
