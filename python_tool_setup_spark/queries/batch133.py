@@ -15,7 +15,7 @@ case, so the gap IS the measured benefit of re-clustering).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -117,23 +117,28 @@ def q477_benford_first_digit(
         F.col("id").cast("int").alias("d"),
         F.expr(_EXP_PPM_EXPR).alias("exp_ppm"),
     )
-    tot = obs.agg(F.sum("cnt").alias("n"))
+    # Single tree over the 9-row digit table (the q294 pattern): the
+    # grand total and the chi² sum are window sums over the spine rows
+    # instead of separate aggregate branches — the old
+    # tot-broadcast + chi-broadcast shape re-instantiated the orders
+    # aggregation four times in one plan (4 scans in the r10 corpus).
+    # Every first digit of a positive price is 1-9, so summing the
+    # coalesced per-digit counts over the spine IS the grand total.
+    w1 = Window.partitionBy(F.lit(1))
     terms = (
         spine.join(F.broadcast(obs), "d", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "d",
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
             "exp_ppm",
-            "n",
         )
+        .withColumn("n", F.sum("cnt").over(w1))
     )
     scored = terms.select(
         "*", F.expr(_TERM_NANO_EXPR).alias("term_nano")
     )
-    chi = scored.agg(F.sum("term_nano").alias("chi2_nano"))
     return (
-        scored.crossJoin(F.broadcast(chi))
+        scored.withColumn("chi2_nano", F.sum("term_nano").over(w1))
         .select(
             F.col("d").alias("digit"),
             F.col("cnt").cast("long").alias("n_obs"),

@@ -247,7 +247,14 @@ def q484_labeling_function_report(
         F.signum(sum(F.col(n) for n in _LFS)).cast("long"),
     )
     total = F.count(F.lit(1))
-    out = None
+    # ONE stacked aggregation pass (the q475/q468 recipe): every LF's
+    # six statistics are columns of a single votes.agg — the old
+    # per-LF union re-scanned documents once per labeling function (4
+    # scans in the r10 plan corpus) to produce 4 metadata rows. The
+    # per-LF expressions are verbatim the same aggregates, so the
+    # values are bit-identical; the stacked row explode is bounded by
+    # |_LFS| = 4.
+    cols = []
     for name in _LFS:
         others = [n for n in _LFS if n != name]
         voted = F.col(name) != 0
@@ -260,37 +267,62 @@ def q484_labeling_function_report(
             any_other = cond_o if any_other is None else any_other | cond_o
             any_conf = cond_c if any_conf is None else any_conf | cond_c
         decided = voted & (F.col("mj") != 0)
-        row = votes.agg(
-            F.lit(name).alias("lf_name"),
-            F.signum(F.sum(name)).cast("long").alias("polarity"),
-            n_votes.cast("long").alias("n_votes"),
-            F.round(n_votes * 1000000.0 / total)
-            .cast("long")
-            .alias("coverage_ppm"),
-            F.round(
-                F.sum((voted & any_other).cast("long"))
-                * 1000000.0
-                / F.greatest(F.lit(1), n_votes)
-            )
-            .cast("long")
-            .alias("overlap_ppm"),
-            F.round(
-                F.sum(any_conf.cast("long"))
-                * 1000000.0
-                / F.greatest(F.lit(1), n_votes)
-            )
-            .cast("long")
-            .alias("conflict_ppm"),
-            F.round(
-                F.sum(
-                    (decided & (F.signum(F.col(name)) == F.col("mj")))
-                    .cast("long")
+        cols.extend(
+            [
+                F.signum(F.sum(name)).cast("long").alias(f"{name}__polarity"),
+                n_votes.cast("long").alias(f"{name}__n_votes"),
+                F.round(n_votes * 1000000.0 / total)
+                .cast("long")
+                .alias(f"{name}__coverage_ppm"),
+                F.round(
+                    F.sum((voted & any_other).cast("long"))
+                    * 1000000.0
+                    / F.greatest(F.lit(1), n_votes)
                 )
-                * 1000000.0
-                / F.greatest(F.lit(1), F.sum(decided.cast("long")))
-            )
-            .cast("long")
-            .alias("majority_agree_ppm"),
+                .cast("long")
+                .alias(f"{name}__overlap_ppm"),
+                F.round(
+                    F.sum(any_conf.cast("long"))
+                    * 1000000.0
+                    / F.greatest(F.lit(1), n_votes)
+                )
+                .cast("long")
+                .alias(f"{name}__conflict_ppm"),
+                F.round(
+                    F.sum(
+                        (decided & (F.signum(F.col(name)) == F.col("mj")))
+                        .cast("long")
+                    )
+                    * 1000000.0
+                    / F.greatest(F.lit(1), F.sum(decided.cast("long")))
+                )
+                .cast("long")
+                .alias(f"{name}__majority_agree_ppm"),
+            ]
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("lf_name")
+    one = votes.agg(*cols)
+    fields = [
+        "polarity",
+        "n_votes",
+        "coverage_ppm",
+        "overlap_ppm",
+        "conflict_ppm",
+        "majority_agree_ppm",
+    ]
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("lf_name"),
+                        *[
+                            F.col(f"{name}__{f}").alias(f)
+                            for f in fields
+                        ],
+                    )
+                    for name in _LFS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stacked.orderBy("lf_name")

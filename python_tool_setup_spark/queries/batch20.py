@@ -183,10 +183,21 @@ def q222_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok")
     )
     val = toks.filter(F.col("split") == "val")
-    oov = val.join(F.broadcast(vocab), "tok", "left_anti")
+    # ONE pass over the val tokens: the left join against the marked
+    # vocab yields both counts in a single aggregate (the old
+    # val-count + anti-join-count branches each re-tokenized the val
+    # split — two full scans for two numbers).
+    valj = val.join(
+        F.broadcast(vocab.withColumn("_v", F.lit(1))), "tok", "left"
+    )
+    stats = valj.agg(
+        F.count(F.lit(1)).alias("val_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+    )
     return (
-        val.agg(F.count(F.lit(1)).alias("val_tokens"))
-        .crossJoin(F.broadcast(oov.agg(F.count(F.lit(1)).alias("oov_tokens"))))
+        stats
         .crossJoin(F.broadcast(vocab.agg(F.count(F.lit(1)).alias("vocab_size"))))
         .select(
             "vocab_size",

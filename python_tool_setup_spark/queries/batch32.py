@@ -8,7 +8,7 @@ top-k nearest WRONG-label candidates per anchor).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.queries import register
@@ -190,25 +190,28 @@ def q261_psi_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = d.select(
         bucket.alias("b"), (F.col("doc_id") % 2 == 1).alias("is_new")
     )
-    ob = (
-        halves.filter(~F.col("is_new"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("oc"))
+    # ONE conditional aggregate instead of two filtered passes + a
+    # full-outer join (identical semantics: a bucket present in either
+    # half appears with exact 0 for the missing side, a bucket in
+    # neither has no rows at all), and the half totals become window
+    # sums over the ≤_PSI_BUCKETS-row bucket table instead of a
+    # separate aggregate branch re-instantiating the scan (4 documents
+    # scans → 1 in the plan).
+    base = halves.groupBy("b").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("oc"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("nc"),
     )
-    nb = (
-        halves.filter(F.col("is_new"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("nc"))
-    )
-    base = ob.join(nb, "b", "full_outer").na.fill({"oc": 0, "nc": 0})
-    tots = base.agg(F.sum("oc").alias("ot"), F.sum("nc").alias("nt"))
-    j = (
-        base.crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            ((F.col("oc") + 1.0) / (F.col("ot") + _PSI_BUCKETS)).alias("p"),
-            ((F.col("nc") + 1.0) / (F.col("nt") + _PSI_BUCKETS)).alias("q"),
-        )
+    w1 = Window.partitionBy(F.lit(1))
+    j = base.select(
+        "b",
+        (
+            (F.col("oc") + 1.0)
+            / (F.sum("oc").over(w1) + _PSI_BUCKETS)
+        ).alias("p"),
+        (
+            (F.col("nc") + 1.0)
+            / (F.sum("nc").over(w1) + _PSI_BUCKETS)
+        ).alias("q"),
     )
     terms = j.select(
         "b",

@@ -268,21 +268,35 @@ def q311_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q312_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    vocab = d.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
-    a = vocab.alias("a")
-    b = vocab.alias("b")
+    # One word-keyed shuffle instead of three (distinct + self-join's
+    # two sides): collect each word's SOURCE SET directly (collect_set
+    # dedups, so the standalone distinct is redundant), derive the
+    # per-source vocab sizes by exploding the sets back, and expand
+    # source pairs array-locally (q304's triangular slice/transform —
+    # the set is bounded by the source count, so the expansion is
+    # metadata-sized). The old vocab×vocab join on w shuffled the full
+    # distinct vocabulary twice and re-tokenized documents per side.
+    by_w = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+    sizes = (
+        by_w.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") < F.col("b.source")),
+        by_w.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                    " y -> struct(x, y))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
-        )
+        .groupBy(F.col("pr.x").alias("s1"), F.col("pr.y").alias("s2"))
         .agg(F.count(F.lit(1)).alias("ninter"))
     )
     za = sizes.select(F.col("source").alias("s1"), F.col("nv").alias("n1"))

@@ -12,7 +12,7 @@ same 100 TB shape as q261/q303.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_tool_setup_spark.operators.blockrank import pin, prefix_agg
@@ -161,22 +161,24 @@ def q347_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = d.select(
         bucket.alias("b"), (F.col("doc_id") % 2 == 1).alias("is_new")
     )
-    ob = (
-        halves.filter(~F.col("is_new")).groupBy("b").agg(
-            F.count(F.lit(1)).alias("oc")
-        )
+    # ONE conditional aggregate instead of two filtered passes + a
+    # full-outer join, and the half totals as window sums over the
+    # ≤_JS_BUCKETS-row bucket table (the q261/q294 single-tree shape:
+    # 4 documents scans → 1 in the plan; semantics identical — a
+    # bucket in either half appears with exact 0 for the missing side).
+    j = halves.groupBy("b").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("oc"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("nc"),
     )
-    nb = (
-        halves.filter(F.col("is_new")).groupBy("b").agg(
-            F.count(F.lit(1)).alias("nc")
-        )
-    )
-    j = ob.join(nb, "b", "full_outer").na.fill({"oc": 0, "nc": 0})
-    tot = j.agg(F.sum("oc").alias("ot"), F.sum("nc").alias("nt"))
-    pq = j.crossJoin(F.broadcast(tot)).select(
+    w1 = Window.partitionBy(F.lit(1))
+    pq = j.select(
         "b",
-        ((F.col("oc") + 1.0) / (F.col("ot") + _JS_BUCKETS)).alias("p"),
-        ((F.col("nc") + 1.0) / (F.col("nt") + _JS_BUCKETS)).alias("q"),
+        (
+            (F.col("oc") + 1.0) / (F.sum("oc").over(w1) + _JS_BUCKETS)
+        ).alias("p"),
+        (
+            (F.col("nc") + 1.0) / (F.sum("nc").over(w1) + _JS_BUCKETS)
+        ).alias("q"),
     )
     t_nano = F.round(
         F.lit(1e9)
