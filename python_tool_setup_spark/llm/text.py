@@ -141,8 +141,15 @@ def unigram_logprob(
     language vocabulary is millions of rows at worst, far under
     broadcast limits — so the exploded corpus never shuffles for the
     join; the only wide exchange is the per-doc re-aggregation."""
-    toks = df.select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("__tok")
+    from python_tool_setup_spark.operators.blockrank import pin
+
+    # The exploded token stream feeds BOTH the vocabulary aggregate and
+    # the scoring join; without the pin each consumer re-tokenizes the
+    # corpus (2 scans + explodes per plan). Same exploded-stream pin
+    # class as the r10 q370/q357 keeps; scale ceiling documented in
+    # OPTIMIZATION_r11.md ("Pin scale note").
+    toks = pin(
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__tok"))
     )
     vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     # total tokens as a 1-row broadcast attach (no driver round-trip)

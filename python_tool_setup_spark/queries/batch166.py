@@ -209,40 +209,70 @@ def q544_covariate_balance_smd(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    out = None
-    for name, expr in _SMD_COVS:
-        src = c.select(
-            (F.col("c_custkey") % 2 == 0).alias("t"),
-            F.expr(expr).alias("v"),
+    # ONE stacked aggregation pass over customer (the q484/q475
+    # recipe): all three covariates' sums are columns of a single agg
+    # — the old per-covariate union scanned customer once per
+    # covariate for 3 metadata rows. The per-covariate aggregates are
+    # verbatim the same expressions (nt/nc are covariate-independent
+    # and computed once), the explode is bounded by |_SMD_COVS| = 3,
+    # and _smd_expr runs on the exploded rows where the bare st/qt/...
+    # names are in scope again — values bit-identical.
+    src = c.select(
+        (F.col("c_custkey") % 2 == 0).alias("t"),
+        *[F.expr(expr).alias(f"v_{name}") for name, expr in _SMD_COVS],
+    )
+    cols = [
+        F.sum(F.col("t").cast("long")).alias("nt"),
+        F.sum((~F.col("t")).cast("long")).alias("nc"),
+    ]
+    for name, _ in _SMD_COVS:
+        v = F.col(f"v_{name}")
+        cols.extend(
+            [
+                F.sum(F.when(F.col("t"), v).otherwise(0)).alias(
+                    f"st_{name}"
+                ),
+                F.sum(F.when(~F.col("t"), v).otherwise(0)).alias(
+                    f"sc_{name}"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("t"), v.cast("decimal(38,0)") * v
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"qt_{name}"),
+                F.sum(
+                    F.when(
+                        ~F.col("t"), v.cast("decimal(38,0)") * v
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"qc_{name}"),
+            ]
         )
-        agg = src.agg(
-            F.sum(F.col("t").cast("long")).alias("nt"),
-            F.sum((~F.col("t")).cast("long")).alias("nc"),
-            F.sum(F.when(F.col("t"), F.col("v")).otherwise(0)).alias(
-                "st"
-            ),
-            F.sum(
-                F.when(~F.col("t"), F.col("v")).otherwise(0)
-            ).alias("sc"),
-            F.sum(
-                F.when(
-                    F.col("t"),
-                    F.col("v").cast("decimal(38,0)") * F.col("v"),
-                ).otherwise(F.lit(0).cast("decimal(38,0)"))
-            ).alias("qt"),
-            F.sum(
-                F.when(
-                    ~F.col("t"),
-                    F.col("v").cast("decimal(38,0)") * F.col("v"),
-                ).otherwise(F.lit(0).cast("decimal(38,0)"))
-            ).alias("qc"),
-        )
-        row = agg.select(
-            F.lit(name).alias("covariate"),
+    one = src.agg(*cols)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("covariate"),
+                        F.col("nt"),
+                        F.col("nc"),
+                        F.col(f"st_{name}").alias("st"),
+                        F.col(f"sc_{name}").alias("sc"),
+                        F.col(f"qt_{name}").alias("qt"),
+                        F.col(f"qc_{name}").alias("qc"),
+                    )
+                    for name, _ in _SMD_COVS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        stacked.select(
+            "covariate",
             F.col("nt").cast("long").alias("n_treat"),
             F.col("nc").cast("long").alias("n_control"),
             F.expr(_smd_expr(dd_spark)).alias("smd_milli"),
             (F.abs(F.expr(_smd_expr(dd_spark))) < 100).alias("balanced"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("covariate")
+        .orderBy("covariate")
+    )

@@ -161,15 +161,21 @@ def q353_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round(
         F.col("cum_pos").cast("double") / F.col("k").cast("double") * 1e9
     ).cast("long")
-    terms = ranked.filter(F.col("y") == 1).groupBy("lang").agg(
-        F.sum(term).alias("sum_t")
-    )
+    # ONE tree: per-lang doc/positive counts and the AP term sum all
+    # come from the SAME grouped pass over the ranked rows (sum of
+    # when(y=1, term) is NULL when a lang has no positives — exactly
+    # the old left-join-miss), and the corpus-level mean AP is a
+    # window average over the bounded per-lang table. The old shape
+    # instantiated the scored scan twice (window branch + count
+    # branch) and per_lang twice more (mapr + final crossJoin) — 4
+    # documents scans for |langs|+0 metadata rows.
     per_lang = (
-        scored.groupBy("lang")
+        ranked.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("n_pos")
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.when(F.col("y") == 1, term)).alias("sum_t"),
         )
-        .join(terms, "lang", "left")
         .select(
             "lang",
             F.col("n_docs").cast("long").alias("n_docs"),
@@ -182,9 +188,10 @@ def q353_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ap_micro"),
         )
     )
-    mapr = per_lang.agg(
-        F.round(F.avg(F.col("ap_micro").cast("double")))
-        .cast("long")
-        .alias("map_micro")
-    )
-    return per_lang.crossJoin(F.broadcast(mapr)).orderBy("lang")
+    w1 = Window.partitionBy(F.lit(1))
+    return per_lang.withColumn(
+        "map_micro",
+        F.round(F.avg(F.col("ap_micro").cast("double")).over(w1)).cast(
+            "long"
+        ),
+    ).orderBy("lang")

@@ -225,21 +225,34 @@ def q367_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src").isNotNull())
     )
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
+    # ONE window pass: reduce edges to the (src, dst) PAIR TABLE first
+    # (bounded by |event_type|² — metadata-sized), then degrees and
+    # every co-moment derive from it by exact integer regrouping
+    # (sum over edges of f(x,y) == sum over pairs of cnt·f(x,y); all
+    # decimal(38,0) arithmetic, so the regrouped sums are
+    # bit-identical). The old shape instantiated the lag-window edge
+    # stream three times (outd, ind, xy) — 3 events scans + 3 window
+    # sorts in the plan for two bounded degree maps.
+    # (not pinned: the three pair consumers are plan-identical, so
+    # runtime exchange reuse already shares the window+aggregate
+    # stages — a pin measured slower, 0.90 vs 0.82 min-of-4, r11)
+    pair = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    outd = pair.groupBy("src").agg(F.sum("cnt").alias("od"))
+    ind = pair.groupBy("dst").agg(F.sum("cnt").alias("id_"))
     xy = (
-        edges.join(F.broadcast(outd), "src")
+        pair.join(F.broadcast(outd), "src")
         .join(F.broadcast(ind), "dst")
-        .select(F.col("od").alias("x"), F.col("id_").alias("y"))
+        .select("cnt", F.col("od").alias("x"), F.col("id_").alias("y"))
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
+    n = F.col("cnt").cast("decimal(38,0)")
     s = xy.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(dec("x")).alias("sx"),
-        F.sum(dec("y")).alias("sy"),
-        F.sum(dec("x") * F.col("y")).alias("sxy"),
-        F.sum(dec("x") * F.col("x")).alias("sxx"),
-        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum("cnt").alias("m"),
+        F.sum(n * F.col("x")).alias("sx"),
+        F.sum(n * F.col("y")).alias("sy"),
+        F.sum(n * dec("x") * F.col("y")).alias("sxy"),
+        F.sum(n * dec("x") * F.col("x")).alias("sxx"),
+        F.sum(n * dec("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
