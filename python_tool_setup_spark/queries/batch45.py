@@ -214,6 +214,7 @@ def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_a = cand_a.select(
         "doc_id",
         F.row_number()
+        # bounded-domain: the TakeOrdered top-_TOPN (=50) rows
         .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
         .alias("r_a"),
     )
@@ -226,6 +227,7 @@ def q295_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_b = cand_b.select(
         "doc_id",
         F.row_number()
+        # bounded-domain: the TakeOrdered top-_TOPN (=50) rows
         .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
         .alias("r_b"),
     )

@@ -62,4 +62,8 @@ def test_bounded_domain_exemption_count_is_stable():
             for line in fh:
                 if _PATTERN.search(line):
                     n += 1
-    assert n <= 7, f"{n} unpartitioned-window sites (ceiling 7)"
+    # ceiling raised 7 -> 9 in r11: q295_rrf_fusion ranks its two
+    # TakeOrdered top-50 candidate lists with bounded-domain windows
+    # instead of routing 50 rows through the blockrank machinery
+    # (2 pin materializations + bounds aggregates saved; 2.98x solo).
+    assert n <= 9, f"{n} unpartitioned-window sites (ceiling 9)"
